@@ -1,0 +1,86 @@
+"""Text cleaning + tokenization as pure ``pyspark.sql.functions`` column
+expressions — JVM-side, codegen-friendly, no Python in the hot path.
+
+Covers reference operators X1–X5 (regex assembly/replace/split/lower,
+Week5_datingNLP.R:53–61) and N1/N2/N4 (tokenize, stop-word removal,
+single-char filter, R:65–87). The tokenizer is OUR spec (SURVEY.md section
+4: quanteda's boundary rules are not bit-reproducible; we pin our own with
+golden tests):
+
+  1. normalize typographic apostrophe to ASCII
+  2. lowercase
+  3. split on runs of characters outside ``[a-z0-9'-]``
+  4. strip leading/trailing apostrophes/hyphens from each token
+  5. drop tokens containing no letter (kills numbers, punct-only, empties)
+
+All patterns are RE2-safe so the DuckDB oracle can evaluate the identical
+regex (Java regex is a superset; we stay in the common subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.functions.stopwords import (
+    CUSTOM_STOP_WORDS,
+    HTML_PATTERNS,
+    SNOWBALL_EN,
+)
+
+# X1 — reference pattern assembly (Week5_datingNLP.R:56–58), verbatim data.
+HTML_PAT: str = "(" + "|".join(HTML_PATTERNS) + ")"
+CUSTOM_STOP_PAT: str = "\\b(" + "|".join(CUSTOM_STOP_WORDS) + ")\\b"
+
+# Tokenizer spec patterns (shared with the DuckDB oracle).
+TOKEN_SPLIT_PAT = "[^a-z0-9'-]+"
+TOKEN_TRIM_PAT = "^['-]+|['-]+$"
+TOKEN_HAS_LETTER_PAT = "[a-z]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def clean_html(c: Column | str) -> Column:
+    """X2 — replace HTML artifacts with a space (R:60)."""
+    return F.regexp_replace(_col(c), HTML_PAT, " ")
+
+
+def remove_custom_stopwords(c: Column | str) -> Column:
+    """X3 — replace the reference's 31 custom stop words with a space,
+    word-boundary anchored (R:61)."""
+    return F.regexp_replace(_col(c), CUSTOM_STOP_PAT, " ")
+
+
+def split_raw(c: Column | str) -> Column:
+    """X4 — raw single-space split, KEEPING empty tokens from runs of
+    spaces (R:259: the reference's word-frequency path counts ``""`` as its
+    top 'word'; reproduce exactly for golden parity)."""
+    return F.split(_col(c), " ", -1)
+
+
+def tokenize(c: Column | str, lowercase: bool = True) -> Column:
+    """N1 (+X5) — word tokenizer per the spec above. Returns
+    ``array<string>``. Pure higher-order functions: stays JVM-side."""
+    s = _col(c)
+    s = F.regexp_replace(s, "’", "'")
+    if lowercase:
+        s = F.lower(s)
+    toks = F.split(s, TOKEN_SPLIT_PAT)
+    toks = F.transform(toks, lambda t: F.regexp_replace(t, TOKEN_TRIM_PAT, ""))
+    return F.filter(toks, lambda t: t.rlike(TOKEN_HAS_LETTER_PAT))
+
+
+def remove_stopwords(tokens: Column | str, words: list[str] | None = None) -> Column:
+    """N2 — drop stop-list tokens, preserving duplicates of survivors
+    (unlike ``array_except``, which would dedup). Default list is snowball
+    English for quanteda parity (R:78)."""
+    words = SNOWBALL_EN if words is None else words
+    return F.filter(_col(tokens), lambda t: ~t.isin(words))
+
+
+def filter_min_length(tokens: Column | str, min_len: int = 2) -> Column:
+    """N4 — drop tokens shorter than ``min_len`` (the reference drops
+    single-letter tokens post-stem, R:86–87)."""
+    return F.filter(_col(tokens), lambda t: F.length(t) >= min_len)

@@ -1,0 +1,75 @@
+"""Corpus preparation: profiles/documents → cleaned text → token arrays.
+
+Reference EP-1 front end (Week5_datingNLP.R:50–88): essay projection (P1),
+row-wise concat (P2), HTML + custom-stop-word regex cleaning (X2/X3),
+tokenize (N1/X5), snowball stop-word removal (N2), stemming (N3),
+single-char filter (N4).
+
+Everything is a narrow per-row transform — shuffle-free, whole-stage
+codegen'd except the single Pandas-UDF stemmer stage. At 100 TB this chain
+is embarrassingly parallel: cost scales linearly with input splits and no
+repartition is needed before the downstream ``groupBy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.functions.stemmer import stem_tokens
+from week5_datingnlp_big_data_spark.functions.text import (
+    clean_html,
+    filter_min_length,
+    remove_custom_stopwords,
+    remove_stopwords,
+    tokenize,
+)
+from week5_datingnlp_big_data_spark.sources.schemas import ESSAY_COLS
+
+
+def select_essays(profiles: DataFrame) -> DataFrame:
+    """P1 — prefix projection of the 10 essay columns (R:50), keyed by
+    doc_id (the reference relies on row order; we carry an explicit key)."""
+    return profiles.select("doc_id", *[c for c in profiles.columns if c.startswith("essay")])
+
+
+def concat_essays(*cols: str) -> Column:
+    """P2 — concatenate essay columns with a single space (R:51).
+
+    ``concat_ws`` skips NULLs entirely, which would join two essays with
+    one space but drop the separator slot; the reference pastes empty
+    strings (read.csv yields ``""``), producing double spaces. Match with
+    ``coalesce(col, '')`` before the join."""
+    cs = cols or ESSAY_COLS
+    return F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cs])
+
+
+def clean_text(c: Column | str) -> Column:
+    """X2+X3 — HTML strip then custom-stop-word strip, both to ' '."""
+    return remove_custom_stopwords(clean_html(c))
+
+
+def tokenize_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    stem: bool = True,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Full N1→N4 chain: clean → tokenize → de-stopword → stem → length
+    filter. Returns the input plus a ``tokens array<string>`` column."""
+    toks = tokenize(clean_text(text_col))
+    toks = remove_stopwords(toks)
+    if stem:
+        toks = stem_tokens(toks)
+    toks = filter_min_length(toks, min_token_len)
+    return docs.withColumn("tokens", toks)
+
+
+def profiles_to_docs(profiles: DataFrame) -> DataFrame:
+    """EP-1 steps R:50–51: profiles → (doc_id, sex, text) document corpus."""
+    return profiles.select(
+        "doc_id",
+        "sex",
+        concat_essays(*ESSAY_COLS).alias("text"),
+    )

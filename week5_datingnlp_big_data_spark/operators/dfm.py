@@ -1,0 +1,70 @@
+"""Document-feature matrix (DFM) in canonical long form, plus trim/sparsity.
+
+Reference A1–A3 (Week5_datingNLP.R:92–105): quanteda ``dfm()`` builds a
+59,946 × 153,385 sparse count matrix; ``dfm_trim(min_docfreq=25,
+min_termfreq=35)`` drops 91.6 % of features. The reference then densifies
+to 6.17 GB (its W2 anti-pattern); this engine NEVER densifies — the long
+``(doc_id, term, count)`` DataFrame is the canonical representation
+(SURVEY.md section 1), and a ``CountVectorizer`` SparseVector view exists
+only at the MLlib boundary (ml.py).
+
+Scale: one hash shuffle on (doc_id, term) for A1 with map-side partial
+counts; the A3 trim is a term-level aggregate + broadcast semi-join, so the
+doc×term table is filtered without a second full shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_term_counts(tokenized: DataFrame, doc_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """A1 — bag-of-words long form: ``(doc_id, term, count)``."""
+    return (
+        tokenized.select(doc_col, F.explode(tokens_col).alias("term"))
+        .groupBy(doc_col, "term")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def term_stats(counts: DataFrame) -> DataFrame:
+    """Per-term doc-frequency + total term-frequency — the A3/A8 building
+    block: ``(term, df, tf)``."""
+    return counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),          # rows are distinct (doc,term)
+        F.sum("count").alias("tf"),
+    )
+
+
+def trim_vocabulary(
+    counts: DataFrame,
+    min_docfreq: int = 25,
+    min_termfreq: int = 35,
+) -> DataFrame:
+    """A3 — keep terms with doc-freq ≥ min_docfreq AND total term-freq ≥
+    min_termfreq (quanteda ``dfm_trim`` drops a term failing either bound;
+    reference R:105 removed 140,528 of 153,385 features).
+
+    The kept-vocab side is small post-trim (12.8k terms for the reference
+    corpus) → broadcast semi-join, no shuffle of the counts table."""
+    kept = term_stats(counts).filter(
+        (F.col("df") >= min_docfreq) & (F.col("tf") >= min_termfreq)
+    )
+    return counts.join(F.broadcast(kept.select("term")), "term", "left_semi")
+
+
+def sparsity(counts: DataFrame, n_docs: int | None = None, n_terms: int | None = None) -> float:
+    """A2 — 1 − nnz / (n_docs × n_terms). Reference golden: 0.9990 raw,
+    0.9886 trimmed (out.txt:1). One aggregate pass; dims computed from the
+    long form when not supplied."""
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+    ).first()
+    nd = n_docs if n_docs is not None else agg["n_docs"]
+    nt = n_terms if n_terms is not None else agg["n_terms"]
+    if nd == 0 or nt == 0:
+        return 0.0
+    return 1.0 - agg["nnz"] / (nd * nt)

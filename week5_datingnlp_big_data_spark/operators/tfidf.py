@@ -1,0 +1,54 @@
+"""TF-IDF with the reference's exact semantics (NOT MLlib's).
+
+Reference EP-2 (Week5_datingNLP.R:215–247):
+  TF(d,t)  = count(d,t) / Σ_t count(d,t)              (R:215–217)
+  IDF(t)   = log10(N / df(t))                         (R:220–225)
+  TFIDF    = TF × IDF                                 (R:228–230)
+
+MLlib's ``IDF`` computes ``ln((N+1)/(df+1))`` — deliberately NOT used
+(SURVEY.md section 2.4 A8). Golden head values from the trace: think 0.35,
+kind 0.589, intellectu 1.362, either 0.9.
+
+Scale: TF is a doc-partitioned window (no cross-doc data motion beyond the
+one hash shuffle on doc_id); IDF is a small per-term aggregate that
+broadcasts back onto the counts table. No transposition — the reference's
+apply(MARGIN=1/2) gymnastics disappear in long form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_frequency(counts: DataFrame) -> DataFrame:
+    """A7 — row-normalized counts: ``(doc_id, term, count, tf)``."""
+    w = Window.partitionBy("doc_id")
+    return counts.withColumn("tf", F.col("count") / F.sum("count").over(w))
+
+
+def inverse_doc_frequency(counts: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """A8 — ``(term, df, idf)`` with idf = log10(N/df).
+
+    ``n_docs`` defaults to the number of distinct docs in ``counts``
+    (matches the reference, where N = corpus size and every doc has ≥1
+    term)."""
+    if n_docs is None:
+        n_docs = counts.select("doc_id").distinct().count()
+    return (
+        counts.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
+    )
+
+
+def tf_idf(counts: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """A9 — ``(doc_id, term, tf, idf, tfidf)``. The per-term IDF side is
+    |vocab|-sized → broadcast join onto the doc×term table."""
+    tf = term_frequency(counts)
+    idf = inverse_doc_frequency(counts, n_docs)
+    return (
+        tf.join(F.broadcast(idf.select("term", "idf")), "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .select("doc_id", "term", "count", "tf", "idf", "tfidf")
+    )

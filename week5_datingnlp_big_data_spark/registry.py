@@ -1,0 +1,460 @@
+"""Query registry: every implemented operator exposed as a named query
+(Spark callable) with, where SQL-expressible, a matching DuckDB oracle.
+
+This is the driver-facing contract (``__spark_entry__.py`` re-exports it).
+Each Spark query and its oracle SQL are built from the SAME pattern
+constants so they cannot drift. Column aliases match exactly on both sides
+(the driver sorts columns by name before hashing values).
+
+Float discipline: every double-valued aggregate is rounded to 6 decimals on
+BOTH sides — partial-aggregation order makes the last ulp of a double sum
+nondeterministic, and the oracle compare is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.functions.stopwords import SNOWBALL_EN
+from week5_datingnlp_big_data_spark.functions.text import (
+    CUSTOM_STOP_PAT,
+    HTML_PAT,
+    TOKEN_HAS_LETTER_PAT,
+    TOKEN_SPLIT_PAT,
+    TOKEN_TRIM_PAT,
+    remove_stopwords,
+    tokenize,
+)
+from week5_datingnlp_big_data_spark.operators import corpus, dfm, freq, tfidf
+from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ---------------------------------------------------------------------------
+
+def _sq(pat: str) -> str:
+    """Escape a pattern for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+def _sql_clean(col: str) -> str:
+    """clean_html + remove_custom_stopwords (X2+X3), global replace."""
+    return (
+        f"regexp_replace(regexp_replace({col}, '{_sq(HTML_PAT)}', ' ', 'g'), "
+        f"'{_sq(CUSTOM_STOP_PAT)}', ' ', 'g')"
+    )
+
+
+def _sql_tokens(col: str, *, clean: bool = True, stop: bool = False) -> str:
+    """The engine tokenizer as a DuckDB list expression (see text.tokenize)."""
+    s = _sql_clean(col) if clean else col
+    expr = (
+        f"list_filter(list_transform("
+        f"regexp_split_to_array(lower(replace({s}, '’', '''')), '{_sq(TOKEN_SPLIT_PAT)}'), "
+        f"t -> regexp_replace(t, '{_sq(TOKEN_TRIM_PAT)}', '', 'g')), "
+        f"t -> regexp_matches(t, '{_sq(TOKEN_HAS_LETTER_PAT)}'))"
+    )
+    if stop:
+        words = ", ".join(f"'{_sq(w)}'" for w in SNOWBALL_EN)
+        expr = f"list_filter({expr}, t -> t NOT IN ({words}))"
+    return expr
+
+
+def _docs_tokenized(spark: SparkSession, sf_dir: str, *, stop: bool = True) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(corpus.clean_text("text"))
+    if stop:
+        toks = remove_stopwords(toks)
+    return docs.select("doc_id", toks.alias("tokens"))
+
+
+# ---------------------------------------------------------------------------
+# NLP / corpus queries (reference EP-1/EP-2/EP-3 surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "wordcount_top100",
+    f"""
+    SELECT word, cnt FROM (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY t.word
+    ) ORDER BY cnt DESC, word ASC LIMIT 100
+    """,
+)
+def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md section 7 minimum slice): clean → tokenize →
+    de-stopword → explode → count → top-100. A5+T1+T2."""
+    toks = _docs_tokenized(spark, sf_dir, stop=True)
+    return (
+        toks.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "raw_split_top25",
+    """
+    SELECT word, cnt FROM (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM documents, unnest(string_split(text, ' ')) AS t(word)
+      GROUP BY t.word
+    ) ORDER BY cnt DESC, word ASC LIMIT 25
+    """,
+)
+def raw_split_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact A5 (R:258–262): split on single space keeping empty
+    tokens, count, top-25."""
+    return freq.top_k_words(_t(spark, sf_dir, "documents"), 25, "text", raw=True)
+
+
+@query(
+    "doc_term_counts",
+    f"""
+    SELECT doc_id, t.term AS term, count(*) AS "count"
+    FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+    GROUP BY doc_id, t.term
+    """,
+)
+def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the DFM in canonical long form."""
+    return dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+
+
+@query(
+    "vocab_trim",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      GROUP BY doc_id, t.term
+    )
+    SELECT term, count(*) AS df, sum(count) AS tf
+    FROM counts GROUP BY term
+    HAVING count(*) >= 5 AND sum(count) >= 10
+    """,
+)
+def vocab_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — vocabulary trim (thresholds scaled to the synthetic corpus;
+    the reference uses 25/35 on 60k docs, R:105)."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    return dfm.term_stats(counts).filter((F.col("df") >= 5) & (F.col("tf") >= 10))
+
+
+@query(
+    "tfidf",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      GROUP BY doc_id, t.term
+    ), tf AS (
+      SELECT doc_id, term, count,
+             count / sum(count) OVER (PARTITION BY doc_id) AS tf
+      FROM counts
+    ), idf AS (
+      SELECT term,
+             log10((SELECT count(DISTINCT doc_id) FROM counts) * 1.0 / count(*)) AS idf
+      FROM counts GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, tf.count,
+           round(tf.tf, 6) AS tf, round(idf.idf, 6) AS idf,
+           round(tf.tf * idf.idf, 6) AS tfidf
+    FROM tf JOIN idf USING (term)
+    """,
+)
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7–A9 — reference TF-IDF semantics (tf = count/doc_total,
+    idf = log10(N/df))."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    out = tfidf.tf_idf(counts)
+    return out.select(
+        "doc_id", "term", "count",
+        F.round("tf", 6).alias("tf"),
+        F.round("idf", 6).alias("idf"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+@query(
+    "lang_distinctive_words",
+    f"""
+    WITH wc AS (
+      SELECT lang, t.word AS word, count(*) AS cnt
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      WHERE lang IN ('en', 'fr')
+      GROUP BY lang, t.word
+    ),
+    top_a AS (SELECT word, cnt FROM wc WHERE lang = 'en' ORDER BY cnt DESC, word LIMIT 20),
+    top_b AS (SELECT word FROM wc WHERE lang = 'fr' ORDER BY cnt DESC, word LIMIT 10)
+    SELECT word, cnt FROM top_a WHERE word NOT IN (SELECT word FROM top_b)
+    ORDER BY cnt DESC, word
+    """,
+)
+def lang_distinctive_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — distinctive-word set difference (reference setdiff of per-sex
+    top-500, R:278–280; here per-lang asymmetric top-k on the documents
+    table — asymmetric so the synthetic corpus's small shared vocabulary
+    still yields a non-empty, discriminative result)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _docs_tokenized(spark, sf_dir).join(docs.select("doc_id", "lang"), "doc_id")
+    words = toks.select("lang", F.explode("tokens").alias("word")).filter(
+        F.col("lang").isin("en", "fr")
+    )
+    wc = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    top_a = (
+        wc.filter(F.col("lang") == "en")
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(20).select("word", "cnt")
+    )
+    top_b = (
+        wc.filter(F.col("lang") == "fr")
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(10).select("word")
+    )
+    return top_a.join(F.broadcast(top_b), "word", "left_anti").orderBy(
+        F.desc("cnt"), F.asc("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / analytic extension (SURVEY.md section 2.10, M7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with arithmetic; the filter and the
+    two grouping columns push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer broadcast), agg, top-k.
+    Catalyst broadcasts the filtered customer dim; lineitem⋈orders is the
+    only big shuffle and AQE can convert it too at small SF."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dims broadcast, one shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "nation_top_customers",
+    """
+    SELECT n_name, c_name, c_acctbal, rnk FROM (
+      SELECT n_name, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def nation_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: rank customers by balance within nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (tumbling 1h) — the batch twin of the
+    streaming windowed count (streaming/ package)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) > 50
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload + predicate on the value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@query(
+    "user_event_lag",
+    """
+    SELECT event_id, user_id, ts,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+           COALESCE(date_diff('microsecond',
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1)
+             AS gap_usec
+    FROM events
+    """,
+)
+def user_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential window functions: per-user previous event + exact gap in
+    microseconds (integer on both sides — no float drift; the building
+    block of sessionization)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    gap = um - F.lag(um).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.coalesce(gap, F.lit(-1).cast("long")).alias("gap_usec"),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+configs apply (AQE, arrow, partition sizing) — only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "week5_datingnlp_big_data_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+      dynamic broadcast conversion — the first line of defense for the
+      power-law skew in ``groupBy(term)`` aggregations.
+    - Arrow on: every Pandas UDF (stemmer, vector math) moves batches, not rows.
+    - ``spark.sql.shuffle.partitions`` sized to cores locally; AQE coalesces
+      down when partitions are small, so oversizing is safe at scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
