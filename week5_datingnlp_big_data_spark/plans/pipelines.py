@@ -1,0 +1,127 @@
+"""Composed end-to-end pipelines mirroring the reference's three entry
+points (SURVEY.md section 3), as one lazy DataFrame DAG each.
+
+EP-1 supervised classification (Week5_datingNLP.R:45–188)
+EP-2 TF-IDF weighting          (R:234–247)
+EP-3 frequency analysis + unsupervised (R:258–326)
+
+The reference materializes eagerly at every step (33 GB peak); here each
+pipeline is declared lazily and only the terminal artifacts materialize.
+The tokenized corpus is cached once and shared — the analog of the
+reference keeping `all.tokens` alive across its three sections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import corpus, dfm, freq, ml, tfidf
+
+
+@dataclass
+class EP1Result:
+    tokenized: DataFrame
+    counts: DataFrame            # trimmed long-form DFM
+    train: DataFrame
+    test: DataFrame
+    model: object
+    predictions: DataFrame
+    confusion: DataFrame
+    accuracy: float
+    vocabulary: list[str] = field(default_factory=list)
+
+
+def ep1_classification(
+    profiles: DataFrame,
+    *,
+    min_docfreq: int = 2,
+    min_termfreq: int = 3,
+    train_fraction: float = 0.7,
+    max_depth: int = 5,
+    seed: int = 32984,
+) -> EP1Result:
+    """EP-1: corpus prep → tokens → trimmed DFM → vectorize → stratified
+    split → decision tree → confusion matrix. Thresholds default lower
+    than the reference's 25/35 (R:105) because test fixtures are ~500 docs
+    vs 60k; pass 25/35 at full scale."""
+    docs = corpus.profiles_to_docs(profiles)
+    tokenized = corpus.tokenize_corpus(docs).cache()
+
+    counts = dfm.trim_vocabulary(
+        dfm.doc_term_counts(tokenized), min_docfreq, min_termfreq
+    )
+    # Restrict token arrays to the trimmed vocabulary for the vector view
+    # so CountVectorizer and the long form agree on the feature space.
+    kept_vocab = [r[0] for r in counts.select("term").distinct().collect()]
+    vec_input = tokenized.withColumn(
+        "tokens", F.filter("tokens", lambda t: t.isin(kept_vocab))
+    )
+    vectorized, vocab = ml.vectorize_tokens(vec_input)
+
+    labeled = vectorized.withColumnRenamed("sex", "label")
+    train, test = ml.stratified_split(
+        labeled, "label", "doc_id", train_fraction, seed
+    )
+    model = ml.train_decision_tree(train, max_depth=max_depth, seed=seed)
+    pred = ml.predict(model, test)
+    return EP1Result(
+        tokenized=tokenized,
+        counts=counts,
+        train=train,
+        test=test,
+        model=model,
+        predictions=pred,
+        confusion=ml.confusion_matrix(pred),
+        accuracy=ml.accuracy(pred),
+        vocabulary=vocab,
+    )
+
+
+def ep2_tfidf(tokenized: DataFrame, *, min_docfreq: int = 2, min_termfreq: int = 3) -> DataFrame:
+    """EP-2: trimmed long-form DFM → reference-semantics TF-IDF
+    (tf=count/doc_total, idf=log10(N/df))."""
+    counts = dfm.trim_vocabulary(
+        dfm.doc_term_counts(tokenized), min_docfreq, min_termfreq
+    )
+    return tfidf.tf_idf(counts)
+
+
+@dataclass
+class EP3Result:
+    male_top: DataFrame
+    female_top: DataFrame
+    distinctive_male: DataFrame
+    distinctive_female: DataFrame
+    kmeans_costs: dict[int, float]
+
+
+def ep3_word_analysis(
+    profiles: DataFrame,
+    vectorized: DataFrame | None = None,
+    *,
+    top_k: int = 25,
+    distinct_k: int = 500,
+    kmeans_ks: tuple[int, ...] = (),
+    seed: int = 42,
+) -> EP3Result:
+    """EP-3: per-sex frequency rankings (raw-split semantics, R:258–270),
+    distinctive-word setdiffs (R:278–280), optional k-means sweep
+    (R:301–313) when a vectorized frame is supplied."""
+    docs = corpus.profiles_to_docs(profiles)
+    male = docs.filter(F.col("sex") == "m")
+    female = docs.filter(F.col("sex") == "f")
+    costs: dict[int, float] = {}
+    if vectorized is not None and kmeans_ks:
+        vectorized = vectorized.cache()
+        for k in kmeans_ks:
+            _, costs[k] = ml.kmeans_restarts(vectorized, k, seed=seed)
+    return EP3Result(
+        male_top=freq.top_k_words(male, top_k),
+        female_top=freq.top_k_words(female, top_k),
+        distinctive_male=freq.distinctive_words(docs, "sex", "m", "f", distinct_k),
+        distinctive_female=freq.distinctive_words(docs, "sex", "f", "m", distinct_k),
+        kmeans_costs=costs,
+    )
