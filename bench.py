@@ -38,6 +38,10 @@ HEADLINE = [
     "events_hourly",
     "events_json_extract",
     "user_event_lag",
+    "exact_dedup",
+    "minhash_near_dups",
+    "embedding_cosine_topk",
+    "quality_scores",
 ]
 
 

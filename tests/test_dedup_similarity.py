@@ -1,0 +1,124 @@
+"""Semantics tests for dedup + similarity operators: planted duplicates
+must be found, distinct docs must not collide, approximate paths must
+recover the exact baseline with high recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),                                            # exact dup of 1
+        (3, base.replace("today", "tonight")),                # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning parquet columnar storage formats"),
+        (6, base.replace("quick", "swift").replace("lazy", "sleepy")),  # weaker near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(dup_docs):
+    out = dedup.exact_dedup(dup_docs)
+    groups = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 2          # docs 1+2 collapse, min-id representative
+    assert out.count() == 5        # 6 docs → 5 distinct contents
+    assert out.agg(F.sum("n_copies")).first()[0] == 6
+
+
+def test_minhash_finds_planted_near_dups(dup_docs):
+    pairs = dedup.jaccard_near_dups(dup_docs, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+    assert (1, 3) in found and found[(1, 3)] > 0.5
+    assert not any({4, 5} & {a, b} for a, b in found)  # distinct docs never pair
+
+
+def test_minhash_candidates_superset_of_high_jaccard(dup_docs):
+    # Every pair with true Jaccard ≥ 0.8 must appear among LSH candidates
+    # (4 bands × 3 rows: P(miss | J=0.8) = (1-0.8³)³ ≈ 11 % per band set —
+    # the planted exact/near dups are well above threshold).
+    sigs = dedup.minhash_signatures(dup_docs)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+
+
+def test_simhash_hamming_zero_for_identical(dup_docs):
+    sig = dedup.simhash64(dup_docs)
+    fp = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert fp[1] == fp[2]
+    # near-dup: small Hamming distance; unrelated: large
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(fp[1], fp[3]) <= 10
+    assert ham(fp[1], fp[4]) > 10
+
+
+def test_simhash_near_dups_pairs(dup_docs):
+    out = dedup.simhash_near_dups(dup_docs, max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_mllib_minhash_agrees_on_planted_dups(dup_docs):
+    out = dedup.mllib_minhash_join(dup_docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_cosine_topk_shape_and_bounds(emb):
+    out = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_topk(df, query_ids=[0], k=2).collect()
+    by_n = {r["neighbor_id"]: r["cos"] for r in out}
+    assert by_n[1] == 1.0
+    assert by_n[2] == -1.0
+
+
+def test_brp_lsh_recall_vs_brute_force(emb):
+    qids = list(range(8))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    approx = similarity.brp_lsh_topk(emb, qids, k=5)
+    # Euclidean-LSH approximates cosine rank imperfectly on unnormalized
+    # vectors; require substantial overlap, not identity.
+    rec = similarity.knn_recall(exact, approx)
+    assert rec >= 0.4, rec
+
+
+def test_hyperplane_buckets_group_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [0.5] * 8), (2, [-0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_near_dup_pairs(df, threshold=0.99, num_planes=4, dim=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs

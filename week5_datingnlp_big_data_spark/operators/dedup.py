@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its corpus is pre-deduped); this is the engine's
+extension surface (SURVEY.md section 2.10) and a first-class component for
+the 100 TB target:
+
+  exact_dedup        — content-hash groupBy; one shuffle on a 64-hex key
+  ngram_shingles     — character/word n-gram sets (the MinHash input)
+  minhash_signatures — k md5-derived min-hashes per doc, banded for LSH
+  lsh_candidate_pairs— docs sharing a band bucket (the scale path: the
+                       cross-join never happens; only bucket-mates meet)
+  jaccard_near_dups  — candidate pairs verified by exact n-gram Jaccard
+  simhash64          — 64-bit SimHash per doc (Hamming-ball near-dup)
+  MinHashLSH (MLlib) — approxSimilarityJoin variant for vector pipelines
+
+Determinism: every hash is md5-derived (no JVM/Python hash seeds), so the
+whole MinHash pipeline is reproducible AND expressible in ANSI SQL — the
+DuckDB oracle runs the identical algorithm. A fixed-length hex prefix
+compares lexicographically exactly like the integer it encodes, so "min of
+hex strings" is a valid min-hash without any base conversion.
+
+Scale notes: signatures are one narrow row per doc (k × 16-byte strings).
+The LSH self-join shuffles on (band_idx, band_key) whose cardinality is
+~n_docs × n_bands with near-uniform md5 distribution — no hot keys. Exact
+Jaccard verification touches only candidate pairs, not the n² cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_PREFIX_LEN = 16  # 64 bits of md5, as fixed-width hex
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per identical content.
+    ``sha2(text)`` groups byte-identical docs; one shuffle on the digest."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the whitespace-split text (the MinHash
+    shingle set). Built-ins only: split → sliding concat via transform
+    over an index sequence."""
+    col = F.col(c) if isinstance(c, str) else c
+    words = F.split(F.lower(col), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k min-hashes per doc: h_i(doc) = min over shingles of
+    md5(shingle ∥ '#i') hex prefix. Output: (doc_id, mh0..mh{k-1}).
+
+    One explode + one groupBy(doc_id) — the k mins are computed as k
+    aggregate columns in a single pass (map-side partial min, tiny
+    shuffle)."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, HASH_PREFIX_LEN)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = k/bands) and self-join on
+    (band_idx, band_key): docs agreeing on ALL hashes of any band become a
+    candidate pair. Returns distinct (id_a < id_b) pairs.
+
+    The n² cross join is replaced by a bucket join whose per-bucket size is
+    the collision count — at 100 TB this is THE reason MinHash/LSH scales."""
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(docs_a: Column, docs_b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over two shingle-array columns."""
+    inter = F.size(F.array_intersect(docs_a, docs_b))
+    union = F.size(F.array_union(docs_a, docs_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+    Returns (id_a, id_b, jaccard). Only candidate pairs are verified —
+    the verification join broadcasts shingle arrays per pair, never n²."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, num_bands)
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from whitespace tokens: each token votes its
+    md5-derived 64-bit pattern; the sign of each bit-position sum forms the
+    fingerprint. Pure built-ins: explode tokens → per-bit ±1 votes via
+    bitwise ops on the hex-decoded long → groupBy doc.
+
+    Output: (doc_id, simhash BIGINT). Near-dups = small Hamming distance
+    (see ``hamming64``)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(text_col), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # 64-bit token hash as two 32-bit halves of the md5 hex prefix (each
+    # fits a long exactly; no decimal/overflow games).
+    toks = toks.withColumn(
+        "hi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "lo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    )
+
+    def bit(i: int):
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftrightunsigned(src, i % 32).bitwiseAND(F.lit(1).cast("long"))
+
+    votes = toks.groupBy(id_col).agg(
+        *[F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)]
+    )
+    fp = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints: popcount(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block the 64-bit fingerprint into
+    ``num_blocks`` 16-bit pieces; by pigeonhole, any pair within
+    ``max_hamming < num_blocks`` agrees on ≥1 block → join per block, then
+    verify Hamming ≤ max_hamming. Same ban-the-cross-join trick as LSH."""
+    sig = simhash64(docs, text_col, id_col)
+    width = 64 // num_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("block_key"),
+            )
+            for i in range(num_blocks)
+        ]
+    )
+    blocked = sig.select(id_col, "simhash", F.explode(blocks).alias("blk")).select(
+        id_col, "simhash", "blk.block_idx", "blk.block_key"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def mllib_minhash_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hash_tables: int = 5,
+):
+    """MLlib MinHashLSH variant (HashingTF token sets →
+    approxSimilarityJoin). Nondeterministic across Spark versions (seeded
+    random hash families) → rows-only checked; the md5 pipeline above is
+    the oracle-verified path."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.lower(text_col), "\\s+")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    tf = HashingTF(inputCol="tokens", outputCol="features", binary=True, numFeatures=1 << 18)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )

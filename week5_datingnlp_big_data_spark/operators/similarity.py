@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface for LLM-data pipelines (SURVEY.md section 2.10): the
+``embeddings`` table carries 64-dim vectors. Three tiers:
+
+  cosine_topk        — exact brute-force top-k for a bounded query set
+                       (JVM-side ``zip_with``/``aggregate``; the baseline)
+  cosine_near_dup_pairs — exact pairs above a cosine threshold within
+                       LSH buckets (random-hyperplane signs, md5-derived →
+                       deterministic + oracle-checkable)
+  brp_lsh_topk       — MLlib BucketedRandomProjectionLSH approx-NN (the
+                       100 TB path; rows-only checked, recall-tested
+                       against the brute force)
+
+Scale: brute force is O(Q×N) — fine for Q small (reranking, eval); the
+LSH variants bound candidate generation by bucket collisions. All vector
+math stays in whole-stage codegen (no Python) via higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id: broadcast the Q query
+    vectors against the full table, rank by cosine. Output:
+    (query_id, neighbor_id, cos) — self-matches excluded.
+
+    The double cast to double before the arithmetic keeps Spark and the
+    DuckDB oracle in the same float semantics (both compute in float64)."""
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = vecs.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, num_planes: int = 16, dim: int = 64, seed_tag: str = "hp"
+) -> Column:
+    """Deterministic random-hyperplane LSH signature: plane p's weight for
+    dimension d is ±1 from one md5 bit of '{seed_tag}#{p}#{d}'. sign(Σ ±vᵢ)
+    per plane → a bit-string key. Cosine-similar vectors agree on most
+    bits. Pure built-ins and md5 → reproducible in the SQL oracle."""
+    bits = []
+    for p in range(num_planes):
+        terms = F.zip_with(
+            vec,
+            F.array(*[
+                F.when(
+                    F.conv(F.md5(F.lit(f"{seed_tag}#{p}#{d}")).substr(1, 4), 16, 10)
+                    .cast("long")
+                    .bitwiseAND(F.lit(1).cast("long"))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]),
+            lambda v, w: v * w,
+        )
+        s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket by hyperplane signature, verify
+    exact cosine ≥ threshold within buckets. High-threshold pairs agree on
+    all signature bits with high probability; the cross join never runs."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", hyperplane_signature(F.col("v"), num_planes, dim))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def brp_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate top-k (Euclidean
+    proxy for cosine on ~normalized embeddings). The production-scale
+    path: candidates come from hash buckets, not a cross join. Seeded →
+    stable per Spark version, but not SQL-expressible → rows-only check +
+    recall test against cosine_topk."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
+    )
+    model = brp.fit(feat)
+    queries = feat.filter(F.col(id_col).isin(query_ids)).collect()
+    out = None
+    for row in queries:
+        nn = model.approxNearestNeighbors(feat, row["features"], k + 1)
+        nn = (
+            nn.filter(F.col(id_col) != row[id_col])
+            .limit(k)
+            .select(
+                F.lit(row[id_col]).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.col("distCol").alias("dist"),
+            )
+        )
+        out = nn if out is None else out.unionByName(nn)
+    return out
+
+
+def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Fraction of exact top-k pairs recovered by the approx variant."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hit = e.join(a, ["query_id", "neighbor_id"], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0

@@ -1,0 +1,117 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+Extension surface (SURVEY.md section 2.10 north star). Everything here is
+pure ``pyspark.sql.functions`` — per-row, shuffle-free, codegen'd — and
+SQL-expressible for the DuckDB oracle. At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word profiles for the n-gram/stopword language heuristic. Small
+# on purpose: the intent is a cheap scan-speed filter, not a classifier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "you", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+}
+
+_BPE_ISH_PAT = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def lang_id_score(c: Column | str, lang: str) -> Column:
+    """Marker hits for one language over the whitespace-lowered tokens."""
+    words = F.split(F.lower(_col(c)), "\\s+")
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+
+def lang_id(c: Column | str, default: str = "und") -> Column:
+    """Argmax language over the marker profiles; 'und' when no marker hits.
+    Deterministic tiebreak: profile order (en > fr > es > de)."""
+    scores = [(lang, lang_id_score(c, lang)) for lang in LANG_MARKERS]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit(default)
+    # Build reversed so earlier profiles win ties.
+    for lang, s in reversed(scores):
+        result = F.when(s == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score > 0, result).otherwise(F.lit(default))
+
+
+def token_count_ws(c: Column | str) -> Column:
+    """Whitespace token count."""
+    s = F.trim(_col(c))
+    return F.when(F.length(s) == 0, F.lit(0)).otherwise(F.size(F.split(s, "\\s+")))
+
+
+def token_count_bpe_ish(c: Column | str) -> Column:
+    """BPE-flavored proxy count: alpha runs count 1, each digit counts 1,
+    each other non-space char counts 1 (≈ how byte-pair vocabularies split
+    text-vs-numbers-vs-punctuation)."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(_BPE_ISH_PAT), 0))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: char length, word count, mean word length,
+    alpha/space/punct ratios, stopword ratio, all-caps-word ratio."""
+    s = _col(text_col)
+    words = F.split(F.trim(s), "\\s+")
+    n_chars = F.length(s)
+    n_words = token_count_ws(s)
+    stop_hits = F.size(
+        F.filter(F.split(F.lower(s), "\\s+"), lambda w: w.isin(LANG_MARKERS["en"]))
+    )
+    n_alpha = F.length(F.regexp_replace(s, "[^a-zA-Z]", ""))
+    n_space = F.length(F.regexp_replace(s, "[^ \\t\\n]", ""))
+    n_punct = F.length(F.regexp_replace(s, "[a-zA-Z0-9 \\t\\n]", ""))
+    return docs.withColumns({
+        "n_chars_m": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(
+            F.when(n_words > 0, (n_chars - n_space) / n_words).otherwise(F.lit(0.0)), 6
+        ),
+        "alpha_ratio": F.round(F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0), 6),
+        "punct_ratio": F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6),
+        "stopword_ratio": F.round(
+            F.when(n_words > 0, stop_hits / n_words).otherwise(0.0), 6
+        ),
+    })
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: in-range length + wordy + some
+    stopwords + low punctuation. The weights are heuristic; the VALUE is
+    that it is deterministic, cheap, and filterable at scan speed."""
+    feat = quality_features(docs, text_col)
+    len_ok = F.when(F.col("n_words").between(10, 100_000), 1.0).otherwise(0.3)
+    alpha_ok = F.least(F.col("alpha_ratio") / 0.6, F.lit(1.0))
+    stop_ok = F.least(F.col("stopword_ratio") / 0.05, F.lit(1.0))
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    return feat.withColumn(
+        "quality",
+        F.round((len_ok * 0.3 + alpha_ok * 0.3 + stop_ok * 0.2 + punct_ok * 0.2), 6),
+    )
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Normalization fingerprint: md5 of the lowercased,
+    punctuation-collapsed, whitespace-normalized text. Robust exact-dedup
+    key (catches case/punct/spacing variants)."""
+    norm = F.trim(F.regexp_replace(F.lower(_col(c)), "[^a-z0-9]+", " "))
+    return F.md5(norm)
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("fingerprint"),
+        F.sha2(_col(text_col), 256).alias("content_hash"),
+    )

@@ -28,7 +28,15 @@ from week5_datingnlp_big_data_spark.functions.text import (
     remove_stopwords,
     tokenize,
 )
-from week5_datingnlp_big_data_spark.operators import corpus, dfm, freq, tfidf
+from week5_datingnlp_big_data_spark.operators import (
+    corpus,
+    dedup,
+    dfm,
+    freq,
+    similarity,
+    textstats,
+    tfidf,
+)
 from week5_datingnlp_big_data_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -449,6 +457,274 @@ def user_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.coalesce(gap, F.lit(-1).cast("long")).alias("gap_usec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension: dedup / similarity / text analysis
+# (SURVEY.md section 2.10; operators/dedup.py, similarity.py, textstats.py)
+# ---------------------------------------------------------------------------
+
+_SQL_WORDS = "regexp_split_to_array(lower(text), '\\s+')"
+# Word trigram shingles, deduped; whole text when fewer than 3 words —
+# mirrors operators.dedup.word_shingles exactly.
+_SQL_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_SQL_WORDS}) >= 3 THEN "
+    f"list_transform(range(1, greatest(len({_SQL_WORDS}) - 2, 1) + 1), "
+    f"i -> array_to_string({_SQL_WORDS}[i:i+2], ' ')) "
+    f"ELSE [array_to_string({_SQL_WORDS}, ' ')] END)"
+)
+
+
+def _sql_minhash_cols(num_hashes: int = 12) -> str:
+    return ", ".join(
+        f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS mh{i}" for i in range(num_hashes)
+    )
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content hash → representative id + copy count."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint + content hash per document."""
+    return textstats.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, s.shingle AS shingle
+      FROM documents, unnest({_SQL_SHINGLES}) AS s(shingle)
+    )
+    SELECT doc_id, {_sql_minhash_cols(12)}
+    FROM shingled GROUP BY doc_id
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12 md5-derived MinHash values per document (deterministic)."""
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_near_dups",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, s.shingle AS shingle
+      FROM documents, unnest({_SQL_SHINGLES}) AS s(shingle)
+    ), sigs AS (
+      SELECT doc_id, {_sql_minhash_cols(12)}
+      FROM shingled GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN mh0 || '|' || mh1 || '|' || mh2
+               WHEN 1 THEN mh3 || '|' || mh4 || '|' || mh5
+               WHEN 2 THEN mh6 || '|' || mh7 || '|' || mh8
+               ELSE mh9 || '|' || mh10 || '|' || mh11 END AS band_key
+      FROM sigs, unnest([0, 1, 2, 3]) AS b(band_idx)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
+               JOIN sh sb ON cands.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    """,
+)
+def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact trigram Jaccard ≥ 0.5
+    — the full fuzzy-dedup pipeline, end to end."""
+    return dedup.jaccard_near_dups(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, vecs.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, vecs.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS cos
+      FROM q JOIN vecs ON vecs.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 8) — the exact
+    baseline the LSH approximate path is recall-tested against."""
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
+    )
+
+
+@query(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws("text").alias("n_ws_tokens"),
+        textstats.token_count_bpe_ish("text").alias("n_bpe_ish"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"w -> w IN ({words})))"
+    )
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang AS actual,
+             {_sql_lang_score('en')} AS s_en, {_sql_lang_score('fr')} AS s_fr,
+             {_sql_lang_score('es')} AS s_es, {_sql_lang_score('de')} AS s_de
+      FROM documents
+    ), decided AS (
+      SELECT actual,
+             CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                  ELSE 'de' END AS predicted
+      FROM scored
+    )
+    SELECT actual, predicted, count(*) AS n
+    FROM decided GROUP BY actual, predicted
+    """,
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the table's lang column (confusion counts).
+    The synthetic corpus is English-ish word salad for every lang value, so
+    the interesting check is deterministic agreement, not accuracy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            textstats.lang_id("text").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "quality_scores",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS n_space,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM documents
+    )
+    , ratios AS (
+      SELECT doc_id, n_words,
+             round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS alpha_ratio,
+             round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS punct_ratio,
+             round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6)
+               AS stopword_ratio
+      FROM feat
+    )
+    SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio,
+           round(
+             (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+             + least(alpha_ratio / 0.6, 1.0) * 0.3
+             + least(stopword_ratio / 0.05, 1.0) * 0.2
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+             AS quality
+    FROM ratios
+    """,
+)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score + its component ratios."""
+    out = textstats.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality")
+
+
+# Rows-only (non-SQL-expressible) queries: MLlib LSH variants + SimHash.
+
+@query("simhash_near_dups")
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits, pigeonhole-blocked).
+    64 bit-vote aggregates make the SQL twin impractical — rows-only check;
+    exactness is pinned by unit tests on known near-identical strings."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@query("mllib_minhash_join")
+def mllib_minhash_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approxSimilarityJoin (seeded random hash family —
+    not SQL-reproducible; recall-tested against the md5 MinHash pipeline)."""
+    return dedup.mllib_minhash_join(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("embedding_lsh_topk")
+def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approximate nearest neighbors for the
+    same query set as embedding_cosine_topk (recall-tested in unit tests)."""
+    return similarity.brp_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
     )
 
 
