@@ -41,13 +41,15 @@ def duck():
 
 
 def _norm(v):
+    if v is None:
+        return "\x00<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
-    return v
+    return str(v)
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str):

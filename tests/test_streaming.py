@@ -1,0 +1,124 @@
+"""Structured Streaming tests: incremental results must converge to the
+batch answers, watermarks must drop late data, session windows must merge.
+
+File-source streams feed from temp dirs of parquet written by Spark
+(micro-batch per file via maxFilesPerTrigger=1)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.sources.catalog import load_table
+from week5_datingnlp_big_data_spark.streaming import counts as sc
+
+
+def _wait(query, timeout=60):
+    query.processAllAvailable()
+    return query
+
+
+def _drop_file(df, tmp_path, in_dir, name):
+    """The file stream source lists plain files — stage the dataframe as
+    one parquet part and copy it into the watched dir under ``name``."""
+    stage = tmp_path / "_stage" / name
+    df.coalesce(1).write.parquet(str(stage))
+    (tmp_path / in_dir).mkdir(parents=True, exist_ok=True)
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / in_dir / name))
+
+
+def test_streaming_word_counts_converge_to_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    # Two micro-batch files
+    _drop_file(docs.filter(F.col("doc_id") < 250), tmp_path, "in", "b1.parquet")
+    _drop_file(docs.filter(F.col("doc_id") >= 250), tmp_path, "in", "b2.parquet")
+
+    stream = sc.stream_documents(spark, str(tmp_path / "in"))
+    assert stream.isStreaming
+    q = sc.run_stream_to_memory(
+        sc.streaming_word_counts(stream), "wc_stream", "complete"
+    )
+    try:
+        _wait(q)
+        got = {
+            r["word"]: r["cnt"] for r in spark.table("wc_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["word"]: r["cnt"]
+        for r in sc.streaming_word_counts(docs).collect()  # same expr, batch df
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_window_counts_and_late_data(spark, tmp_path):
+    rows1 = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:50:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 11:10:00", 2, "view", 2.0, "{}"),
+        (4, "2024-01-01 15:00:00", 2, "view", 2.0, "{}"),  # advances watermark far
+    ]
+    # Batch 2 arrives later: one row just-late (within 2h watermark of max
+    # 15:00 → cutoff 13:00) and one very-late row before the cutoff.
+    rows2 = [
+        (5, "2024-01-01 14:30:00", 1, "click", 1.0, "{}"),  # accepted
+        (6, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),  # dropped (< 13:00)
+    ]
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        _drop_file(df, tmp_path, "ev", name)
+
+    write(rows1, "b1.parquet")
+    stream = sc.stream_events(spark, str(tmp_path / "ev"))
+    agg = sc.streaming_event_window_counts(stream, "1 hour", watermark="2 hours")
+    q = sc.run_stream_to_memory(agg, "win_stream", "update")
+    try:
+        _wait(q)
+        write(rows2, "b2.parquet")
+        _wait(q)
+        out = spark.table("win_stream").collect()
+    finally:
+        q.stop()
+
+    by_key = {}
+    for r in out:  # update mode re-emits; keep the last emission per key
+        by_key[(str(r["window_start"]), r["event_type"])] = r["n_events"]
+    # 10:00 window: rows 1+2 counted; late row 6 (10:20 in batch 2) dropped.
+    assert by_key[("2024-01-01 10:00:00", "click")] == 2
+    # 14:00 window: just-late row 5 accepted.
+    assert by_key[("2024-01-01 14:00:00", "click")] == 1
+
+
+def test_streaming_sessions_merge(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),   # same session
+        (3, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),   # new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    _drop_file(df, tmp_path, "sess", "b1.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "sess"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_sessions(stream, gap="30 minutes"), "sess_stream", "complete"
+    )
+    try:
+        _wait(q)
+        out = spark.table("sess_stream").collect()
+    finally:
+        q.stop()
+    sessions = sorted((str(r["session_start"]), r["n_events"]) for r in out)
+    assert sessions == [
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 12:00:00", 1),
+    ]

@@ -1,0 +1,201 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+Extension surface (SURVEY.md section 2.10 north star). The container has
+no image/audio codecs, so the DECODE step is stubbed two ways:
+
+  * ``use_real_codec=True``  → raises NotImplementedError at the first
+    batch (clearly marked; plug PIL/torchaudio/pyav here on a real
+    cluster);
+  * default                  → a deterministic fake decode that derives
+    pixel/audio statistics from the payload bytes (md5-seeded), so the
+    Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+    shape, null handling — is real and TESTED even without codecs.
+
+Scale notes: payloads never pass through Python row-at-a-time; mapInPandas
+streams Arrow record batches, so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × mean payload size. At
+100 TB, process media columns in their own stage (project payload +
+media_id only, join features back by id) so Tungsten doesn't carry blobs
+through shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), True),       # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),    # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]), True),
+])
+
+IMAGE_FEATURE_DIM = 16
+
+_DECODE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "n_bytes long, mean_byte double, payload_sha string"
+)
+
+_FEATURE_SCHEMA = f"media_id long, feature array<double>"
+
+_FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_sha string"
+
+
+def _fake_pixel_stats(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic pseudo-decode: dimensions + mean 'pixel' from the
+    payload digest. Stands in for a real codec with stable outputs."""
+    d = hashlib.md5(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    mean_byte = float(np.frombuffer(payload, dtype=np.uint8).mean()) if payload else 0.0
+    return width, height, mean_byte
+
+
+def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode step: payload → per-item decoded stats. Arrow-batched
+    mapInPandas; one output row per input row; blobs dropped on output so
+    downstream stages shuffle only scalars."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codec:
+                raise NotImplementedError(
+                    "real image/audio decode needs PIL/libav — not available "
+                    "in this container; plug in here"
+                )
+            stats = [
+                _fake_pixel_stats(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": [s[0] for s in stats],
+                "height": [s[1] for s in stats],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "mean_byte": [s[2] for s in stats],
+                "payload_sha": [
+                    hashlib.sha256(p if p is not None else b"").hexdigest()
+                    for p in pdf["payload"]
+                ],
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(op, _DECODE_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = IMAGE_FEATURE_DIM) -> DataFrame:
+    """Feature extraction: payload → fixed-``dim`` float vector
+    (md5-seeded deterministic fake of an embedding model). Output is
+    joinable back to the media table by media_id."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                seed = int.from_bytes(hashlib.md5(p).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.standard_normal(dim).round(6).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(op, _FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (explodes
+    duration_ms into frame indices; frame content hash is a deterministic
+    fake of the decoded frame). Non-video rows produce no output."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha": []}
+            for mid, kind, p, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or dur is None:
+                    continue
+                p = p if p is not None else b""
+                for idx, ts in enumerate(range(0, int(dur), every_ms)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_sha"].append(
+                        hashlib.sha256(p + ts.to_bytes(8, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    flat = media.select(
+        "media_id", "kind", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(op, _FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int,
+                  use_real_codec: bool = False) -> DataFrame:
+    """Resize: payload → payload' with updated meta. The real transform is
+    codec-gated; the fake path re-hashes the payload with the target dims
+    (deterministic distinct output) and rewrites meta — exercising the
+    binary-in/binary-out UDF shape end to end."""
+
+    out_schema = (
+        "media_id long, kind string, payload binary, "
+        "width int, height int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codec:
+                raise NotImplementedError(
+                    "real resize needs an image codec — plug in here"
+                )
+            payloads = [
+                hashlib.sha256(
+                    (p if p is not None else b"")
+                    + target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "width": target_w,
+                "height": target_h,
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(op, out_schema)
+
+
+def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFrame:
+    """Deterministic fake media table for tests/demos: payload bytes are
+    seeded; a third each of image/audio/video."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(np.uint8))
+        meta = {
+            "mime": {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind],
+            "width": 640 if kind != "audio" else None,
+            "height": 480 if kind != "audio" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_ms": int(rng.integers(1000, 8000)) if kind != "image" else None,
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

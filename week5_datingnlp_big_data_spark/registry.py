@@ -33,6 +33,7 @@ from week5_datingnlp_big_data_spark.operators import (
     dedup,
     dfm,
     freq,
+    relational,
     similarity,
     textstats,
     tfidf,
@@ -162,7 +163,7 @@ def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
       GROUP BY doc_id, t.term
     )
-    SELECT term, count(*) AS df, sum(count) AS tf
+    SELECT term, count(*) AS df, CAST(sum(count) AS BIGINT) AS tf
     FROM counts GROUP BY term
     HAVING count(*) >= 5 AND sum(count) >= 10
     """,
@@ -457,6 +458,200 @@ def user_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.coalesce(gap, F.lit(-1).cast("long")).alias("gap_usec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / as-of / grouping-set / set-op extension
+# (operators/relational.py; SURVEY.md section 2.10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM s
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6) AS span_sec
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session stats —
+    the lag/cumulative-sum idiom, one shuffle on user_id."""
+    out = relational.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30.0)
+    return out.withColumn("span_sec", F.round("span_sec", 6))
+
+
+@query(
+    "events_last_signup",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_anchor_ts
+    FROM events
+    """,
+)
+def events_last_signup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-stream as-of: each event annotated with the user's most
+    recent signup timestamp at or before it."""
+    out = relational.asof_join_last_event(
+        _t(spark, sf_dir, "events"),
+        mark=F.col("event_type") == "signup",
+        mark_name="anchor",
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "last_anchor_ts")
+
+
+@query(
+    "events_asof_order",
+    """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_o_orderdate
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def events_asof_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join: each event matched to the user's latest order
+    date at or before the event — union+carry-forward formulation (one
+    shuffle, no range-join explosion), oracle-checked against DuckDB's
+    native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = relational.asof_join_two_tables(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_vals=("event_id",), right_vals=("o_orderdate",),
+    )
+    return out.select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
+@query(
+    "acctbal_rollup",
+    """
+    SELECT coalesce(n_name, 'ALL') AS n_name,
+           coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    """,
+)
+def acctbal_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (nation, segment), per nation, grand
+    total in one pass (partial aggregation handles all levels map-side)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    out = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+    # Label subtotal rows: NULL grouping keys sort/hash awkwardly in the
+    # oracle compare, and 'ALL' reads better anyway.
+    return out.select(
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+        "n_customers",
+        "total_acctbal",
+    )
+
+
+@query(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list →
+    no extra pass to discover categories; absent combos are 0)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0)
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "repeat_buyers_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def repeat_buyers_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (INTERSECT): customers ordering in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "order_ship_latency",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           count(*) AS n_lineitems,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_latency_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def order_ship_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: mean order→ship latency in days per order year."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 6)
+            .alias("avg_latency_days"),
+        )
     )
 
 

@@ -1,0 +1,128 @@
+"""Structured Streaming variants of the engine's count pipelines
+(SURVEY.md section 7 M9).
+
+The batch DataFrame code IS the streaming code — the same tokenize /
+explode / groupBy expressions run under ``readStream`` with a watermark
+bounding state. Three surfaces:
+
+  stream_documents     — file-source stream of documents-shaped parquet
+  streaming_word_counts— the EP-1 word count as an incremental query
+  streaming_event_window_counts — tumbling/sliding windowed event counts
+                         with late-data handling via watermark
+  streaming_sessions   — session windows (F.session_window) per user
+
+State sizing at scale: word-count state is |vocab| rows (bounded by Zipf +
+the stop-word filter); windowed counts are |window × type| rows and the
+watermark lets Spark drop windows older than the allowed lateness —
+without it state grows unboundedly on a 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.functions.text import remove_stopwords, tokenize
+from week5_datingnlp_big_data_spark.operators.corpus import clean_text
+from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream: new parquet files appearing in ``input_dir``
+    become micro-batches (documents schema). ``maxFilesPerTrigger=1``
+    keeps tests deterministic batch-by-batch."""
+    return (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of events-shaped parquet (µs timestamps —
+    write fixtures with Spark, not raw pyarrow ns)."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def streaming_word_counts(docs_stream: DataFrame) -> DataFrame:
+    """Incremental word count: identical expression chain to the batch
+    flagship query (clean → tokenize → de-stopword → explode → count).
+    Complete-mode aggregation; state = one row per distinct word."""
+    toks = remove_stopwords(tokenize(clean_text("text")))
+    return (
+        docs_stream.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def streaming_event_window_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts per event_type with a
+    watermark: rows later than ``watermark`` behind the max seen event
+    time are dropped, bounding state. Append-mode capable: a window only
+    emits once the watermark passes its end."""
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: native ``F.session_window`` (gap-based, merges as
+    events arrive) — the streaming twin of relational.sessionize."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> "object":
+    """Test/debug sink: run the streaming query into an in-memory table
+    (query results under ``spark.table(query_name)``). Caller stops it."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
