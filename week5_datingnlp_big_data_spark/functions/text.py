@@ -84,3 +84,31 @@ def filter_min_length(tokens: Column | str, min_len: int = 2) -> Column:
     """N4 — drop tokens shorter than ``min_len`` (the reference drops
     single-letter tokens post-stem, R:86–87)."""
     return F.filter(_col(tokens), lambda t: F.length(t) >= min_len)
+
+
+def make_names(names: list[str]) -> list[str]:
+    """X6 — R ``make.names`` analog (R:133): make column names valid,
+    unique identifiers. Invalid chars → '.', leading digit → 'X' prefix,
+    duplicates suffixed '.1', '.2', …. Only needed for wide/pivoted
+    layouts where terms become column names."""
+    import re
+
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for n in names:
+        s = re.sub(r"[^0-9a-zA-Z._]", ".", n)
+        if not s or s[0].isdigit() or (s[0] == "." and len(s) > 1 and s[1].isdigit()):
+            s = "X" + s
+        if s in seen:
+            seen[s] += 1
+            s = f"{s}.{seen[s]}"
+        else:
+            seen[s] = 0
+        out.append(s)
+    return out
+
+
+def sanitize_columns(df):
+    """Apply ``make_names`` to a DataFrame's columns (driver-side rename —
+    metadata only, no job)."""
+    return df.toDF(*make_names(df.columns))

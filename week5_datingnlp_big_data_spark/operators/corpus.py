@@ -58,12 +58,26 @@ def tokenize_corpus(
 ) -> DataFrame:
     """Full N1→N4 chain: clean → tokenize → de-stopword → stem → length
     filter. Returns the input plus a ``tokens array<string>`` column."""
+    from week5_datingnlp_big_data_spark.session import spread
+
     toks = tokenize(clean_text(text_col))
     toks = remove_stopwords(toks)
     if stem:
         toks = stem_tokens(toks)
     toks = filter_min_length(toks, min_token_len)
-    return docs.withColumn("tokens", toks)
+    return spread(docs).withColumn("tokens", toks)
+
+
+def drop_columns(df: DataFrame, *names: str) -> DataFrame:
+    """P4 — drop by name (reference ``subset(select=-c(doc_id))``, R:145)."""
+    return df.drop(*names)
+
+
+def drop_columns_by_position(df: DataFrame, *positions: int) -> DataFrame:
+    """P5 — drop by position (reference ``df[,-c(1,2)]``, R:295). Spark
+    columns are name-addressed; positions resolve against ``df.columns``."""
+    names = [df.columns[p] for p in positions]
+    return df.drop(*names)
 
 
 def profiles_to_docs(profiles: DataFrame) -> DataFrame:

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from week5_datingnlp_big_data_spark.session import spread
+
 HASH_PREFIX_LEN = 16  # 64 bits of md5, as fixed-width hex
 
 
@@ -72,7 +74,7 @@ def minhash_signatures(
     One explode + one groupBy(doc_id) — the k mins are computed as k
     aggregate columns in a single pass (map-side partial min, tiny
     shuffle)."""
-    shingled = docs.select(
+    shingled = spread(docs).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
     aggs = [
@@ -148,7 +150,7 @@ def jaccard_near_dups(
     the verification join broadcasts shingle arrays per pair, never n²."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, num_bands)
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
     return (
@@ -168,7 +170,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Output: (doc_id, simhash BIGINT). Near-dups = small Hamming distance
     (see ``hamming64``)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col), F.explode(F.split(F.lower(text_col), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     # 64-bit token hash as two 32-bit halves of the md5 hex prefix (each

@@ -123,6 +123,41 @@ def accuracy(pred: DataFrame, label_col: str = "label") -> float:
     return agg["hit"] / agg["n"] if agg["n"] else 0.0
 
 
+def cross_validate_tree(
+    train: DataFrame,
+    label_col: str = "label",
+    features_col: str = "features",
+    num_folds: int = 3,
+    max_depths: tuple[int, ...] = (3, 5),
+    seed: int = 32984,
+):
+    """M2 — k-fold CV over tree depth (reference declares repeatedcv
+    10×3 via caret but never wires it into training — R:158–166 builds
+    ``cv.cntrl`` and rpart ignores it; SURVEY.md section 2.8. We provide
+    the *working* version: MLlib CrossValidator; repeats = re-call with a
+    different seed). Returns (best PipelineModel, avg metrics per grid
+    point)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    indexer = StringIndexer(inputCol=label_col, outputCol="indexed_label")
+    dt = DecisionTreeClassifier(
+        labelCol="indexed_label", featuresCol=features_col, seed=seed
+    )
+    pipe = Pipeline(stages=[indexer, dt])
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, list(max_depths)).build()
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="indexed_label", predictionCol="prediction", metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=pipe, estimatorParamMaps=grid, evaluator=evaluator,
+        numFolds=num_folds, seed=seed, parallelism=4,
+    )
+    model = cv.fit(train)
+    return model.bestModel, list(model.avgMetrics)
+
+
 def kmeans_restarts(
     df: DataFrame,
     k: int,

@@ -42,9 +42,18 @@ def inverse_doc_frequency(counts: DataFrame, n_docs: int | None = None) -> DataF
     )
 
 
-def tf_idf(counts: DataFrame, n_docs: int | None = None) -> DataFrame:
+def tf_idf(counts: DataFrame, n_docs: int | None = None, persist: bool = True) -> DataFrame:
     """A9 — ``(doc_id, term, tf, idf, tfidf)``. The per-term IDF side is
-    |vocab|-sized → broadcast join onto the doc×term table."""
+    |vocab|-sized → broadcast join onto the doc×term table.
+
+    The counts DAG feeds three consumers (TF window, IDF aggregate, and
+    the N-docs count when ``n_docs`` is None) — without ``persist`` the
+    whole upstream tokenize+explode+groupBy pipeline runs three times. At
+    cluster scale prefer persisting (or checkpointing) the long-form
+    counts before fan-out; pass ``persist=False`` only for one-shot lazy
+    composition."""
+    if persist:
+        counts = counts.persist()
     tf = term_frequency(counts)
     idf = inverse_doc_frequency(counts, n_docs)
     return (

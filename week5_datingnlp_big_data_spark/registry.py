@@ -38,6 +38,7 @@ from week5_datingnlp_big_data_spark.operators import (
     textstats,
     tfidf,
 )
+from week5_datingnlp_big_data_spark.session import spread
 from week5_datingnlp_big_data_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -92,7 +93,7 @@ def _sql_tokens(col: str, *, clean: bool = True, stop: bool = False) -> str:
 
 
 def _docs_tokenized(spark: SparkSession, sf_dir: str, *, stop: bool = True) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = tokenize(corpus.clean_text("text"))
     if stop:
         toks = remove_stopwords(toks)
@@ -458,6 +459,170 @@ def user_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.coalesce(gap, F.lit(-1).cast("long")).alias("gap_usec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coverage queries for the remaining SURVEY section 2 operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dfm_sparsity_stats",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM documents, unnest({{shingles}}) AS t(term)
+      GROUP BY doc_id, t.term
+    )
+    SELECT count(*) AS nnz,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT term) AS n_terms,
+           round(1.0 - count(*) * 1.0
+                 / (count(DISTINCT doc_id) * count(DISTINCT term)), 6) AS sparsity
+    FROM counts
+    """.replace("{shingles}", _sql_tokens("text", stop=True)),
+)
+def dfm_sparsity_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — DFM shape + sparsity in one aggregate pass (reference golden:
+    0.9990 raw / 0.9886 trimmed on the OkCupid corpus, out.txt:1)."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    return counts.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.round(
+            1.0 - F.count(F.lit(1)) / (F.countDistinct("doc_id") * F.countDistinct("term")),
+            6,
+        ).alias("sparsity"),
+    )
+
+
+@query(
+    "lang_proportions",
+    """
+    SELECT lang, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS prop
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_proportions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — class proportions (reference prop.table(table(Label)) →
+    f .40 / m .60; here over the documents lang column)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("prop", F.round(F.col("n") / F.sum("n").over(w), 6))
+    )
+
+
+@query(
+    "vocab_lexical_top100",
+    f"""
+    SELECT term FROM (
+      SELECT DISTINCT t.term AS term
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+    ) ORDER BY term LIMIT 100
+    """,
+)
+def vocab_lexical_top100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — lexical sort of the vocabulary (reference stemming inspection
+    ``sort(colnames(matrix))[1:100]``, R:121)."""
+    toks = _docs_tokenized(spark, sf_dir)
+    return (
+        toks.select(F.explode("tokens").alias("term"))
+        .distinct()
+        .orderBy("term")
+        .limit(100)
+    )
+
+
+@query(
+    "doc_tokens_lookup",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_sql_tokens('text', stop=True)} AS toks
+      FROM documents WHERE doc_id = 357
+    )
+    SELECT doc_id, toks[i] AS term, CAST(i - 1 AS INT) AS pos
+    FROM toked, unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def doc_tokens_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — per-doc token inspection (reference ``all.tokens[[357]]``,
+    R:70): the ordered token stream of one document. The doc_id filter
+    pushes down to the parquet scan."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") == 357)
+    toks = tokenize(corpus.clean_text("text"))
+    toks = remove_stopwords(toks)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).select("doc_id", "term", "pos")
+
+
+@query(
+    "events_props_map",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType ops: parse props into a map, aggregate a typed
+    value out of it (the MapType/JSON surface beyond get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    k = F.element_at(m, "k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+@query(
+    "user_value_zscore",
+    """
+    SELECT event_id, user_id, value,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+)
+def user_value_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map UDF (per-user z-score) value-checked
+    against the pure-SQL window formulation — the UDAF-shaped surface."""
+    from week5_datingnlp_big_data_spark.functions.udfs import group_zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = group_zscore(ev, "user_id", "value")
+    return out.select(
+        "event_id", "user_id", "value", F.round("zscore", 6).alias("zscore")
+    )
+
+
+@query(
+    "stemmed_wordcount_top50",
+)
+def stemmed_wordcount_top50_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference chain N1→N4 (clean, tokenize, de-stopword, STEM,
+    length-filter) → word count → top-50. Rows-only at the driver (no
+    DuckDB stemmer available offline); the stemmer itself is pinned by
+    unit goldens against the published Snowball vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = corpus.tokenize_corpus(docs.select("doc_id", "text"))
+    return (
+        toked.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
     )
 
 

@@ -47,3 +47,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, min_partitions: int | None = None):
+    """Ensure enough partitions ahead of CPU-heavy per-row work (tokenize,
+    shingle+hash): small/single-file parquet scans otherwise serialize an
+    embarrassingly-parallel stage on one core.
+
+    No-op when the scan already splits well (the normal case at cluster
+    scale, where repartitioning raw text would be a pointless full
+    shuffle); the round-robin shuffle only fires when partitions < target."""
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

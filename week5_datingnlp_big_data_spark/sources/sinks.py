@@ -1,0 +1,57 @@
+"""Sinks: parquet/CSV writers + model persistence.
+
+Reference S4 (Week5_datingNLP.R:249): ``save(file='Week5_datingNLP.rdata',
+tree, all.tokens.tfidf)`` — a binary blob of model + matrix (stripped from
+the repo for size, per .MISSING_LARGE_BLOBS). The Spark-native equivalents
+are columnar, splittable, and schema'd: parquet for data, the MLlib
+writer for models.
+
+Scale: ``partition_by`` turns a write into a partition-pruned layout
+(readers of one key touch one directory); ``bucket_by`` pre-shuffles so
+later joins/aggs on the bucket key skip their exchange. Use
+``repartition(cols)`` before a partitioned write so each output partition
+is written by one task (avoids the many-small-files explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    coalesce_small: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` → hive-style directory layout;
+    ``coalesce_small`` caps output files for small results."""
+    out = df.coalesce(coalesce_small) if coalesce_small else df
+    if partition_by:
+        out = out.repartition(*[out[c] for c in partition_by])
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (reference-corpus fidelity path)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def save_model(model, path: str) -> None:
+    """MLlib model sink (S4's rdata analog): self-describing directory of
+    parquet metadata + data, reloadable cross-language."""
+    model.write().overwrite().save(path)
+
+
+def load_pipeline_model(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
