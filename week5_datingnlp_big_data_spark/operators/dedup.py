@@ -162,6 +162,93 @@ def jaccard_near_dups(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every char k-gram of the normalized
+    text, slide a window of ``window`` consecutive hashes, keep each
+    window's minimum; the distinct mins are the fingerprint set. Guarantees
+    any shared substring of length ≥ k + window − 1 yields a shared
+    fingerprint.
+
+    Pure higher-order functions (sequence → substr → md5 → slice →
+    array_min): JVM-side, shuffle-free, and reproducible in the SQL oracle.
+    Output: (doc_id, fingerprints array<string>)."""
+    # Stage every intermediate as a real column: embedding the normalized
+    # string or the hash array inside a later lambda re-evaluates it PER
+    # ELEMENT (O(n²) regex/md5 per row — measured as a hang on 400-char
+    # docs). Multi-use non-trivial aliases are not collapsed by Catalyst,
+    # so each stage computes once.
+    normed = spread(docs).select(
+        F.col(id_col),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")).alias("_s"),
+    )
+    hashed = normed.select(
+        id_col,
+        "_s",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length("_s") - k, F.lit(0))),
+            lambda i: F.substring(F.md5(F.col("_s").substr(i + 1, F.lit(k))), 1, 8),
+        ).alias("_hashes"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_hashes") - window, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("_hashes"), j + 1, window)),
+    )
+    fingerprints = F.when(F.length("_s") >= k, F.array_distinct(mins)).otherwise(
+        F.array(F.substring(F.md5(F.col("_s")), 1, 8))
+    )
+    return hashed.select(F.col(id_col), fingerprints.alias("fingerprints"))
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_docfreq: int = 10,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints. Ubiquitous
+    fingerprints (doc-freq > ``max_fp_docfreq``) are dropped before the
+    self-join — the fingerprint analog of stop-word removal, and the thing
+    that keeps the join from exploding on boilerplate shared by every doc.
+    Output: (id_a, id_b, shared_fp)."""
+    # Persist: (a) the fingerprint subtree feeds three consumers (rare-set
+    # agg + both join sides) and would otherwise run 3x; (b) the cache is a
+    # hard optimizer barrier — without it Catalyst's project collapsing can
+    # inline the O(len) hash-array expression into per-element lambda
+    # positions downstream, turning the row cost quadratic (measured: 22 s
+    # for 20 docs vs milliseconds with the barrier).
+    fp = winnowing_fingerprints(docs, text_col, id_col, k, window).persist()
+    exploded = fp.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    rare = (
+        exploded.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") <= max_fp_docfreq)
+    )
+    filtered = exploded.join(F.broadcast(rare.select("fp")), "fp", "left_semi")
+    a, b = filtered.alias("a"), filtered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc from whitespace tokens: each token votes its
     md5-derived 64-bit pattern; the sign of each bit-position sum forms the

@@ -174,6 +174,65 @@ def brp_lsh_topk(
     return out
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    with k-means into ``n_cells`` cells; a query scans only its ``n_probe``
+    nearest cells. The classic ANN scale path: candidate count drops from
+    N to ~N × n_probe / n_cells, and the cell assignment is a narrow
+    column that partitions/prunes naturally at 100 TB.
+
+    Seeded k-means → stable within a Spark version, but not
+    SQL-expressible → rows-only at the driver + recall-tested against
+    cosine_topk."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    feat = vecs.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, "v", "cell").cache()
+
+    centers = [np.asarray(c) for c in model.clusterCenters()]
+    q_rows = assigned.filter(F.col(id_col).isin(query_ids)).select(id_col, "v").collect()
+
+    def nearest_cells(v):
+        d = [float(np.linalg.norm(np.array(v) - c)) for c in centers]
+        return [int(i) for i in np.argsort(d)[:n_probe]]
+
+    probe = [(r[id_col], r["v"], nearest_cells(r["v"])) for r in q_rows]
+    probe_df = embeddings.sparkSession.createDataFrame(
+        [(qid, qv, cell) for qid, qv, cells in probe for cell in cells],
+        f"query_id long, qv array<double>, cell int",
+    )
+    cands = assigned.join(F.broadcast(probe_df), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs recovered by the approx variant."""
     e = exact.select("query_id", "neighbor_id")

@@ -1062,6 +1062,70 @@ def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality")
 
 
+@query(
+    "winnow_dup_pairs",
+    """
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      FROM documents
+    ), hashed AS (
+      -- staged like the Spark side: hash array computed once per row
+      SELECT doc_id, s,
+             list_transform(range(0, greatest(length(s) - 8, 0) + 1),
+                            i -> substr(md5(substr(s, i + 1, 8)), 1, 8)) AS hs
+      FROM normed
+    ), fp AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= 8 THEN
+               list_distinct(list_transform(
+                 range(0, greatest(len(hs) - 4, 0) + 1),
+                 j -> list_min(hs[j+1:j+4])))
+             ELSE [substr(md5(s), 1, 8)] END AS fingerprints
+      FROM hashed
+    ), exploded AS (
+      SELECT doc_id, f.fp AS fp FROM fp, unnest(fingerprints) AS f(fp)
+    ), rare AS (
+      SELECT fp FROM exploded GROUP BY fp HAVING count(*) <= 10
+    ), filtered AS (
+      SELECT e.doc_id, e.fp FROM exploded e JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+    FROM filtered a JOIN filtered b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def winnow_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint near-dups: shared substrings of
+    length ≥ 11 chars guarantee shared fingerprints; ubiquitous
+    fingerprints dropped before the self-join."""
+    return dedup.winnow_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "orders_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_price_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB swap in ``percentile_approx``
+    (t-digest, single-pass mergeable) — kept exact here so the oracle can
+    pin values bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
 # Rows-only (non-SQL-expressible) queries: MLlib LSH variants + SimHash.
 
 @query("simhash_near_dups")
@@ -1084,6 +1148,16 @@ def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH approximate nearest neighbors for the
     same query set as embedding_cosine_topk (recall-tested in unit tests)."""
     return similarity.brp_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
+    )
+
+
+@query("embedding_ivf_topk")
+def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer, n_probe cell scan) approximate
+    top-k — the partition-prunable ANN scale path; recall-tested against
+    the brute-force baseline in unit tests. Seeded k-means → rows-only."""
+    return similarity.ivf_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
     )
 

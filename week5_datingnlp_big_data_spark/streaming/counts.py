@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from week5_datingnlp_big_data_spark.functions.text import remove_stopwords, tokenize
 from week5_datingnlp_big_data_spark.operators.corpus import clean_text
@@ -109,6 +110,47 @@ def streaming_sessions(
             F.col("sess.end").alias("session_end"),
             "user_id",
             "n_events",
+        )
+    )
+
+
+def streaming_running_user_counts(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event count + running value sum that persists across
+    micro-batches (the arbitrary-state surface — for logic windowed aggs
+    can't express, e.g. decayed counters or per-key ML state).
+
+    State: one (count, total) pair per user — O(|users|), no watermark
+    needed for this accumulate-forever shape (add state TTL via
+    GroupStateTimeout for bounded retention)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
 
