@@ -462,6 +462,165 @@ def user_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate pushes to the
+    parquet scan, zero shuffles beyond the final single-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_totalprice, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-having on the fact join (volume customers)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "rich_customers_no_recent_orders",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    """,
+)
+def rich_customers_no_recent_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: scalar subquery (mean balance) + anti-join on a
+    filtered order set. The scalar side broadcasts as a literal-like
+    single-row join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    mean_bal = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(mean_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "doc_trigrams_top20",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, g.gram AS gram
+      FROM words, unnest(
+        CASE WHEN len(ws) >= 3 THEN
+          list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                         i -> array_to_string(ws[i:i+2], ' '))
+        ELSE [array_to_string(ws, ' ')] END
+      ) AS g(gram)
+    )
+    SELECT gram, count(*) AS cnt
+    FROM grams GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 20
+    """,
+)
+def doc_trigrams_top20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word trigram extraction + ranking (n-gram surface; note this counts
+    ALL trigram occurrences — the dedup shingle path dedups per doc)."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    words = F.split(F.lower("text"), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    all_grams = F.when(F.size(words) >= 3, grams).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+    return (
+        docs.select(F.explode(all_grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Coverage queries for the remaining SURVEY section 2 operators
 # ---------------------------------------------------------------------------
