@@ -73,27 +73,35 @@ def cosine_topk(
     )
 
 
+def hyperplane_weights(num_planes: int, dim: int, seed_tag: str = "hp") -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: plane p, dim d gets the low
+    md5 bit of '{seed_tag}#{p}#{d}'. Computed driver-side once (they are
+    constants) and inlined as literals into BOTH the Spark plan and the
+    SQL oracle — no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed_tag}#{p}#{d}".encode()).digest()[-1] & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_signature(
     vec: Column, num_planes: int = 16, dim: int = 64, seed_tag: str = "hp"
 ) -> Column:
-    """Deterministic random-hyperplane LSH signature: plane p's weight for
-    dimension d is ±1 from one md5 bit of '{seed_tag}#{p}#{d}'. sign(Σ ±vᵢ)
-    per plane → a bit-string key. Cosine-similar vectors agree on most
-    bits. Pure built-ins and md5 → reproducible in the SQL oracle."""
+    """Random-hyperplane LSH signature: sign(Σ ±vᵢ) per plane → a
+    bit-string key. Cosine-similar vectors agree on most bits. Weight
+    literals are constant-folded; the per-row work is num_planes dot
+    products inside codegen."""
+    weights = hyperplane_weights(num_planes, dim, seed_tag)
     bits = []
     for p in range(num_planes):
         terms = F.zip_with(
             vec,
-            F.array(*[
-                F.when(
-                    F.conv(F.md5(F.lit(f"{seed_tag}#{p}#{d}")).substr(1, 4), 16, 10)
-                    .cast("long")
-                    .bitwiseAND(F.lit(1).cast("long"))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]),
+            F.array(*[F.lit(w) for w in weights[p]]),
             lambda v, w: v * w,
         )
         s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)

@@ -1287,6 +1287,42 @@ def orders_price_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rows-only (non-SQL-expressible) queries: MLlib LSH variants + SimHash.
 
+def _sql_hyperplane_pairs(threshold: float, num_planes: int, dim: int) -> str:
+    weights = similarity.hyperplane_weights(num_planes, dim)
+    sig_bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {w}) >= 0 THEN '1' ELSE '0' END)"
+        for w in weights
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), signed AS (
+      SELECT vec_id, v, {sig_bits} AS sig FROM vecs
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM signed a JOIN signed b
+      ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
+@query("embedding_near_dup_pairs", _sql_hyperplane_pairs(0.35, 4, 64))
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: deterministic hyperplane-LSH buckets +
+    exact cosine verification within buckets (threshold tuned to the
+    near-random synthetic vectors; real corpora use 0.9+ with more
+    planes). Weight literals are shared between the Spark plan and the
+    oracle, so both sides bucket identically."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, num_planes=4, dim=64
+    )
+
+
 @query("simhash_near_dups")
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits, pigeonhole-blocked).
