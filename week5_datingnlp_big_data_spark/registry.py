@@ -901,6 +901,33 @@ def acctbal_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(year(ts) AS VARCHAR), 'ALL') AS yr,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, year(ts))
+    """,
+)
+def value_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 aggregation levels of (type, year) in one
+    pass (rollup's full-lattice sibling)."""
+    ev = _t(spark, sf_dir, "events").withColumn("yr", F.year("ts").cast("string"))
+    out = ev.cube("event_type", "yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("yr", F.lit("ALL")).alias("yr"),
+        "n",
+        "sum_value",
+    )
+
+
+@query(
     "event_type_pivot",
     """
     SELECT user_id,

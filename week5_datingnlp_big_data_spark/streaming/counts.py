@@ -155,6 +155,34 @@ def streaming_running_user_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "to_parquet",
+):
+    """Production-shaped sink: ``foreachBatch`` writes each micro-batch as
+    parquet (append). foreachBatch gets the batch as a BATCH DataFrame, so
+    any batch-only operator (complex joins, MERGE-style upserts, the
+    engine's own dedup ops) can run inside — the standard escape hatch for
+    sinks Structured Streaming lacks natively."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
