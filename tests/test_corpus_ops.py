@@ -1,0 +1,60 @@
+"""Corpus-operator fidelity: essay projection/concat semantics (P1/P2),
+banned-term removal (P6/W4 intended semantics), label attach by key (J1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import corpus, dfm, freq
+
+
+def test_select_essays_projects_prefix(spark):
+    from tests.fixtures import make_profiles
+
+    p = make_profiles(spark, n_rows=5)
+    out = corpus.select_essays(p)
+    assert out.columns == ["doc_id"] + [f"essay{i}" for i in range(10)]
+
+
+def test_concat_essays_null_becomes_empty_with_double_space(spark):
+    # Reference fidelity (R:51 + read.csv semantics): a NULL/empty essay
+    # contributes an empty string, so its separator slots remain →
+    # adjacent essays are joined by TWO spaces, which the raw-split word
+    # count later sees as a "" token (the reference's top 'word').
+    df = spark.createDataFrame(
+        [(1, "hello", None, "world")],
+        "doc_id long, essay0 string, essay1 string, essay2 string",
+    )
+    out = df.select(corpus.concat_essays("essay0", "essay1", "essay2").alias("text"))
+    assert out.first()["text"] == "hello  world"
+    words = out.select(F.explode(F.split("text", " ", -1)).alias("w"))
+    assert [r["w"] for r in words.collect()] == ["hello", "", "world"]
+
+
+def test_remove_banned_terms_anti_join(spark):
+    counts = spark.createDataFrame(
+        [(1, "guy", 3), (1, "think", 2), (2, "girl", 1), (2, "coffee", 4)],
+        "doc_id long, term string, count long",
+    )
+    banned = spark.createDataFrame([("guy",), ("girl",)], "term string")
+    out = freq.remove_banned_terms(counts, banned)
+    kept = {(r["doc_id"], r["term"]) for r in out.collect()}
+    assert kept == {(1, "think"), (2, "coffee")}
+
+
+def test_label_attach_by_key_not_row_order(spark):
+    # J1: the reference cbinds by row order; the engine joins on doc_id so
+    # arbitrary partitioning/ordering cannot mislabel rows.
+    feats = spark.createDataFrame([(2, 20.0), (1, 10.0)], "doc_id long, x double")
+    labels = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, label string")
+    out = feats.join(labels, "doc_id")
+    got = {r["doc_id"]: (r["x"], r["label"]) for r in out.collect()}
+    assert got == {1: (10.0, "a"), 2: (20.0, "b")}
+
+
+def test_doc_term_counts_duplicate_tokens(spark):
+    toks = spark.createDataFrame(
+        [(1, ["a", "b", "a", "a"]), (2, ["b"])], "doc_id long, tokens array<string>"
+    )
+    out = {(r["doc_id"], r["term"]): r["count"] for r in dfm.doc_term_counts(toks).collect()}
+    assert out == {(1, "a"): 3, (1, "b"): 1, (2, "b"): 1}
