@@ -1,0 +1,50 @@
+"""The composed training-data prep cascade: funnel counts must be
+monotone, planted duplicates must fall out at the right stage, survivors
+must carry stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.plans import datapipe
+from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+
+def test_funnel_on_planted_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and you that it for "
+        "with is to of all good things in life and work today"
+    )
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup → dropped at stage 3
+        (3, base.replace("today", "tonight")),      # near dup → dropped at stage 4
+        (4, "the ?!?! ### !!! ---"),                # en marker but junk → quality-filtered
+        (5, "le la les de et un une est que pour toujours paris"),  # french
+        (6, "the data pipeline with spark is good for you and it works on "
+            "all of the big corpora that we have to process for training"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = datapipe.prepare_corpus(
+        docs, keep_langs=("en",), min_quality=0.5, near_dup_threshold=0.5
+    )
+    assert r.n_input == 6
+    assert r.n_after_lang == 5          # doc 5 predicted fr
+    assert r.n_after_quality == 4       # doc 4 too short/low quality
+    assert r.n_after_exact == 3         # doc 2 collapses into 1
+    assert r.n_after_near == 2          # doc 3 near-dups doc 1
+    ids = {row["doc_id"] for row in r.clean.select("doc_id").collect()}
+    assert ids == {1, 6}
+    s = r.stats.first()
+    assert s["n_docs"] == 2 and s["total_tokens"] > 0
+
+
+def test_funnel_monotone_on_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = datapipe.prepare_corpus(docs, min_quality=0.0, near_dup_threshold=0.9)
+    assert (
+        r.n_input >= r.n_after_lang >= r.n_after_quality
+        >= r.n_after_exact >= r.n_after_near > 0
+    )
+    assert r.clean.filter(F.col("n_tokens") <= 0).count() == 0

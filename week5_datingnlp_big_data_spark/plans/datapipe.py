@@ -1,0 +1,96 @@
+"""End-to-end training-data preparation pipeline: the north-star
+composition (SURVEY.md section 2.10) — what a 100 TB corpus actually goes
+through before tokenization for training.
+
+    raw documents
+      → language filter          (scan-speed marker heuristic)
+      → quality filter           (composite score threshold)
+      → exact dedup              (content-hash, keep min-id)
+      → near dedup               (MinHash-LSH + exact Jaccard, drop the
+                                  higher id of each surviving pair)
+      → per-doc token counts + corpus stats
+
+Every stage is a lazy DataFrame transform; one action materializes the
+whole cascade. Stage order is cost-ordered: cheap per-row filters first
+(shrink the corpus at scan speed), the shuffling dedup stages last.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import dedup, textstats
+
+
+@dataclass
+class DataPipeResult:
+    clean: DataFrame           # surviving documents + quality columns
+    stats: DataFrame           # one-row corpus summary
+    n_input: int
+    n_after_lang: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_near: int
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    *,
+    keep_langs: tuple[str, ...] | None = None,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataPipeResult:
+    """Run the full preparation cascade. Counts are materialized per stage
+    (small actions against cached frontier) so the funnel is reportable —
+    at production scale, replace the per-stage counts with accumulator
+    metrics if the extra actions matter."""
+    n_input = docs.count()
+
+    # 1. language filter — predicted language, not the (possibly wrong)
+    # metadata column.
+    step = docs.withColumn("pred_lang", textstats.lang_id(text_col))
+    if keep_langs is not None:
+        step = step.filter(F.col("pred_lang").isin(list(keep_langs)))
+    step = step.cache()
+    n_lang = step.count()
+
+    # 2. quality filter
+    scored = textstats.quality_score(step, text_col)
+    good = scored.filter(F.col("quality") >= min_quality).cache()
+    n_quality = good.count()
+
+    # 3. exact dedup — keep the min-id representative of each content hash
+    reps = dedup.exact_dedup(good, text_col, id_col).select(id_col)
+    exact = good.join(reps, id_col, "left_semi").cache()
+    n_exact = exact.count()
+
+    # 4. near dedup — drop the higher id of each verified near-dup pair
+    pairs = dedup.jaccard_near_dups(
+        exact, text_col, id_col, threshold=near_dup_threshold
+    )
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    clean = exact.join(drop_ids, id_col, "left_anti").cache()
+    n_near = clean.count()
+
+    # 5. token counts + corpus stats
+    clean = clean.withColumn("n_tokens", textstats.token_count_ws(text_col))
+    stats = clean.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return DataPipeResult(
+        clean=clean,
+        stats=stats,
+        n_input=n_input,
+        n_after_lang=n_lang,
+        n_after_quality=n_quality,
+        n_after_exact=n_exact,
+        n_after_near=n_near,
+    )
