@@ -114,6 +114,22 @@ def test_ep3_kmeans_cost_decreases(ep1):
     assert costs[4] < costs[2]
 
 
+def test_tsne_gate(ep1):
+    import pytest as _pytest
+
+    feats = ep1.train.select("doc_id", "features")
+    with _pytest.raises(ValueError, match="capped"):
+        ml.tsne_driver(feats, max_rows=10)
+    try:
+        import sklearn  # noqa: F401
+        has_sklearn = True
+    except ImportError:
+        has_sklearn = False
+    if not has_sklearn:
+        with _pytest.raises(NotImplementedError):
+            ml.tsne_driver(feats.limit(5))
+
+
 def test_pca_explained_variance(ep1):
     _, ratios = ml.pca_project(ep1.train.select("doc_id", "features"), k=2)
     assert len(ratios) == 2

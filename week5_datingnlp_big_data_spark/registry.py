@@ -952,6 +952,25 @@ def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customers_with_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def customers_with_big_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): customers with at least one 400k+ order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer

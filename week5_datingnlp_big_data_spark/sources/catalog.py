@@ -26,6 +26,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fails fast instead of silently type-drifting between rounds."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    # Timestamps in these tables are naive instants; the DuckDB oracle
+    # reads them without timezone shifts. Pin the session to UTC so a
+    # caller-provided SparkSession in any host timezone agrees with it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet timestamp[ns] (INT64 nanos), which Spark's
         # TimestampType (µs) cannot read directly. Read the raw nanos and
