@@ -39,7 +39,7 @@ from week5_datingnlp_big_data_spark.operators import (
     tfidf,
 )
 from week5_datingnlp_big_data_spark.session import spread
-from week5_datingnlp_big_data_spark.sources.catalog import load_table
+from week5_datingnlp_big_data_spark.sources.catalog import load_table, register_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -292,6 +292,36 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q1_pricing_summary_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: same workload phrased as ``spark.sql`` over
+    registered temp views — Catalyst plans it identically to the
+    DataFrame variant (the engine exposes both surfaces)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
     )
 
 
