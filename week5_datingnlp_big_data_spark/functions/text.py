@@ -30,6 +30,17 @@ from week5_datingnlp_big_data_spark.functions.stopwords import (
 
 # X1 — reference pattern assembly (Week5_datingNLP.R:56–58), verbatim data.
 HTML_PAT: str = "(" + "|".join(HTML_PATTERNS) + ")"
+
+# Custom-stop-word boundary semantics: ASCII word boundaries, pinned.
+# Java's \b is Unicode-aware while RE2's (DuckDB oracle) is ASCII-only —
+# they disagree when a stop word abuts a non-ASCII letter ("élove").
+# The engine spec chooses ASCII boundaries: the Spark pattern emulates
+# them with lookarounds (Java supports those; RE2 does not), the SQL
+# pattern uses RE2's native ASCII \b. Both derive from the same word list.
+_W = "[a-zA-Z0-9_]"
+CUSTOM_STOP_PAT_JAVA: str = (
+    f"(?<!{_W})(" + "|".join(CUSTOM_STOP_WORDS) + f")(?!{_W})"
+)
 CUSTOM_STOP_PAT: str = "\\b(" + "|".join(CUSTOM_STOP_WORDS) + ")\\b"
 
 # Tokenizer spec patterns (shared with the DuckDB oracle).
@@ -49,8 +60,8 @@ def clean_html(c: Column | str) -> Column:
 
 def remove_custom_stopwords(c: Column | str) -> Column:
     """X3 — replace the reference's 31 custom stop words with a space,
-    word-boundary anchored (R:61)."""
-    return F.regexp_replace(_col(c), CUSTOM_STOP_PAT, " ")
+    ASCII-word-boundary anchored (R:61; boundary dialect note above)."""
+    return F.regexp_replace(_col(c), CUSTOM_STOP_PAT_JAVA, " ")
 
 
 def split_raw(c: Column | str) -> Column:
