@@ -84,6 +84,39 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert rec >= 0.6, rec
 
 
+def test_stream_stream_click_attribution(spark, tmp_path):
+    import glob, shutil
+
+    from week5_datingnlp_big_data_spark.streaming import counts as sc
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:20:00", 1, "purchase", 9.0, "{}"),   # attributed to 1
+        (3, "2024-01-01 09:30:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-01 11:00:00", 2, "purchase", 9.0, "{}"),   # >1h after click 3 → no match
+        (5, "2024-01-01 10:55:00", 2, "click", 1.0, "{}"),      # within 1h of purchase 4
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    stage = tmp_path / "_st" / "b1.parquet"
+    df.coalesce(1).write.parquet(str(stage))
+    (tmp_path / "ss").mkdir(parents=True)
+    shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "ss" / "b1.parquet"))
+
+    stream = sc.stream_events(spark, str(tmp_path / "ss"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_click_to_purchase(stream), "attr_stream", "append"
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table("attr_stream").collect()
+    finally:
+        q.stop()
+    pairs = {(r["purchase_id"], r["click_id"]) for r in out}
+    assert pairs == {(2, 1), (4, 5)}
+
+
 def test_stateful_running_counts(spark, tmp_path):
     import glob, shutil
 

@@ -114,6 +114,45 @@ def streaming_sessions(
     )
 
 
+def streaming_click_to_purchase(
+    events_stream: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self join: attribute each purchase to the same user's
+    clicks within the preceding ``attribution_window``. Both sides carry a
+    watermark and the join condition bounds event-time distance, so state
+    for unjoined rows is dropped once the watermark passes — the canonical
+    bounded-state stream-stream join shape."""
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def streaming_running_user_counts(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a running
     per-user event count + running value sum that persists across
