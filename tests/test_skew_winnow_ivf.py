@@ -52,6 +52,20 @@ def test_salted_broadcast_join_equals_plain(spark, skewed):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    # The 100 TB path for distinct counts is HLL; check the sketch lands
+    # within its advertised error on real data.
+    docs = load_table(spark, sf_dir, "documents")
+    from week5_datingnlp_big_data_spark.operators import dfm as dfm_op
+    from week5_datingnlp_big_data_spark.operators.corpus import clean_text
+    from week5_datingnlp_big_data_spark.functions.text import tokenize
+
+    words = docs.select(F.explode(tokenize(clean_text("text"))).alias("w"))
+    exact = words.select("w").distinct().count()
+    approx = words.agg(F.approx_count_distinct("w", rsd=0.05).alias("a")).first()["a"]
+    assert abs(approx - exact) <= max(2, 0.10 * exact), (approx, exact)
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     # Winnowing guarantee: any shared substring of length >= k + window - 1
     # (= 11 chars here) produces at least one shared fingerprint.

@@ -35,6 +35,7 @@ from week5_datingnlp_big_data_spark.operators import (
     freq,
     relational,
     similarity,
+    skew,
     textstats,
     tfidf,
 )
@@ -125,6 +126,27 @@ def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(100)
     )
+
+
+@query(
+    "wordcount_salted_top100",
+    f"""
+    SELECT word, cnt FROM (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY t.word
+    ) ORDER BY cnt DESC, word ASC LIMIT 100
+    """,
+)
+def wordcount_salted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship word count through the SALTED two-phase aggregation
+    path (operators/skew.py) — byte-identical results to the plain
+    groupBy, same oracle SQL; the salt spreads Zipf-head words over
+    n_salts reducers before the collapse."""
+    toks = _docs_tokenized(spark, sf_dir, stop=True)
+    words = toks.select(F.explode("tokens").alias("word"))
+    counted = skew.salted_count(words, ["word"], n_salts=16)
+    return counted.orderBy(F.desc("cnt"), F.asc("word")).limit(100)
 
 
 @query(
