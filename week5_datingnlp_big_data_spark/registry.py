@@ -450,6 +450,87 @@ def nation_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_value_quartiles",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def orders_value_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window variants: ntile + percent_rank over a total order
+    (orderkey tiebreak keeps both deterministic). A single global sort —
+    fine for ranked reports; partition the window for per-key use at
+    scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "running_revenue_by_priority",
+    """
+    SELECT o_orderpriority, o_orderdate,
+           round(sum(sum(o_totalprice)) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue
+    FROM orders
+    GROUP BY o_orderpriority, o_orderdate
+    """,
+)
+def running_revenue_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame cumulative sum over pre-aggregated days: equal dates
+    accumulate together (RANGE, not ROWS — tie semantics matter), one
+    shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum("o_totalprice").alias("_day_rev")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority", "o_orderdate",
+        F.round(F.sum("_day_rev").over(w), 4).alias("running_revenue"),
+    )
+
+
+@query(
+    "lang_words_except_all",
+    f"""
+    WITH w AS (
+      SELECT lang, t.word AS word
+      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      WHERE lang IN ('en', 'fr')
+    )
+    SELECT word FROM w WHERE lang = 'en'
+    EXCEPT ALL
+    SELECT word FROM w WHERE lang = 'fr'
+    """,
+)
+def lang_words_except_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicates preserved): occurrences
+    of each word in 'en' docs beyond its occurrences in 'fr' docs —
+    the bag-semantics sibling of the distinctive-words anti-join."""
+    toks = _docs_tokenized(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = toks.join(docs, "doc_id").filter(F.col("lang").isin("en", "fr")).select(
+        "lang", F.explode("tokens").alias("word")
+    )
+    en = w.filter(F.col("lang") == "en").select("word")
+    fr = w.filter(F.col("lang") == "fr").select("word")
+    return en.exceptAll(fr)
+
+
+@query(
     "events_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
