@@ -71,6 +71,25 @@ def test_simhash_near_dups_pairs(dup_docs):
     assert not any({4, 5} & {a, b} for a, b in pairs)
 
 
+def test_dedup_ops_handle_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content here today"), (4, "real content here today")],
+        "doc_id long, text string",
+    )
+    # exact dedup: null and empty are distinct groups; 3+4 collapse
+    groups = dedup.exact_dedup(docs).collect()
+    assert sum(r["n_copies"] for r in groups) == 4
+    # minhash pipeline: must not throw; nulls contribute no shingles
+    pairs = dedup.jaccard_near_dups(docs, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+    # winnowing: total over null/empty as well
+    fps = dedup.winnowing_fingerprints(docs).count()
+    assert fps >= 3
+    # simhash: null text yields no tokens -> row absent, others present
+    sim = dedup.simhash64(docs)
+    assert sim.filter(F.col("doc_id").isin(3, 4)).count() == 2
+
+
 def test_mllib_minhash_agrees_on_planted_dups(dup_docs):
     out = dedup.mllib_minhash_join(dup_docs, threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}

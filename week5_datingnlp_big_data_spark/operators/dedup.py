@@ -74,7 +74,10 @@ def minhash_signatures(
     One explode + one groupBy(doc_id) — the k mins are computed as k
     aggregate columns in a single pass (map-side partial min, tiny
     shuffle)."""
-    shingled = spread(docs).select(
+    # Contentless docs (NULL/whitespace-only) have no shingles to compare;
+    # they belong to exact dedup, not near-dup candidacy.
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    shingled = spread(nonempty).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
     aggs = [
@@ -233,7 +236,8 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("fp_df"))
         .filter(F.col("fp_df") <= max_fp_docfreq)
     )
-    filtered = exploded.join(F.broadcast(rare.select("fp")), "fp", "left_semi")
+    # Persist: both sides of the self-join read this (small) filtered set.
+    filtered = exploded.join(F.broadcast(rare.select("fp")), "fp", "left_semi").persist()
     a, b = filtered.alias("a"), filtered.alias("b")
     return (
         a.join(

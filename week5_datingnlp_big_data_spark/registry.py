@@ -110,7 +110,7 @@ def _docs_tokenized(spark: SparkSession, sf_dir: str, *, stop: bool = True) -> D
     f"""
     SELECT word, cnt FROM (
       SELECT t.word AS word, count(*) AS cnt
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
       GROUP BY t.word
     ) ORDER BY cnt DESC, word ASC LIMIT 100
     """,
@@ -133,7 +133,7 @@ def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT word, cnt FROM (
       SELECT t.word AS word, count(*) AS cnt
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
       GROUP BY t.word
     ) ORDER BY cnt DESC, word ASC LIMIT 100
     """,
@@ -154,7 +154,7 @@ def wordcount_salted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT word, cnt FROM (
       SELECT t.word AS word, count(*) AS cnt
-      FROM documents, unnest(string_split(text, ' ')) AS t(word)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest(string_split(text, ' ')) AS t(word)
       GROUP BY t.word
     ) ORDER BY cnt DESC, word ASC LIMIT 25
     """,
@@ -169,7 +169,7 @@ def raw_split_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_term_counts",
     f"""
     SELECT doc_id, t.term AS term, count(*) AS "count"
-    FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+    FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
     GROUP BY doc_id, t.term
     """,
 )
@@ -183,7 +183,7 @@ def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH counts AS (
       SELECT doc_id, t.term AS term, count(*) AS "count"
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
       GROUP BY doc_id, t.term
     )
     SELECT term, count(*) AS df, CAST(sum(count) AS BIGINT) AS tf
@@ -203,7 +203,7 @@ def vocab_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH counts AS (
       SELECT doc_id, t.term AS term, count(*) AS "count"
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
       GROUP BY doc_id, t.term
     ), tf AS (
       SELECT doc_id, term, count,
@@ -238,7 +238,7 @@ def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH wc AS (
       SELECT lang, t.word AS word, count(*) AS cnt
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
       WHERE lang IN ('en', 'fr')
       GROUP BY lang, t.word
     ),
@@ -508,7 +508,7 @@ def running_revenue_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame
     f"""
     WITH w AS (
       SELECT lang, t.word AS word
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
       WHERE lang IN ('en', 'fr')
     )
     SELECT word FROM w WHERE lang = 'en'
@@ -764,7 +764,7 @@ def doc_trigrams_top20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH counts AS (
       SELECT doc_id, t.term AS term, count(*) AS "count"
-      FROM documents, unnest({{shingles}}) AS t(term)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({{shingles}}) AS t(term)
       GROUP BY doc_id, t.term
     )
     SELECT count(*) AS nnz,
@@ -815,7 +815,7 @@ def lang_proportions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT term FROM (
       SELECT DISTINCT t.term AS term
-      FROM documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(term)
     ) ORDER BY term LIMIT 100
     """,
 )
@@ -1212,7 +1212,7 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH shingled AS (
       SELECT doc_id, s.shingle AS shingle
-      FROM documents, unnest({_SQL_SHINGLES}) AS s(shingle)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_SQL_SHINGLES}) AS s(shingle)
     )
     SELECT doc_id, {_sql_minhash_cols(12)}
     FROM shingled GROUP BY doc_id
@@ -1228,7 +1228,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH shingled AS (
       SELECT doc_id, s.shingle AS shingle
-      FROM documents, unnest({_SQL_SHINGLES}) AS s(shingle)
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_SQL_SHINGLES}) AS s(shingle)
     ), sigs AS (
       SELECT doc_id, {_sql_minhash_cols(12)}
       FROM shingled GROUP BY doc_id
