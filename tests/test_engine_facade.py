@@ -1,0 +1,40 @@
+"""Facade smoke: the one-object surface a reference user would adopt."""
+
+from __future__ import annotations
+
+import pytest
+
+from week5_datingnlp_big_data_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_table_and_query(eng):
+    assert eng.table("documents").count() == 500
+    top = eng.query("wordcount_top100")
+    assert top.columns == ["word", "cnt"]
+    assert len(eng.query_names()) >= 45
+
+
+def test_corpus_chain(eng):
+    docs = eng.table("documents").select("doc_id", "text")
+    toked = eng.tokenize_corpus(docs, stem=False)
+    counts = eng.doc_term_counts(toked)
+    weighted = eng.tf_idf(counts, persist=False)
+    assert {"doc_id", "term", "tfidf"} <= set(weighted.columns)
+    assert weighted.count() > 0
+
+
+def test_training_prep(eng):
+    docs = eng.table("documents").select("doc_id", "text")
+    r = eng.prepare_training_corpus(docs, min_quality=0.0, near_dup_threshold=0.9)
+    assert r.n_after_near <= r.n_input
+    assert eng.exact_dedup(docs).count() <= 500
+
+
+def test_similarity(eng):
+    out = eng.cosine_topk(eng.table("embeddings"), query_ids=[0, 1], k=3)
+    assert out.count() == 6

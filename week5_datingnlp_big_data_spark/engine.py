@@ -1,0 +1,98 @@
+"""User-facing facade: one object exposing the engine's surfaces.
+
+A reference user's workflow (load corpus → clean/tokenize → DFM → TF-IDF →
+classify → word analysis) maps onto one `Engine` instance; the extension
+surfaces (dedup, similarity, quality, relational queries by name) hang off
+the same object. Everything returns lazy DataFrames unless stated.
+
+    from week5_datingnlp_big_data_spark.engine import Engine
+    eng = Engine.local()
+    docs = eng.table("documents")
+    top = eng.query("wordcount_top100")
+    r = eng.classify_profiles(profiles_df)         # EP-1
+    clean = eng.prepare_training_corpus(docs)      # dedup/quality cascade
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from week5_datingnlp_big_data_spark import registry
+from week5_datingnlp_big_data_spark.operators import corpus as _corpus
+from week5_datingnlp_big_data_spark.operators import dedup as _dedup
+from week5_datingnlp_big_data_spark.operators import dfm as _dfm
+from week5_datingnlp_big_data_spark.operators import similarity as _similarity
+from week5_datingnlp_big_data_spark.operators import textstats as _textstats
+from week5_datingnlp_big_data_spark.operators import tfidf as _tfidf
+from week5_datingnlp_big_data_spark.plans import datapipe as _datapipe
+from week5_datingnlp_big_data_spark.plans import pipelines as _pipelines
+from week5_datingnlp_big_data_spark.session import get_spark
+from week5_datingnlp_big_data_spark.sources.catalog import (
+    DEFAULT_SF_DIR,
+    load_table,
+    read_profiles_csv,
+    register_views,
+)
+
+
+class Engine:
+    """Facade over the operator library, bound to a session + data root."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    @classmethod
+    def local(cls, sf_dir: str = DEFAULT_SF_DIR, **spark_kwargs) -> "Engine":
+        return cls(get_spark(**spark_kwargs), sf_dir)
+
+    # -- sources ----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        register_views(self.spark, self.sf_dir)
+
+    def read_profiles_csv(self, path: str) -> DataFrame:
+        return read_profiles_csv(self.spark, path)
+
+    # -- named queries (the driver-contract registry) ---------------------
+    def query(self, name: str) -> DataFrame:
+        return registry.QUERIES[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        return sorted(registry.QUERIES)
+
+    # -- reference pipelines ---------------------------------------------
+    def tokenize_corpus(self, docs: DataFrame, **kw) -> DataFrame:
+        return _corpus.tokenize_corpus(docs, **kw)
+
+    def doc_term_counts(self, tokenized: DataFrame) -> DataFrame:
+        return _dfm.doc_term_counts(tokenized)
+
+    def tf_idf(self, counts: DataFrame, **kw) -> DataFrame:
+        return _tfidf.tf_idf(counts, **kw)
+
+    def classify_profiles(self, profiles: DataFrame, **kw):
+        """EP-1 end to end; returns the pipelines.EP1Result bundle."""
+        return _pipelines.ep1_classification(profiles, **kw)
+
+    def word_analysis(self, profiles: DataFrame, **kw):
+        """EP-3: per-sex rankings + distinctive-word setdiffs."""
+        return _pipelines.ep3_word_analysis(profiles, **kw)
+
+    # -- training-data extension -----------------------------------------
+    def prepare_training_corpus(self, docs: DataFrame, **kw):
+        return _datapipe.prepare_corpus(docs, **kw)
+
+    def exact_dedup(self, docs: DataFrame, **kw) -> DataFrame:
+        return _dedup.exact_dedup(docs, **kw)
+
+    def near_dups(self, docs: DataFrame, **kw) -> DataFrame:
+        return _dedup.jaccard_near_dups(docs, **kw)
+
+    def cosine_topk(self, embeddings: DataFrame, query_ids: list[int], **kw) -> DataFrame:
+        return _similarity.cosine_topk(embeddings, query_ids, **kw)
+
+    def quality_scores(self, docs: DataFrame, **kw) -> DataFrame:
+        return _textstats.quality_score(docs, **kw)
