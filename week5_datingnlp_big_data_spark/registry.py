@@ -450,6 +450,145 @@ def nation_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → semi-join with a cross-table
+    predicate, then a small agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_shipmode_buckets",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_shipmode_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-sum bucketing after a fact join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional revenue (broadcast part dim,
+    LIKE-prefix predicate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
+    )
+
+
+@query(
+    "orders_by_date_parts",
+    """
+    SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1 AS dow,
+           count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_by_date_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction breadth: year/quarter/day-of-week aggregation
+    (Spark dayofweek = DuckDB dayofweek + 1; normalized here)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+@query(
+    "doc_sentence_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                           s -> length(trim(s)) > 0)) AS n_sentences
+    FROM documents
+    """,
+)
+def doc_sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (terminator-split, empty segments dropped) —
+    a text-statistics building block for quality heuristics."""
+    docs = _t(spark, sf_dir, "documents")
+    segs = F.split("text", "[.!?]+")
+    n = F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0))
+    return docs.select("doc_id", n.alias("n_sentences"))
+
+
+@query(
     "orders_value_quartiles",
     """
     SELECT o_orderkey, o_custkey,
