@@ -42,6 +42,12 @@ HEADLINE = [
     "minhash_near_dups",
     "embedding_cosine_topk",
     "quality_scores",
+    "events_sessionize",
+    "events_asof_order",
+    "winnow_dup_pairs",
+    "acctbal_rollup",
+    "orders_value_quartiles",
+    "q18_large_orders",
 ]
 
 

@@ -97,6 +97,39 @@ def test_streaming_window_counts_and_late_data(spark, tmp_path):
     assert by_key[("2024-01-01 14:00:00", "click")] == 1
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    rows1 = [(1, "same content"), (2, "same content"), (3, "unique one")]
+    rows2 = [(4, "same content"), (5, "another unique")]
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = tmp_path / "_dd" / name
+        df.coalesce(1).write.parquet(str(stage))
+        (tmp_path / "dd").mkdir(parents=True, exist_ok=True)
+        import glob as g, shutil
+        shutil.copy(g.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "dd" / name))
+
+    drop(rows1, "b1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dd"))
+    )
+    q = sc.run_stream_to_memory(
+        sc.streaming_exact_dedup(stream), "dedup_stream", "append"
+    )
+    try:
+        _wait(q)
+        drop(rows2, "b2.parquet")
+        _wait(q)
+        out = spark.table("dedup_stream").collect()
+    finally:
+        q.stop()
+    texts = sorted(r["text"] for r in out)
+    # duplicate content emitted once — including the cross-batch dup (4)
+    assert texts == ["another unique", "same content", "unique one"]
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     _drop_file(docs.filter(F.col("doc_id") < 100), tmp_path, "fb", "b1.parquet")

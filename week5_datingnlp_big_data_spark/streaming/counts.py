@@ -114,6 +114,24 @@ def streaming_sessions(
     )
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on content hash. With an event-time column,
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon (the only way exact dedup state stays finite on an
+    unbounded stream); without one, state grows with distinct hashes —
+    fine for bounded backfills, documented as such."""
+    hashed = docs_stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
+    if ts_col:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def streaming_click_to_purchase(
     events_stream: DataFrame,
     attribution_window: str = "1 hour",
