@@ -52,6 +52,37 @@ def test_label_attach_by_key_not_row_order(spark):
     assert got == {1: (10.0, "a"), 2: (20.0, "b")}
 
 
+def test_json_extraction_malformed_props(spark):
+    # JSON extraction on junk degrades to NULL; numeric conversion of a
+    # non-numeric value THROWS under ANSI (Spark 4 default, matching
+    # DuckDB CAST) — try_cast is the tolerant path for dirty corpora.
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None), (4, '{"k": "str"}'), (5, "{}")],
+        "event_id long, props string",
+    )
+    out = df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k1"),
+        F.element_at(F.from_json("props", "map<string,string>"), "k")
+        .try_cast("bigint")
+        .alias("k2"),
+    ).collect()
+    got = {r["event_id"]: (r["k1"], r["k2"]) for r in out}
+    assert got[1] == (5, 5)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)   # try_cast: non-numeric → null, no throw
+    assert got[5] == (None, None)
+
+    # the strict cast DOES throw on the non-numeric row (ANSI semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        ).collect()
+
+
 def test_doc_term_counts_duplicate_tokens(spark):
     toks = spark.createDataFrame(
         [(1, ["a", "b", "a", "a"]), (2, ["b"])], "doc_id long, tokens array<string>"

@@ -105,6 +105,22 @@ def test_token_counts_match_oracle_on_fuzz(spark, fuzz_rows):
     assert not bad, list(bad.items())[:3]
 
 
+def test_sentence_count_matches_oracle_on_fuzz(spark, fuzz_rows):
+    df = spark.createDataFrame(fuzz_rows, "doc_id long, text string")
+    segs = F.split("text", "[.!?]+")
+    n = F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0))
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", n.alias("n")).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(fuzz_rows, columns=["doc_id", "text"]))
+    odf = con.execute(
+        """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                              s -> length(trim(s)) > 0)) AS n FROM documents"""
+    ).df()
+    want = {int(r.doc_id): int(r.n) for r in odf.itertuples(index=False)}
+    bad = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not bad, list(bad.items())[:3]
+
+
 def test_raw_split_matches_oracle_on_fuzz(spark, fuzz_rows):
     df = spark.createDataFrame(fuzz_rows, "doc_id long, text string")
     got = {

@@ -150,6 +150,31 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert out.select("_batch_id").distinct().count() == 2
 
 
+def test_streaming_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    # foreachBatch + checkpoint: stop the query, restart it, feed more
+    # data — the restarted query must resume (no reprocessing of batch 1,
+    # no lost batch 2).
+    docs = load_table(spark, sf_dir, "documents")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drop_file(docs.filter(F.col("doc_id") < 50), tmp_path, "rs", "b1.parquet")
+
+    stream = sc.stream_documents(spark, str(tmp_path / "rs"))
+    q1 = sc.run_stream_to_parquet(stream.select("doc_id"), out, ckpt, "restart_q")
+    _wait(q1)
+    q1.stop()
+    n1 = spark.read.parquet(out).count()
+
+    _drop_file(docs.filter(F.col("doc_id").between(50, 99)), tmp_path, "rs", "b2.parquet")
+    stream2 = sc.stream_documents(spark, str(tmp_path / "rs"))
+    q2 = sc.run_stream_to_parquet(stream2.select("doc_id"), out, ckpt, "restart_q")
+    _wait(q2)
+    q2.stop()
+    back = spark.read.parquet(out)
+    assert n1 == 50
+    assert back.count() == 100                      # no duplicates, no loss
+    assert back.select("doc_id").distinct().count() == 100
+
+
 def test_streaming_sessions_merge(spark, tmp_path):
     rows = [
         (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
