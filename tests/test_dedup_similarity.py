@@ -132,6 +132,22 @@ def test_brp_lsh_recall_vs_brute_force(emb):
     assert rec >= 0.4, rec
 
 
+def test_pandas_cosine_equals_builtin(emb):
+    from pyspark.sql import Window
+
+    vecs = emb.limit(50).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).limit(500)
+    cos_udf = similarity.cosine_pandas_udf()
+    out = pairs.select(
+        F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 9).alias("jvm"),
+        F.round(cos_udf(F.col("a.v"), F.col("b.v")), 9).alias("py"),
+    ).collect()
+    assert all(abs(r["jvm"] - r["py"]) < 1e-9 for r in out)
+
+
 def test_hyperplane_buckets_group_identical_vectors(spark):
     df = spark.createDataFrame(
         [(0, [0.5] * 8), (1, [0.5] * 8), (2, [-0.5] * 8)],

@@ -114,6 +114,14 @@ def test_ep3_kmeans_cost_decreases(ep1):
     assert costs[4] < costs[2]
 
 
+def test_top_features_recover_planted_stems(ep1):
+    feats = ml.top_features(ep1.model, ep1.vocabulary, k=5)
+    names = {t for t, _ in feats}
+    assert names & {"guy", "girl", "danc", "sport", "engin", "beard", "yoga", "sparkl"}, feats
+    imps = [v for _, v in feats]
+    assert imps == sorted(imps, reverse=True)
+
+
 def test_tsne_gate(ep1):
     import pytest as _pytest
 

@@ -123,6 +123,20 @@ def accuracy(pred: DataFrame, label_col: str = "label") -> float:
     return agg["hit"] / agg["n"] if agg["n"] else 0.0
 
 
+def top_features(model: PipelineModel, vocabulary: list[str], k: int = 10) -> list[tuple[str, float]]:
+    """M3 companion — the tree's most important features mapped back to
+    vocabulary terms (the reference inspects its tree's split stems
+    guy/girl/danc via rpart.plot; this is the engine's programmatic
+    equivalent). Returns [(term, importance)] sorted descending."""
+    dt = model.stages[-1]
+    imp = dt.featureImportances
+    pairs = [
+        (vocabulary[i] if i < len(vocabulary) else f"f{i}", float(v))
+        for i, v in zip(imp.indices, imp.values)
+    ]
+    return sorted(pairs, key=lambda p: (-p[1], p[0]))[:k]
+
+
 def cross_validate_tree(
     train: DataFrame,
     label_col: str = "label",

@@ -19,6 +19,7 @@ math stays in whole-stage codegen (no Python) via higher-order functions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,6 +181,28 @@ def brp_lsh_topk(
         )
         out = nn if out is None else out.unionByName(nn)
     return out
+
+
+def cosine_pandas_udf(dim: int = 64):
+    """Vectorized Pandas-UDF cosine (Arrow-batched NumPy) — the
+    alternative formulation for when vector math must leave the JVM (e.g.
+    calling a real embedding library). The built-in ``cosine`` (zip_with/
+    aggregate, codegen'd) is the default hot path; this exists for parity
+    with Python-native pipelines and is equality-tested against it."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return _cos
 
 
 def ivf_topk(
