@@ -87,6 +87,24 @@ def test_ep2_tfidf_identities(ep1):
     assert abs(row["idf"] - math.log10(n_docs / df_val)) < 1e-9
 
 
+def test_stem_counts_equivalent_to_array_stemming(spark, sf_dir):
+    # The distinct-term stemming path must agree exactly with stemming
+    # every token occurrence (bag-of-words equivalence).
+    from week5_datingnlp_big_data_spark.functions.stemmer import stem_tokens
+    from week5_datingnlp_big_data_spark.functions.text import remove_stopwords, tokenize
+    from week5_datingnlp_big_data_spark.operators.corpus import clean_text
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    toks = docs.select("doc_id", remove_stopwords(tokenize(clean_text("text"))).alias("tokens"))
+
+    via_arrays = dfm.doc_term_counts(toks.withColumn("tokens", stem_tokens("tokens")))
+    via_distinct = dfm.stem_counts(dfm.doc_term_counts(toks))
+    a = {(r["doc_id"], r["term"]): r["count"] for r in via_arrays.collect()}
+    b = {(r["doc_id"], r["term"]): r["count"] for r in via_distinct.collect()}
+    assert a == b
+
+
 def test_trim_boundary(spark):
     # doc-freq boundary: term in exactly min_docfreq-1 docs is dropped
     rows = [(d, ["boundary"]) for d in range(4)] + [(d, ["kept"]) for d in range(5)]

@@ -15,8 +15,10 @@ doc×term table is filtered without a second full shuffle of the big side.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def doc_term_counts(tokenized: DataFrame, doc_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
@@ -25,6 +27,31 @@ def doc_term_counts(tokenized: DataFrame, doc_col: str = "doc_id", tokens_col: s
         tokenized.select(doc_col, F.explode(tokens_col).alias("term"))
         .groupBy(doc_col, "term")
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def stem_counts(counts: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Stem the long-form DFM by stemming DISTINCT terms only, then
+    re-aggregating — for bag-of-words semantics this is exactly equivalent
+    to stemming every token occurrence, but the Python stemmer touches
+    |vocab| rows (~10⁵) instead of every token (~10⁷): the Zipf-aware
+    formulation of reference operator N3.
+
+    One tiny pandas-UDF pass over the distinct vocabulary, a broadcast
+    join, and a re-aggregation on (doc, stem) — all the heavy lifting
+    stays JVM-side. Use ``functions.stemmer.stem_tokens`` instead when
+    ordered token streams are needed (N5 inspection)."""
+    from week5_datingnlp_big_data_spark.functions.stemmer import porter2_stem
+
+    @F.pandas_udf(T.StringType())
+    def _stem_one(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: None if w is None else porter2_stem(w))
+
+    vocab_stems = counts.select("term").distinct().withColumn("stem", _stem_one("term"))
+    return (
+        counts.join(F.broadcast(vocab_stems), "term")
+        .groupBy(doc_col, F.col("stem").alias("term"))
+        .agg(F.sum("count").alias("count"))
     )
 
 

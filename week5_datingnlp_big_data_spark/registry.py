@@ -1043,15 +1043,17 @@ def user_value_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stemmed_wordcount_top50_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL reference chain N1→N4 (clean, tokenize, de-stopword, STEM,
-    length-filter) → word count → top-50. Rows-only at the driver (no
-    DuckDB stemmer available offline); the stemmer itself is pinned by
-    unit goldens against the published Snowball vocabulary."""
-    docs = _t(spark, sf_dir, "documents")
-    toked = corpus.tokenize_corpus(docs.select("doc_id", "text"))
+    length-filter) → word count → top-50, via the Zipf-aware distinct-term
+    stemming path (dfm.stem_counts: the Python stemmer touches |vocab|
+    rows, not every token). Rows-only at the driver (no DuckDB stemmer
+    offline); the stemmer is pinned by Snowball vocabulary goldens and the
+    path is equivalence-tested against array-level stemming."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    stemmed = dfm.stem_counts(counts)
     return (
-        toked.select(F.explode("tokens").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        stemmed.filter(F.length("term") >= 2)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.sum("count").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(50)
     )
