@@ -1643,6 +1643,27 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_decode_stats")
+def media_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver contract: treat each
+    document's UTF-8 bytes as an opaque media payload, run the Arrow-
+    batched decode (deterministic fake codec — real codecs are gated), and
+    return per-item stats. Rows-only: the fake decode's md5-derived
+    dimensions have no tractable SQL twin offline; decode determinism and
+    batch shape are pinned by tests/test_multimodal.py."""
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return mm.decode_media(media).select(
+        "media_id", "width", "height", "n_bytes", "payload_sha"
+    )
+
+
 @query("simhash_near_dups")
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits, pigeonhole-blocked).
