@@ -52,6 +52,32 @@ def test_label_attach_by_key_not_row_order(spark):
     assert got == {1: (10.0, "a"), 2: (20.0, "b")}
 
 
+def test_asof_join_empty_right_side(spark):
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([], "user_id long, o_orderdate timestamp")
+    out = relational.asof_join_two_tables(
+        left, right, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_vals=("event_id",), right_vals=("o_orderdate",),
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_o_orderdate"] is None
+
+
+def test_sessionize_single_event_per_user(spark):
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)], "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = relational.session_stats(ev).collect()
+    assert len(out) == 1
+    assert out[0]["session_seq"] == 1 and out[0]["n_events"] == 1
+    assert out[0]["span_sec"] == 0.0
+
+
 def test_json_extraction_malformed_props(spark):
     # JSON extraction on junk degrades to NULL; numeric conversion of a
     # non-numeric value THROWS under ANSI (Spark 4 default, matching

@@ -150,6 +150,33 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert out.select("_batch_id").distinct().count() == 2
 
 
+def test_streaming_sliding_windows(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:40:00", 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    _drop_file(df, tmp_path, "sl", "b1.parquet")
+    stream = sc.stream_events(spark, str(tmp_path / "sl"))
+    agg = sc.streaming_event_window_counts(
+        stream, "1 hour", slide_duration="30 minutes", watermark="2 hours"
+    )
+    q = sc.run_stream_to_memory(agg, "slide_stream", "update")
+    try:
+        _wait(q)
+        out = spark.table("slide_stream").collect()
+    finally:
+        q.stop()
+    # Sliding 1h/30m: event at 10:10 falls in [9:30,10:30) and [10:00,11:00);
+    # event at 10:40 falls in [10:00,11:00) and [10:30,11:30).
+    counts = {str(r["window_start"]): r["n_events"] for r in out}
+    assert counts["2024-01-01 09:30:00"] == 1
+    assert counts["2024-01-01 10:00:00"] == 2
+    assert counts["2024-01-01 10:30:00"] == 1
+
+
 def test_streaming_restart_from_checkpoint(spark, sf_dir, tmp_path):
     # foreachBatch + checkpoint: stop the query, restart it, feed more
     # data — the restarted query must resume (no reprocessing of batch 1,
