@@ -46,6 +46,43 @@ def lang_id(c: Column | str, default: str = "und") -> Column:
     return F.when(best_score > 0, result).otherwise(F.lit(default))
 
 
+# Char-trigram profiles (top distinctive trigrams per language, spaces
+# marked with '_'): the classic n-gram language-ID signal.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "ing", "and", "ion", "_th", "he_", "ed_", "_of"],
+    "fr": ["es_", "de_", "_de", "le_", "ent", "que", "_le", "ais"],
+    "es": ["de_", "_de", "os_", "la_", "_la", "ión", "que", "ar_"],
+    "de": ["en_", "er_", "ch_", "sch", "die", "ein", "_de", "und"],
+}
+
+
+def chargram_score(c: Column | str, lang: str, n: int = 3) -> Column:
+    """Count occurrences of the language's profile trigrams in the text
+    (spaces normalized to '_'). Pure built-ins: sequence → substring →
+    profile membership."""
+    s = F.concat(F.lit("_"), F.regexp_replace(F.lower(_col(c)), "\\s+", "_"), F.lit("_"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(s) - n, F.lit(0))),
+        lambda i: s.substr(i + 1, F.lit(n)),
+    )
+    profile = LANG_TRIGRAMS[lang]
+    return F.when(F.length(s) >= n, F.size(F.filter(grams, lambda g: g.isin(profile)))).otherwise(
+        F.lit(0)
+    )
+
+
+def lang_id_chargram(c: Column | str, default: str = "und") -> Column:
+    """Argmax language over char-trigram profile hits, length-normalized
+    implicitly by comparing raw counts on the same text. Deterministic
+    tiebreak: profile order."""
+    scores = [(lang, chargram_score(c, lang)) for lang in LANG_TRIGRAMS]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit(default)
+    for lang, s in reversed(scores):
+        result = F.when(s == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit(default))
+
+
 def token_count_ws(c: Column | str) -> Column:
     """Whitespace token count."""
     s = F.trim(_col(c))

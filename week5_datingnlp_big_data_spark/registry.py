@@ -1499,6 +1499,50 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_chargram_score(lang: str) -> str:
+    grams = ", ".join(f"'{g}'" for g in textstats.LANG_TRIGRAMS[lang])
+    s = "('_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_')"
+    return (
+        f"CASE WHEN length({s}) >= 3 THEN "
+        f"len(list_filter(list_transform(range(0, greatest(length({s}) - 3, 0) + 1), "
+        f"i -> substr({s}, i + 1, 3)), g -> g IN ({grams}))) ELSE 0 END"
+    )
+
+
+@query(
+    "lang_id_chargram_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang AS actual,
+             {_sql_chargram_score('en')} AS s_en, {_sql_chargram_score('fr')} AS s_fr,
+             {_sql_chargram_score('es')} AS s_es, {_sql_chargram_score('de')} AS s_de
+      FROM documents
+    ), decided AS (
+      SELECT actual,
+             CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                  ELSE 'de' END AS predicted
+      FROM scored
+    )
+    SELECT actual, predicted, count(*) AS n FROM decided GROUP BY actual, predicted
+    """,
+)
+def lang_id_chargram_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram variant of the marker-word
+    heuristic) vs the lang column — confusion counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            textstats.lang_id_chargram("text").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query(
     "quality_scores",
     """
