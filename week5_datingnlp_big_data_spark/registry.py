@@ -1259,6 +1259,55 @@ def customers_without_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "active_nations_union",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    UNION
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def active_nations_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics, dedup): nations with customers or suppliers."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    with_c = n.join(c.distinct(), "n_nationkey", "left_semi")
+    with_s = n.join(s.distinct(), "n_nationkey", "left_semi")
+    return (
+        with_c.select("n_nationkey", "n_name")
+        .union(with_s.select("n_nationkey", "n_name"))
+        .distinct()
+    )
+
+
+@query(
+    "revenue_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def revenue_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front end (rollup/cube's general
+    form; Spark exposes it in SQL only)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
     "repeat_buyers_intersect",
     """
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
