@@ -18,6 +18,18 @@ def skewed(spark):
     return spark.createDataFrame(rows, "id long, lang string, v double").cache()
 
 
+def test_salt_spreads_hot_key(skewed):
+    # The point of salting: identical hot-key rows must NOT all land on one
+    # salt (a value-derived salt would collapse them — the exploded-words
+    # case where every 'the' row is byte-identical).
+    hot = skewed.filter(F.col("lang") == "en").drop("id", "v")
+    n_buckets = (
+        skew.with_salt(hot, n_salts=8)
+        .select(skew.SALT_COL).distinct().count()
+    )
+    assert n_buckets >= 4, f"hot key spread over only {n_buckets} salts"
+
+
 def test_salted_count_equals_plain(skewed):
     plain = {r["lang"]: r["cnt"] for r in
              skewed.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}

@@ -105,16 +105,22 @@ def make_names(names: list[str]) -> list[str]:
     import re
 
     out: list[str] = []
-    seen: dict[str, int] = {}
+    used: set[str] = set()
+    next_suffix: dict[str, int] = {}
     for n in names:
         s = re.sub(r"[^0-9a-zA-Z._]", ".", n)
         if not s or s[0].isdigit() or (s[0] == "." and len(s) > 1 and s[1].isdigit()):
             s = "X" + s
-        if s in seen:
-            seen[s] += 1
-            s = f"{s}.{seen[s]}"
-        else:
-            seen[s] = 0
+        if s in used:
+            # R make.unique: keep bumping the suffix until the candidate is
+            # itself unused (so ['X.1','X','X'] -> ['X.1','X','X.2'], never
+            # a duplicate out of the uniquifier).
+            k = next_suffix.get(s, 1)
+            while f"{s}.{k}" in used:
+                k += 1
+            next_suffix[s] = k + 1
+            s = f"{s}.{k}"
+        used.add(s)
         out.append(s)
     return out
 

@@ -24,9 +24,19 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Uniform random-ish salt derived deterministically from the row via
-    a cheap hash over all columns (no rand(): reruns stay reproducible)."""
-    return df.withColumn(SALT_COL, F.pmod(F.hash(*df.columns), F.lit(n_salts)))
+    """Row-unique salt: consecutive rows in a partition round-robin over
+    the ``n_salts`` buckets via ``monotonically_increasing_id``.
+
+    NOT derived from column values — hashing the row's columns would give
+    every occurrence of a hot key the SAME salt (identical rows → identical
+    hash), silently defeating the Zipf-head spreading this exists for.
+    ``monotonically_increasing_id`` is deterministic for a fixed partition
+    layout, and the salt only affects phase-1 grouping: the collapse phase
+    makes final results independent of salt assignment."""
+    return df.withColumn(
+        SALT_COL,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
 
 
 def salted_count(df: DataFrame, key_cols: list[str], n_salts: int = 16) -> DataFrame:
