@@ -66,6 +66,27 @@ def test_asof_join_empty_right_side(spark):
     assert len(out) == 1 and out[0]["asof_o_orderdate"] is None
 
 
+def test_asof_join_tied_right_rows_deterministic(spark):
+    # Multiple right rows sharing (key, right_ts): the carried payload must
+    # be the same on every run/partitioning — the tiebreak orders tied rows
+    # and the LAST one wins (here: max value).
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", v) for v in ("b", "c", "a")],
+        "user_id long, rts string, payload string",
+    ).withColumn("rts", F.to_timestamp("rts")).repartition(8)
+    for _ in range(3):
+        out = relational.asof_join_two_tables(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            left_vals=("event_id",), right_vals=("payload",),
+        ).collect()
+        assert len(out) == 1 and out[0]["asof_payload"] == "c"
+
+
 def test_sessionize_single_event_per_user(spark):
     from week5_datingnlp_big_data_spark.operators import relational
 

@@ -132,6 +132,18 @@ def test_brp_lsh_recall_vs_brute_force(emb):
     assert rec >= 0.4, rec
 
 
+def test_brp_lsh_join_recall_vs_brute_force(emb):
+    # The set-oriented approxSimilarityJoin form must be at least as good
+    # as the per-query-loop variant's bar — one job for the whole query
+    # table, not one per vector.
+    qids = list(range(8))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    approx = similarity.brp_lsh_topk_join(emb, qids, k=5)
+    assert approx.groupBy("query_id").count().count() == len(qids)
+    rec = similarity.knn_recall(exact, approx)
+    assert rec >= 0.4, rec
+
+
 def test_pandas_cosine_equals_builtin(emb):
     from pyspark.sql import Window
 

@@ -20,3 +20,29 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_kmeans_pca_stable_across_reruns(spark, sf_dir):
+    # Seeded estimators: the driver's rows-only check reruns per round, so
+    # the outputs must be identical run to run.
+    for name in ("embedding_kmeans_sizes", "embedding_pca_variance"):
+        a = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        assert a == b, name
+
+
+def test_driver_window_holds_flagships():
+    # The driver records at most 50 correctness rows in queries() order;
+    # the flagship LLM-pipeline queries must sit inside that window and
+    # every slot must carry an oracle (rows-only entries sort after).
+    from week5_datingnlp_big_data_spark.registry import all_oracles, all_queries
+
+    window = list(all_queries())[:50]
+    oracles = all_oracles()
+    assert all(n in oracles for n in window)
+    for flagship in (
+        "minhash_near_dups", "winnow_dup_pairs", "embedding_cosine_topk",
+        "embedding_near_dup_pairs", "quality_scores", "lang_id_confusion",
+        "lang_id_chargram_confusion", "token_counts", "orders_price_percentiles",
+    ):
+        assert flagship in window, f"{flagship} fell out of the driver window"

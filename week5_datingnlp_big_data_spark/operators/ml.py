@@ -80,17 +80,26 @@ def train_decision_tree(
     features_col: str = "features",
     max_depth: int = 5,
     min_info_gain: float = 0.0,
+    max_bins: int = 16,
+    min_instances_per_node: int = 7,
+    max_memory_mb: int = 1024,
     seed: int = 32984,
 ) -> PipelineModel:
     """M3 — CART-style tree (rpart cp=.02 analog, R:178). cp-pruning has no
-    exact MLlib equivalent; shallow max_depth + minInfoGain approximate it.
-    The reference's learned tree splits on stems guy/girl/danc with 4
-    leaves — tests assert top-split membership + accuracy band, not
-    structure."""
+    exact MLlib equivalent; shallow max_depth + minInfoGain approximate it,
+    and ``min_instances_per_node=7`` mirrors rpart's minbucket default.
+    Term-count features are tiny integers, so 16 histogram bins lose
+    nothing vs MLlib's 32 while halving the per-feature stats each pass;
+    the larger ``maxMemoryInMB`` lets more tree nodes train per data pass
+    (fewer full scans of a wide DFM). The reference's learned tree splits
+    on stems guy/girl/danc with 4 leaves — tests assert top-split
+    membership + accuracy band, not structure."""
     indexer = StringIndexer(inputCol=label_col, outputCol="indexed_label")
     dt = DecisionTreeClassifier(
         labelCol="indexed_label", featuresCol=features_col,
-        maxDepth=max_depth, minInfoGain=min_info_gain, seed=seed,
+        maxDepth=max_depth, minInfoGain=min_info_gain, maxBins=max_bins,
+        minInstancesPerNode=min_instances_per_node,
+        maxMemoryInMB=max_memory_mb, seed=seed,
     )
     return Pipeline(stages=[indexer, dt]).fit(train)
 

@@ -91,6 +91,7 @@ def asof_join_two_tables(
     right_ts: str,
     left_vals: tuple[str, ...],
     right_vals: tuple[str, ...],
+    right_tiebreak: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """General two-table as-of join: for each left row, the latest right
     row with ``right_ts <= left_ts`` on the same key. Union trick: tag both
@@ -100,20 +101,31 @@ def asof_join_two_tables(
 
     Output: (key, left_ts, *left_vals, *asof_<right_vals>). Ties
     (right_ts == left_ts): the right row sorts first (side 0 < 1), so a
-    simultaneous right row IS visible — standard ASOF `<=` semantics."""
+    simultaneous right row IS visible — standard ASOF `<=` semantics.
+
+    When several right rows share (key, right_ts), the carried row is the
+    LAST one ordered by ``right_tiebreak`` (default: ``right_vals``), so
+    results are deterministic across runs and partitionings — a
+    sort-order-dependent pick here would make oracle comparisons flaky."""
+    if right_tiebreak is None:
+        right_tiebreak = right_vals
+    extra = tuple(c for c in right_tiebreak if c not in right_vals)
     lt = left.select(
         F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
         *[F.col(c) for c in left_vals],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_vals],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in (*right_vals, *extra)
+        ],
     )
     rt = right.select(
         F.col(key), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_vals],
-        *[F.col(c) for c in right_vals],
+        *[F.col(c) for c in (*right_vals, *extra)],
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[F.col(c) for c in right_tiebreak])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = lt.unionByName(rt).select(

@@ -183,6 +183,54 @@ def brp_lsh_topk(
     return out
 
 
+def brp_lsh_topk_join(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    dist_threshold: float = 8.0,
+) -> DataFrame:
+    """Set-oriented LSH top-k: ONE ``approxSimilarityJoin`` between the
+    query table and the corpus, then a per-query window rank — the
+    companion to ``brp_lsh_topk``'s per-vector loop, which launches one
+    Spark job per query and is only sane for a handful of vectors. This
+    form takes a query *table* of any size in a single bucketed join
+    (candidates = hash-bucket collisions, never Q×N), so it is the shape
+    that survives a 100 TB corpus with a large query set.
+
+    ``dist_threshold`` bounds candidate distance; neighbors farther than
+    it are unreachable (recall-tested against cosine_topk). Seeded MLlib
+    hash family → rows-only at the driver."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
+    )
+    model = brp.fit(feat)
+    queries = feat.filter(F.col(id_col).isin(query_ids))
+    joined = model.approxSimilarityJoin(queries, feat, dist_threshold, distCol="dist")
+    scored = joined.select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )
+
+
 def cosine_pandas_udf(dim: int = 64):
     """Vectorized Pandas-UDF cosine (Arrow-batched NumPy) — the
     alternative formulation for when vector math must leave the JVM (e.g.

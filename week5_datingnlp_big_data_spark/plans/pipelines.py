@@ -55,9 +55,37 @@ def ep1_classification(
     )
     # Restrict token arrays to the trimmed vocabulary for the vector view
     # so CountVectorizer and the long form agree on the feature space.
-    kept_vocab = [r[0] for r in counts.select("term").distinct().collect()]
-    vec_input = tokenized.withColumn(
-        "tokens", F.filter("tokens", lambda t: t.isin(kept_vocab))
+    # Fully distributed: explode → broadcast semi-join against the trimmed
+    # term set → rebuild arrays in original token order. (The obvious
+    # collect()+isin() inlines the whole vocabulary into the plan as
+    # literals — a driver bottleneck and multi-MB expression tree once the
+    # vocabulary hits 150k+ terms.) The post-trim vocabulary is bounded
+    # (Heaps' law + the df/tf floors), so the broadcast side stays small
+    # even at 100 TB corpus scale.
+    kept_terms = counts.select(F.col("term").alias("_term")).distinct()
+    rebuilt = (
+        tokenized.select("doc_id", F.posexplode("tokens").alias("_pos", "_term"))
+        .join(F.broadcast(kept_terms), "_term", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_term"))),
+                lambda s: s["_term"],
+            ).alias("_kept_tokens")
+        )
+    )
+    # Persisted: unlike the old cheap projection of the cached tokenized
+    # frame, the rebuild is a real shuffle chain, and CountVectorizer.fit,
+    # transform, and the split's label scan would each re-run it.
+    vec_input = (
+        tokenized.drop("tokens")
+        .join(rebuilt, "doc_id", "left")
+        .withColumn(
+            "tokens",
+            F.coalesce("_kept_tokens", F.expr("cast(array() as array<string>)")),
+        )
+        .drop("_kept_tokens")
+        .persist()
     )
     vectorized, vocab = ml.vectorize_tokens(vec_input)
 

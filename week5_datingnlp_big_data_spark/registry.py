@@ -1781,6 +1781,57 @@ def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_kmeans_sizes")
+def embedding_kmeans_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 through the driver contract: k-means (restarts, fixed seed) over
+    the embeddings table → cluster sizes ranked descending. Ranked sizes
+    (not raw labels) so the output is invariant to MLlib's arbitrary
+    cluster numbering. Seeded estimator → rows-only."""
+    from pyspark.ml.functions import array_to_vector
+
+    from week5_datingnlp_big_data_spark.operators import ml
+
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    ).cache()
+    model, _cost = ml.kmeans_restarts(vecs, k=8, nstart=2, seed=42)
+    sized = model.transform(vecs).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("prediction"))
+    return sized.select(F.row_number().over(w).alias("size_rank"), "n")
+
+
+@query("embedding_pca_variance")
+def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 through the driver contract: center+scale PCA (prcomp analog)
+    over the embeddings table → per-component explained-variance ratios.
+    Deterministic up to eigensolver sign/tie handling → rows-only."""
+    from pyspark.ml.functions import array_to_vector
+
+    from week5_datingnlp_big_data_spark.operators import ml
+
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    _projected, ratios = ml.pca_project(vecs, k=8)
+    return spark.createDataFrame(
+        [(i + 1, round(float(r), 6)) for i, r in enumerate(ratios)],
+        "component int, explained_variance double",
+    )
+
+
+@query("embedding_lsh_join_topk")
+def embedding_lsh_join_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented BRP-LSH top-k: one approxSimilarityJoin for the whole
+    query table (the scale path for large query sets — the per-vector loop
+    in embedding_lsh_topk launches one job per query). Seeded hash family
+    → rows-only; recall-tested against cosine_topk in unit tests."""
+    return similarity.brp_lsh_topk_join(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
+    )
+
+
 @query("embedding_ivf_topk")
 def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer, n_probe cell scan) approximate
@@ -1791,8 +1842,33 @@ def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-window curation. The per-round driver records at most 50
+# correctness rows, in queries() iteration order — round 1 capped at
+# exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
+# cosine/quality/lang-id) unrecorded. Ordering policy: oracle-backed
+# queries first, except the DEMOTED coverage-duplicates; rows-only and
+# demoted queries follow. Demoted queries still run under the in-repo
+# DuckDB parity gate (tests/test_oracle_parity.py) — only the driver slot
+# moves.
+# ---------------------------------------------------------------------------
+
+DEMOTED: tuple[str, ...] = (
+    "wordcount_salted_top100",    # same result set as wordcount_top100
+    "q1_pricing_summary_sql",     # SQL-front-end twin of q1_pricing_summary
+    "customers_without_orders",   # 0 rows at sf0.01 — no hash signal
+    "lang_words_except_all",      # setdiff covered by lang_distinctive_words
+    "orders_value_quartiles",     # ntile; orders_price_percentiles covers
+    "vocab_lexical_top100",       # ordering variant of vocab_trim
+    "user_value_zscore",          # window agg covered by user_event_lag
+    "doc_tokens_lookup",          # point lookup over doc_term_counts' shape
+)
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    ordered = [n for n in QUERIES if n in ORACLE and n not in DEMOTED]
+    ordered += [n for n in QUERIES if n not in ordered]
+    return {n: QUERIES[n] for n in ordered}
 
 
 def all_oracles() -> dict[str, str]:
