@@ -80,3 +80,32 @@ def test_idf_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tfidf")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_noop_on_well_partitioned_input(spark):
+    # spread() must be a no-op (no RoundRobin exchange) when the input is
+    # already split at least defaultParallelism-wide — on a cluster a
+    # blanket repartition of raw text would be a pointless full shuffle.
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from week5_datingnlp_big_data_spark.session import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000, numPartitions=n).withColumn("text", F.lit("x"))
+    out = spread(wide)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "roundrobin" not in buf.getvalue().lower()
+    assert out.rdd.getNumPartitions() == n
+
+    narrow = spark.range(10_000, numPartitions=1).withColumn("text", F.lit("x"))
+    out2 = spread(narrow)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        out2.explain("formatted")
+    assert "roundrobin" in buf2.getvalue().lower()
+    assert out2.rdd.getNumPartitions() == n

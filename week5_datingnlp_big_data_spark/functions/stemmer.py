@@ -230,3 +230,16 @@ def stem_tokens(tokens: Column | str) -> Column:
     (Zipf: a 60k-doc corpus has ~150k distinct words vs ~25M tokens)."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     return _stem_array_udf(c)
+
+
+def stem_one_udf():
+    """Scalar stemming pandas UDF for string columns — the building block
+    of the distinct-vocabulary stemming path (dfm.stem_counts, EP-1):
+    apply to a DISTINCT term column, broadcast the (term, stem) map back,
+    and no Python ever sees a token occurrence."""
+
+    @F.pandas_udf(T.StringType())
+    def _stem_one(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: None if w is None else porter2_stem(w))
+
+    return _stem_one

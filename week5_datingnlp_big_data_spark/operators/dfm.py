@@ -41,13 +41,9 @@ def stem_counts(counts: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     join, and a re-aggregation on (doc, stem) — all the heavy lifting
     stays JVM-side. Use ``functions.stemmer.stem_tokens`` instead when
     ordered token streams are needed (N5 inspection)."""
-    from week5_datingnlp_big_data_spark.functions.stemmer import porter2_stem
+    from week5_datingnlp_big_data_spark.functions.stemmer import stem_one_udf
 
-    @F.pandas_udf(T.StringType())
-    def _stem_one(s: pd.Series) -> pd.Series:
-        return s.map(lambda w: None if w is None else porter2_stem(w))
-
-    vocab_stems = counts.select("term").distinct().withColumn("stem", _stem_one("term"))
+    vocab_stems = counts.select("term").distinct().withColumn("stem", stem_one_udf()("term"))
     return (
         counts.join(F.broadcast(vocab_stems), "term")
         .groupBy(doc_col, F.col("stem").alias("term"))

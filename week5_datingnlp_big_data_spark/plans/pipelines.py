@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from week5_datingnlp_big_data_spark.functions import stemmer
 from week5_datingnlp_big_data_spark.operators import corpus, dfm, freq, ml, tfidf
 
 
@@ -48,42 +49,71 @@ def ep1_classification(
     than the reference's 25/35 (R:105) because test fixtures are ~500 docs
     vs 60k; pass 25/35 at full scale."""
     docs = corpus.profiles_to_docs(profiles)
-    tokenized = corpus.tokenize_corpus(docs).cache()
+    # Tokenize WITHOUT stemming: the whole clean/tokenize/stopword chain is
+    # JVM regex work. Stemming happens below on DISTINCT terms only — the
+    # Zipf-aware formulation (dfm.stem_counts' trick, applied to the full
+    # pipeline): the Python stemmer touches |vocab| rows (~10^5), never
+    # every token occurrence (~10^7+). min_token_len=1 defers the length
+    # filter: the reference applies it AFTER stemming (R:86-87).
+    raw = corpus.tokenize_corpus(docs, stem=False, min_token_len=1).cache()
+    # Materialization barrier: several downstream shuffle-map stages read
+    # this cache concurrently — cold, each would re-run the tokenizer
+    # (measured ~3x the corpus scan at 60k docs).
+    raw.count()
 
-    counts = dfm.trim_vocabulary(
-        dfm.doc_term_counts(tokenized), min_docfreq, min_termfreq
+    exploded = raw.select("doc_id", F.posexplode("tokens").alias("_pos", "_raw"))
+    stem_map = (
+        exploded.select("_raw").distinct()
+        .withColumn("_term", stemmer.stem_one_udf()("_raw"))
+        .persist()  # tiny (|vocab| rows); consumed by counts AND rebuild
     )
-    # Restrict token arrays to the trimmed vocabulary for the vector view
-    # so CountVectorizer and the long form agree on the feature space.
-    # Fully distributed: explode → broadcast semi-join against the trimmed
-    # term set → rebuild arrays in original token order. (The obvious
+    # Ordered stemmed token stream, post-stem length filter as in the
+    # reference chain. Recomputations of this frame only re-run the
+    # broadcast map join against the cached raw tokens — all JVM-side.
+    stemmed = (
+        exploded.join(F.broadcast(stem_map), "_raw")
+        .filter(F.length("_term") >= 2)
+        .select("doc_id", "_pos", "_term")
+    )
+    counts = dfm.trim_vocabulary(
+        stemmed.groupBy("doc_id", F.col("_term").alias("term")).agg(
+            F.count(F.lit(1)).alias("count")
+        ),
+        min_docfreq,
+        min_termfreq,
+    )
+    # Stemmed token arrays (EP1Result.tokenized contract) — lazy; only
+    # materializes if a consumer (EP-2) asks.
+    _as_arrays = lambda df: df.groupBy("doc_id").agg(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_term"))),
+            lambda s: s["_term"],
+        ).alias("_toks")
+    )
+    empty_arr = F.expr("cast(array() as array<string>)")
+    tokenized = (
+        raw.drop("tokens")
+        .join(_as_arrays(stemmed), "doc_id", "left")
+        .withColumn("tokens", F.coalesce("_toks", empty_arr))
+        .drop("_toks")
+    )
+    # Restrict the token stream to the trimmed vocabulary for the vector
+    # view so CountVectorizer and the long form agree on the feature
+    # space. Fully distributed: broadcast semi-join against the trimmed
+    # term set → rebuild arrays in original order. (The obvious
     # collect()+isin() inlines the whole vocabulary into the plan as
     # literals — a driver bottleneck and multi-MB expression tree once the
     # vocabulary hits 150k+ terms.) The post-trim vocabulary is bounded
-    # (Heaps' law + the df/tf floors), so the broadcast side stays small
+    # (Heaps' law + the df/tf floors), so the broadcast sides stay small
     # even at 100 TB corpus scale.
     kept_terms = counts.select(F.col("term").alias("_term")).distinct()
-    rebuilt = (
-        tokenized.select("doc_id", F.posexplode("tokens").alias("_pos", "_term"))
-        .join(F.broadcast(kept_terms), "_term", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_term"))),
-                lambda s: s["_term"],
-            ).alias("_kept_tokens")
-        )
-    )
-    # Persisted: unlike the old cheap projection of the cached tokenized
-    # frame, the rebuild is a real shuffle chain, and CountVectorizer.fit,
-    # transform, and the split's label scan would each re-run it.
+    rebuilt = _as_arrays(stemmed.join(F.broadcast(kept_terms), "_term", "left_semi"))
+    # Persisted: CountVectorizer.fit, transform, and the split's label
+    # scan each consume it, and the rebuild is a real shuffle chain.
     vec_input = (
-        tokenized.drop("tokens")
-        .join(rebuilt, "doc_id", "left")
-        .withColumn(
-            "tokens",
-            F.coalesce("_kept_tokens", F.expr("cast(array() as array<string>)")),
-        )
+        raw.drop("tokens")
+        .join(rebuilt.withColumnRenamed("_toks", "_kept_tokens"), "doc_id", "left")
+        .withColumn("tokens", F.coalesce("_kept_tokens", empty_arr))
         .drop("_kept_tokens")
         .persist()
     )

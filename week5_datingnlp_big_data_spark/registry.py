@@ -696,15 +696,18 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_extract",
     """
-    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+    SELECT event_id, TRY_CAST(props->>'k' AS BIGINT) AS k
     FROM events
-    WHERE CAST(props->>'k' AS BIGINT) > 50
+    WHERE TRY_CAST(props->>'k' AS BIGINT) > 50
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the props payload + predicate on the value."""
+    """JSON extraction from the props payload + predicate on the value.
+    try_cast on both sides: a malformed value (e.g. ``{"k": ""}``) must
+    yield NULL, not a query-killing ANSI cast error — at 100 TB some row
+    is always dirty (fuzz-pinned in tests/test_fuzz_events.py)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
 
 
@@ -1069,7 +1072,7 @@ def stemmed_wordcount_top50_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH s AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
                   THEN 1 ELSE 0 END AS is_new
@@ -1077,7 +1080,7 @@ def stemmed_wordcount_top50_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM s
     )
