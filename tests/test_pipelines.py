@@ -146,14 +146,33 @@ def test_tsne_gate(ep1):
     feats = ep1.train.select("doc_id", "features")
     with _pytest.raises(ValueError, match="capped"):
         ml.tsne_driver(feats, max_rows=10)
-    try:
-        import sklearn  # noqa: F401
-        has_sklearn = True
-    except ImportError:
-        has_sklearn = False
-    if not has_sklearn:
-        with _pytest.raises(NotImplementedError):
-            ml.tsne_driver(feats.limit(5))
+
+
+def test_tsne_separates_planted_blobs(spark):
+    # M7 actually runs here (exact NumPy fallback when sklearn is absent):
+    # two well-separated 10-D blobs must stay separated in the embedding,
+    # and a fixed seed must reproduce the exact projection.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((30, 10)) * 0.1
+    b = rng.standard_normal((30, 10)) * 0.1 + 5.0
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(list(a) + list(b))
+    ]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    Y = ml.tsne_driver(df, perplexity=10.0)
+    assert Y.shape == (60, 2) and np.isfinite(Y).all()
+    ya, yb = Y[:30], Y[30:]
+    intra = (
+        np.linalg.norm(ya - ya.mean(0), axis=1).mean()
+        + np.linalg.norm(yb - yb.mean(0), axis=1).mean()
+    )
+    inter = np.linalg.norm(ya.mean(0) - yb.mean(0))
+    assert inter > intra, (inter, intra)
+    Y2 = ml.tsne_driver(df, perplexity=10.0)
+    assert np.allclose(Y, Y2)
 
 
 def test_pca_explained_variance(ep1):

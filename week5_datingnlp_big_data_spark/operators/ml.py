@@ -219,21 +219,41 @@ def pca_project(
     return out, list(model.stages[1].explainedVariance)
 
 
-def tsne_driver(df: DataFrame, features_col: str = "features", max_rows: int = 100_000):
+def tsne_driver(
+    df: DataFrame,
+    features_col: str = "features",
+    max_rows: int = 100_000,
+    perplexity: float = 30.0,
+    seed: int = 42,
+):
     """M7 — t-SNE has no distributed implementation (SURVEY.md section 2.8
-    M7); this is the documented collect-to-driver escape hatch. Requires
-    scikit-learn, which is not bundled in this environment — the Spark-side
-    plumbing (bounded collect) is real; the projection is gated."""
+    M7; reference Rtsne call R:319): this is the documented
+    collect-to-driver escape hatch. Uses scikit-learn's Barnes-Hut TSNE
+    when available; otherwise falls back to the bundled exact NumPy
+    implementation (operators/tsne.py — O(N²), so the fallback enforces a
+    tighter row cap). Returns an (n, 2) ndarray."""
+    import numpy as np
+
     n = df.count()
     if n > max_rows:
         raise ValueError(f"t-SNE escape hatch capped at {max_rows} rows; got {n}")
+    vals = df.select(features_col).toPandas()[features_col]
+    X = np.array([v.toArray() if hasattr(v, "toArray") else np.asarray(v) for v in vals])
     try:
-        from sklearn.manifold import TSNE  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "t-SNE needs scikit-learn on the driver; not available here"
-        ) from exc
-    import numpy as np
+        from sklearn.manifold import TSNE
 
-    X = np.array(df.select(features_col).toPandas()[features_col].tolist())
-    return TSNE(n_components=2, random_state=42).fit_transform(X)
+        return TSNE(
+            n_components=2, random_state=seed,
+            perplexity=min(perplexity, max((n - 1) / 3.0, 1.01)),
+        ).fit_transform(X)
+    except ImportError:
+        pass
+    exact_cap = 5_000
+    if n > exact_cap:
+        raise ValueError(
+            f"exact t-SNE fallback capped at {exact_cap} rows (O(N²)); got {n}. "
+            "Sample/aggregate on the Spark side first."
+        )
+    from week5_datingnlp_big_data_spark.operators.tsne import tsne_exact
+
+    return tsne_exact(X, n_components=2, perplexity=perplexity, seed=seed)

@@ -1824,6 +1824,28 @@ def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_tsne_sample")
+def embedding_tsne_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 through the driver contract: exact t-SNE (bundled NumPy
+    implementation, operators/tsne.py) over a small deterministic sample
+    of the embeddings table. Iterative/seeded → rows-only; the projection
+    quality and determinism are pinned by unit tests."""
+    from week5_datingnlp_big_data_spark.operators import ml
+
+    sample = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("features"))
+        .orderBy("vec_id")
+    )
+    ids = [r["vec_id"] for r in sample.select("vec_id").collect()]
+    Y = ml.tsne_driver(sample, perplexity=15.0)
+    return spark.createDataFrame(
+        [(int(i), round(float(x), 4), round(float(y), 4)) for i, (x, y) in zip(ids, Y)],
+        "vec_id long, x double, y double",
+    )
+
+
 @query("embedding_lsh_join_topk")
 def embedding_lsh_join_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-oriented BRP-LSH top-k: one approxSimilarityJoin for the whole
