@@ -110,7 +110,12 @@ def main() -> None:
     timings["ep1_full"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
-    tfidf_rows = pipelines.ep2_tfidf(r.tokenized, min_docfreq=25, min_termfreq=35).count()
+    # EP-2 reuses EP-1's trimmed DFM (the reference reuses all.tokens the
+    # same way, R:234) rather than re-tokenizing from raw text; the
+    # standalone ep2_tfidf(tokenized) path stays for fresh-corpus use.
+    from week5_datingnlp_big_data_spark.operators import tfidf as tfidf_op
+
+    tfidf_rows = tfidf_op.tf_idf(r.counts).count()
     timings["ep2_tfidf"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()

@@ -109,3 +109,16 @@ def test_spread_noop_on_well_partitioned_input(spark):
         out2.explain("formatted")
     assert "roundrobin" in buf2.getvalue().lower()
     assert out2.rdd.getNumPartitions() == n
+
+
+def test_q7_broadcasts_dims(spark, sf_dir):
+    # both nation legs + supplier broadcast; only the fact-side joins
+    # (orders/customer) may shuffle.
+    plan = _plan(spark, sf_dir, "q7_nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q19_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -165,6 +165,69 @@ def jaccard_near_dups(
     )
 
 
+def ngram_jaccard_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_docfreq: int = 20,
+) -> DataFrame:
+    """Direct n-gram-Jaccard near-dups WITHOUT MinHash: candidate pairs are
+    docs sharing at least one *rare* shingle (doc-freq ≤
+    ``max_shingle_docfreq``), then exact Jaccard ≥ ``threshold`` verifies.
+
+    Versus the MinHash path (``jaccard_near_dups``): no signature pass and
+    exact blocking recall on rare-shingle overlap, at the cost of a bigger
+    candidate set when docs share many rare shingles. The doc-freq cap is
+    the scale control — it bounds each shingle's join bucket to ≤ cap docs,
+    so the self-join emits ≤ cap² pairs per shingle (never n²), and drops
+    boilerplate shingles the same way winnowing drops ubiquitous
+    fingerprints. Output: (id_a, id_b, jaccard)."""
+    sh = (
+        spread(docs)
+        .filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles"))
+        .persist()  # feeds the blocking explode AND both verify sides
+    )
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # Broadcast the FREQUENT set (Zipf head — small) and anti-join; the
+    # rare set is the tail (~all distinct shingles) and must never be
+    # broadcast or collected.
+    frequent = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") > max_shingle_docfreq)
+        .select("shingle")
+    )
+    blocked = exploded.join(F.broadcast(frequent), "shingle", "left_anti")
+    cands = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -1868,6 +1868,364 @@ def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth II: Q7/Q13/Q17/Q19 shapes (bidirectional nation trade,
+# outer-join distribution, correlated-average subquery, OR-of-ANDs scan).
+# Defined after the flagship set, so they join the in-repo parity gate
+# without displacing anything from the driver's 50-row window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. Fact table joins dims with the two nation legs broadcast; the
+    pair filter applies post-join on the broadcast names so Catalyst can
+    still prune the nation build sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via LEFT OUTER join
+    (zero-order customers must appear in the c_count=0 bucket — an inner
+    join silently drops them). Two aggregations, both partial-agg
+    friendly; count(o_orderkey) skips the NULLs the outer join fabricates."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_pk, 0.5 * avg(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    ) ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+    """,
+)
+def q17_small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated 'below half the part's average
+    quantity' subquery decorrelated into a per-part aggregate + join —
+    the plan Spark should run at scale (one pass to build the averages,
+    no per-row re-aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The common
+    bound (p_size >= 1, quantity windows) stays conjunctive so the scan
+    can still prune; the brand-specific arms evaluate post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "ngram_jaccard_near_dups",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), exploded AS (
+      SELECT doc_id, s.shingle AS shingle FROM sh, unnest(shingles) AS s(shingle)
+    ), frequent AS (
+      SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 20
+    ), blocked AS (
+      SELECT doc_id, shingle FROM exploded
+      WHERE shingle NOT IN (SELECT shingle FROM frequent)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocked a JOIN blocked b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
+               JOIN sh sb ON cands.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    """,
+)
+def ngram_jaccard_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram-Jaccard near-dups: rare-shingle blocking (doc-freq ≤
+    20) instead of MinHash banding, exact trigram Jaccard ≥ 0.5 verify.
+    Complements minhash_near_dups — exact blocking recall, no signature
+    pass; the doc-freq cap bounds every join bucket."""
+    return dedup.ngram_jaccard_near_dups(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_shingle_docfreq=20
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(coalesce(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume END), 0)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part trade
+    volume per order year — conditional-sum ratio over a 7-table join.
+    All dims (supplier, both nation legs, region, filtered part) broadcast;
+    only the lineitem→orders→customer fact chain shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    n1 = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk"))
+    n2 = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cnk"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("_crk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_snk"))
+        .join(
+            F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)), F.lit(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem WHERE year(l_shipdate) = 1997
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum 1997 revenue. The
+    scalar max-subquery decorrelates to a 1-row aggregate broadcast back
+    onto the per-supplier revenues — no all-to-one window, no second scan
+    of lineitem. Ties (several suppliers at the max) all surface, which is
+    also what the SQL subquery form returns."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+        .persist()  # feeds both the max aggregate and the equality filter
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 7, 14, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for partsupp, which this
+    dataset lacks): distinct suppliers able to ship each surviving
+    (brand, type, size) combination. COUNT(DISTINCT) runs as Spark's
+    two-phase expand+partial-agg — no driver-side distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_heavy_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 500
+    )
+    """,
+)
+def q20_heavy_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved > 500 units of Brand#2 parts —
+    an IN-subquery over a filtered aggregate, executed as aggregate →
+    left-semi join (the decorrelated plan; no per-supplier re-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#2")), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 500)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -1887,6 +2245,10 @@ DEMOTED: tuple[str, ...] = (
     "vocab_lexical_top100",       # ordering variant of vocab_trim
     "user_value_zscore",          # window agg covered by user_event_lag
     "doc_tokens_lookup",          # point lookup over doc_term_counts' shape
+    "value_cube",                 # CUBE ⊂ grouping-sets; revenue_grouping_sets stays
+    "q6_forecast_revenue",        # 1-row filtered scan-agg; q14 covers the shape
+    "repeat_buyers_intersect",    # INTERSECT; union + semi-join shapes keep driver rows
+    "orders_by_date_parts",       # date-part groupBy; events_hourly/order_ship_latency cover
 )
 
 
