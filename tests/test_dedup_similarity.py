@@ -169,3 +169,34 @@ def test_hyperplane_buckets_group_identical_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_finds_planted_near_dups(dup_docs):
+    # Direct blocked path must find the same planted dups as the MinHash
+    # path — its blocking recall is exact for any pair sharing a rare
+    # shingle, which every high-Jaccard pair here does.
+    pairs = dedup.ngram_jaccard_near_dups(dup_docs, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+    assert (1, 3) in found and found[(1, 3)] > 0.5
+    assert not any({4, 5} & {a, b} for a, b in found)
+
+
+def test_ngram_jaccard_covers_minhash_verified_pairs(dup_docs):
+    # Verified-pair agreement between the two fuzzy-dedup paths: MinHash
+    # banding can only MISS candidates, so its verified output must be a
+    # subset of the exact-blocking path at the same threshold (no frequent
+    # shingles exist in this tiny fixture, so blocking drops nothing).
+    mh = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_near_dups(dup_docs, threshold=0.5).collect()}
+    ng = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_near_dups(dup_docs, threshold=0.5).collect()}
+    assert mh <= ng
+
+
+def test_ngram_jaccard_frequent_shingle_cap(spark):
+    # Docs sharing ONLY boilerplate (a shingle present in > cap docs) must
+    # not become candidates: the cap is the join-bucket bound at scale.
+    boiler = "terms of service apply to all users"
+    rows = [(i, f"{boiler} item {i}") for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_near_dups(docs, threshold=0.1, max_shingle_docfreq=3)
+    assert out.count() == 0

@@ -122,3 +122,31 @@ def test_q19_broadcasts_part(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q8_star_join_broadcasts_all_dims(spark, sf_dir):
+    # supplier, both nation legs, region, filtered part: >= 5 broadcasts;
+    # only the lineitem->orders->customer chain may shuffle.
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q15_max_subquery_is_broadcast_not_window(spark, sf_dir):
+    # The scalar max must come back as a broadcast join against the 1-row
+    # aggregate — not an all-to-one window over the revenue table.
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q20_semi_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_heavy_suppliers")
+    assert "LeftSemi" in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    # The self-join must be an equi-join on the shingle column, never a
+    # cartesian/BNLJ expansion.
+    plan = _plan(spark, sf_dir, "ngram_jaccard_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,108 @@
+"""Storage-layout scale evidence: bucketed tables join/aggregate with no
+exchange, partitioned writes prune at scan time, and the layout survives a
+catalog round-trip. These are the write-side halves of the 100 TB design —
+pay the shuffle once at load time, then every downstream join/agg on the
+clustered key is exchange-free."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.sources.catalog import load_table
+from week5_datingnlp_big_data_spark.sources.sinks import read_table, write_bucketed
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_orders_lineitem(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        o, "orders_b", ("o_orderkey",), num_buckets=8,
+        sort_cols=("o_orderkey",), path=os.path.join(base, "orders_b"),
+    )
+    write_bucketed(
+        li, "lineitem_b", ("l_orderkey",), num_buckets=8,
+        sort_cols=("l_orderkey",), path=os.path.join(base, "lineitem_b"),
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_orders_lineitem):
+    # The whole point of bucketing: co-clustered tables sort-merge join
+    # with zero Exchange operators (the shuffle happened at write time).
+    ot, lt = bucketed_orders_lineitem
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, lt).join(
+            read_table(spark, ot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # sortBy on the bucket key also removes the per-task sort.
+    assert joined.count() > 0
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_orders_lineitem):
+    ot, lt = bucketed_orders_lineitem
+    a = (
+        read_table(spark, lt)
+        .join(read_table(spark, ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    # Hive-style partition layout: a filter on the partition column must
+    # show up as a PartitionFilters entry, not a post-scan Filter over
+    # every file.
+    out = str(tmp_path / "orders_by_priority")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan_of(back)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    expected = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == expected
+
+
+def test_partitioned_dirs_exist_per_key(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_part")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    statuses = {r[0] for r in o.select("o_orderstatus").distinct().collect()}
+    dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("o_orderstatus=")
+    }
+    assert dirs == statuses

@@ -252,7 +252,11 @@ def winnowing_fingerprints(
     # so each stage computes once.
     normed = spread(docs).select(
         F.col(id_col),
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")).alias("_s"),
+        # Positive-class extract + join == trim(replace(runs, " ")) exactly,
+        # but skips the JDK negated-class lambda slow path (see text.py).
+        F.array_join(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)), " "
+        ).alias("_s"),
     )
     hashed = normed.select(
         id_col,

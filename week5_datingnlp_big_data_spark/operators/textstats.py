@@ -142,7 +142,11 @@ def fingerprint(c: Column | str) -> Column:
     """Normalization fingerprint: md5 of the lowercased,
     punctuation-collapsed, whitespace-normalized text. Robust exact-dedup
     key (catches case/punct/spacing variants)."""
-    norm = F.trim(F.regexp_replace(F.lower(_col(c)), "[^a-z0-9]+", " "))
+    # Positive-class extract + join == trim(replace(runs, " ")) exactly,
+    # minus the JDK negated-class lambda slow path (see functions/text.py).
+    norm = F.array_join(
+        F.regexp_extract_all(F.lower(_col(c)), F.lit("[a-z0-9]+"), F.lit(0)), " "
+    )
     return F.md5(norm)
 
 

@@ -55,3 +55,37 @@ def load_pipeline_model(path: str):
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink: pre-shuffles rows into
+    ``num_buckets`` files per partition, clustered on ``bucket_cols``.
+
+    This is the storage-level answer to repeated joins/aggregations on the
+    same key at 100 TB: two tables bucketed on the join key with the same
+    bucket count join with NO exchange on either side (and no sort, when
+    ``sort_cols`` matches the join key) — the shuffle is paid once at
+    write time instead of once per query. Requires ``saveAsTable`` (the
+    bucket metadata lives in the catalog, not the parquet files); ``path``
+    makes it an external table so the data location stays explicit."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table reader (bucketed tables keep their clustering spec
+    only through this path — ``spark.read.parquet`` on the files would
+    discard it)."""
+    return spark.table(table)
