@@ -200,3 +200,24 @@ def test_ngram_jaccard_frequent_shingle_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.ngram_jaccard_near_dups(docs, threshold=0.1, max_shingle_docfreq=3)
     assert out.count() == 0
+
+
+def test_connected_components_merges_chains(spark):
+    # A-B and B-C pairs must land in ONE component even though A-C never
+    # paired directly; isolated pair D-E stays its own component.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_near_dup_components_representatives(dup_docs):
+    out = dedup.near_dup_components(dup_docs, threshold=0.5).collect()
+    comp = {r["doc_id"]: (r["component"], r["is_representative"]) for r in out}
+    # docs 1,2,3 form one near-dup cluster; min-id 1 is the representative.
+    assert comp[1] == (1, True)
+    assert comp[2][0] == 1 and not comp[2][1]
+    assert comp[3][0] == 1 and not comp[3][1]
+    assert 4 not in comp and 5 not in comp  # distinct docs never enter

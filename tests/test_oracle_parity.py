@@ -44,5 +44,6 @@ def test_driver_window_holds_flagships():
         "minhash_near_dups", "winnow_dup_pairs", "embedding_cosine_topk",
         "embedding_near_dup_pairs", "quality_scores", "lang_id_confusion",
         "lang_id_chargram_confusion", "token_counts", "orders_price_percentiles",
+        "ngram_jaccard_near_dups", "near_dup_components", "exact_dedup",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -434,3 +434,84 @@ def mllib_minhash_join(
             (1 - F.col("jaccard_dist")).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum label among itself and its neighbors;
+    fixpoint = components. Convergence needs O(component diameter) rounds
+    — near-dup clusters are shallow (pairs/triples), so a handful.
+
+    This is the cluster-collapse step of a dedup pipeline: group near-dup
+    PAIRS into clusters so one representative (the min id) survives.
+
+    Scale: each round is one shuffle join on the node id; the driver only
+    reads a 1-row change count per round (no data collect). For graphs
+    with continent-sized components swap in alternating large-star/
+    small-star contraction (Kiveris et al.); for near-dup graphs the
+    plain propagation is the right cost.
+
+    Output: (node, component) — component = min doc id reachable."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels, sym.src == labels.node
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_dup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Near-dup clusters: MinHash-verified pairs → connected components.
+    Output (doc_id, component, is_representative) for every doc in at
+    least one near-dup pair; the min-id doc of each cluster is the
+    representative a dedup pass would keep."""
+    pairs = jaccard_near_dups(docs, text_col, id_col, threshold, **near_dup_kwargs)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )

@@ -45,6 +45,28 @@ def vectorize_tokens(
     return model.transform(tokenized), list(model.vocabulary)
 
 
+def vectorize_with_vocabulary(
+    tokenized: DataFrame,
+    vocabulary: list[str],
+    tokens_col: str = "tokens",
+    features_col: str = "features",
+) -> DataFrame:
+    """SparseVector view against a KNOWN vocabulary
+    (``CountVectorizerModel.from_vocabulary`` — no fit pass). Tokens
+    outside the vocabulary contribute nothing to the transform, so the
+    input token arrays need no pre-restriction: this replaces the
+    explode → semi-join → re-collect rebuild AND the fit scan when the
+    trimmed vocabulary already exists (EP-1's DFM trim). The vocabulary
+    rides in the model exactly as a fitted CountVectorizer's would — a
+    broadcast dictionary, not a plan literal."""
+    from pyspark.ml.feature import CountVectorizerModel
+
+    model = CountVectorizerModel.from_vocabulary(
+        vocabulary, inputCol=tokens_col, outputCol=features_col
+    )
+    return model.transform(tokenized)
+
+
 def label_proportions(df: DataFrame, label_col: str = "label") -> DataFrame:
     """A4 — prop.table(table(Label)) (R:152–153): per-class share."""
     w = Window.partitionBy()

@@ -97,29 +97,35 @@ def ep1_classification(
         .withColumn("tokens", F.coalesce("_toks", empty_arr))
         .drop("_toks")
     )
-    # Restrict the token stream to the trimmed vocabulary for the vector
-    # view so CountVectorizer and the long form agree on the feature
-    # space. Fully distributed: broadcast semi-join against the trimmed
-    # term set → rebuild arrays in original order. (The obvious
-    # collect()+isin() inlines the whole vocabulary into the plan as
-    # literals — a driver bottleneck and multi-MB expression tree once the
-    # vocabulary hits 150k+ terms.) The post-trim vocabulary is bounded
-    # (Heaps' law + the df/tf floors), so the broadcast sides stay small
-    # even at 100 TB corpus scale.
-    kept_terms = counts.select(F.col("term").alias("_term")).distinct()
-    rebuilt = _as_arrays(stemmed.join(F.broadcast(kept_terms), "_term", "left_semi"))
-    # Persisted: CountVectorizer.fit, transform, and the split's label
-    # scan each consume it, and the rebuild is a real shuffle chain.
-    vec_input = (
-        raw.drop("tokens")
-        .join(rebuilt.withColumnRenamed("_toks", "_kept_tokens"), "doc_id", "left")
-        .withColumn("tokens", F.coalesce("_kept_tokens", empty_arr))
-        .drop("_kept_tokens")
-        .persist()
+    # Vector view against the trimmed vocabulary. The vocabulary is the
+    # DFM trim's term set, ordered by corpus frequency desc (matching what
+    # a fitted CountVectorizer would produce); terms outside it contribute
+    # nothing to the transform, so the stemmed token arrays feed the model
+    # directly — no explode → semi-join → re-collect rebuild, and no fit
+    # scan. Post-trim vocabulary is bounded (Heaps' law + df/tf floors),
+    # so collecting it into the model's broadcast dictionary stays small
+    # even at 100 TB corpus scale — the same driver-side footprint a
+    # fitted CountVectorizerModel carries.
+    vocab_rows = (
+        counts.groupBy("term")
+        .agg(F.sum("count").alias("_tf"))
+        .orderBy(F.desc("_tf"), "term")
+        .select("term")
+        .collect()
     )
-    vectorized, vocab = ml.vectorize_tokens(vec_input)
+    vocab = [r["term"] for r in vocab_rows]
+    # Persisted: transform and the split's label scan each consume it.
+    vec_input = tokenized.persist()
+    vectorized = ml.vectorize_with_vocabulary(vec_input, vocab)
 
-    labeled = vectorized.withColumnRenamed("sex", "label")
+    # Narrow to the modeling columns and persist BEFORE the split: the
+    # split's two sides would otherwise each re-run the vectorize
+    # transform over the full corpus (sampleBy is narrow but the anti-join
+    # side re-reads the whole chain). One materialization, both sides
+    # read the cache; the text columns stay out of executor memory.
+    labeled = vectorized.select(
+        "doc_id", F.col("sex").alias("label"), "features"
+    ).persist()
     train, test = ml.stratified_split(
         labeled, "label", "doc_id", train_fraction, seed
     )

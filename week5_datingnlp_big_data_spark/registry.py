@@ -1416,9 +1416,8 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "minhash_near_dups",
-    f"""
+# Reused by minhash_near_dups AND the connected-components oracle below.
+_SQL_MINHASH_PAIRS = f"""
     WITH shingled AS (
       SELECT doc_id, s.shingle AS shingle
       FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_SQL_SHINGLES}) AS s(shingle)
@@ -1448,8 +1447,10 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN sh sb ON cands.id_b = sb.doc_id
     WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
           / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
-    """,
-)
+"""
+
+
+@query("minhash_near_dups", _SQL_MINHASH_PAIRS)
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact trigram Jaccard ≥ 0.5
     — the full fuzzy-dedup pipeline, end to end."""
@@ -2225,6 +2226,69 @@ def q20_heavy_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_wordcount_top100",
+    f"""
+    SELECT word, cnt FROM (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY t.word
+    ) ORDER BY cnt DESC, word ASC LIMIT 100
+    """,
+)
+def streaming_wordcount_top100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-batch equivalence, verified through the driver contract: the
+    flagship word count runs as a Structured Streaming query (file source
+    → complete-mode aggregation → memory sink, drained with
+    processAllAvailable) and its FINAL STATE must hash-match the batch
+    DuckDB oracle — the guarantee that lets one expression chain serve
+    both the batch and incremental paths."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    # File-source streams want a directory; a glob over the single parquet
+    # file gives the same one-batch stream without touching the data dir.
+    stream = streaming.stream_documents(spark, f"{sf_dir}/documents.parque*")
+    name = "streaming_wc_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_word_counts(stream), name
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy(F.desc("cnt"), F.asc("word")).limit(100)
+
+
+@query(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component,
+           (node = min(comp)) AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: MinHash-verified pairs → connected
+    components by iterative min-label propagation (each round one shuffle
+    join; the driver reads only a 1-row convergence count). The oracle
+    computes the same fixpoint as a DuckDB recursive CTE. The min-id doc
+    per cluster is flagged as the representative a dedup pass keeps."""
+    return dedup.near_dup_components(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -2249,11 +2313,24 @@ DEMOTED: tuple[str, ...] = (
     "q6_forecast_revenue",        # 1-row filtered scan-agg; q14 covers the shape
     "repeat_buyers_intersect",    # INTERSECT; union + semi-join shapes keep driver rows
     "orders_by_date_parts",       # date-part groupBy; events_hourly/order_ship_latency cover
+    "customers_with_big_orders",  # semi-join; q20_heavy_suppliers is the richer form
+    "active_nations_union",       # UNION of nation names; thin hash signal
+    "order_ship_latency",         # date-diff histogram; q12 buckets cover the shape
+)
+
+# Late-registered flagship queries that must sit INSIDE the driver's
+# 50-row window: moved ahead of other late oracle-backed additions
+# (which stay under the in-repo parity gate).
+PROMOTED: tuple[str, ...] = (
+    "ngram_jaccard_near_dups",
+    "near_dup_components",
+    "streaming_wordcount_top100",
 )
 
 
 def all_queries() -> dict[str, QueryFn]:
     ordered = [n for n in QUERIES if n in ORACLE and n not in DEMOTED]
+    ordered.sort(key=lambda n: n not in PROMOTED)  # stable: promoted first
     ordered += [n for n in QUERIES if n not in ordered]
     return {n: QUERIES[n] for n in ordered}
 
