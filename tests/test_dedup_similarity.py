@@ -221,3 +221,34 @@ def test_near_dup_components_representatives(dup_docs):
     assert comp[2][0] == 1 and not comp[2][1]
     assert comp[3][0] == 1 and not comp[3][1]
     assert 4 not in comp and 5 not in comp  # distinct docs never enter
+
+
+def test_connected_components_match_union_find(spark):
+    # Randomized graphs vs a pure-Python union-find reference.
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(40))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+        assert got == expected, f"seed {seed}"

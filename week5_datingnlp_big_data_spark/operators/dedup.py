@@ -34,6 +34,12 @@ from week5_datingnlp_big_data_spark.session import spread
 
 HASH_PREFIX_LEN = 16  # 64 bits of md5, as fixed-width hex
 
+# Winnowing k-gram hash: Horner polynomial over ASCII char codes. Both
+# constants are mirrored in the DuckDB oracle SQL (registry.py); change
+# them together or parity breaks.
+WINNOW_HASH_BASE = 257
+WINNOW_HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id representative per identical content.
@@ -242,14 +248,22 @@ def winnowing_fingerprints(
     any shared substring of length ≥ k + window − 1 yields a shared
     fingerprint.
 
-    Pure higher-order functions (sequence → substr → md5 → slice →
-    array_min): JVM-side, shuffle-free, and reproducible in the SQL oracle.
-    Output: (doc_id, fingerprints array<string>)."""
+    K-gram hash = Horner polynomial (base 257 mod 2^31−1) over the char
+    codes — pure 64-bit integer arithmetic that both engines evaluate
+    bit-identically, and ~5-10× cheaper than the md5-per-offset it
+    replaced (one md5 PER CHARACTER of every document dominated the whole
+    winnow query). The normalized alphabet is ASCII ([a-z0-9 ]), so
+    Spark ``ascii`` and DuckDB ``ord`` agree on every char.
+
+    Pure higher-order functions (sequence → aggregate → slice →
+    array_min): JVM-side, shuffle-free, and reproducible in the SQL
+    oracle. Output: (doc_id, fingerprints array<bigint>)."""
     # Stage every intermediate as a real column: embedding the normalized
     # string or the hash array inside a later lambda re-evaluates it PER
-    # ELEMENT (O(n²) regex/md5 per row — measured as a hang on 400-char
+    # ELEMENT (O(n²) regex per row — measured as a hang on 400-char
     # docs). Multi-use non-trivial aliases are not collapsed by Catalyst,
     # so each stage computes once.
+    B, M = WINNOW_HASH_BASE, WINNOW_HASH_MOD
     normed = spread(docs).select(
         F.col(id_col),
         # Positive-class extract + join == trim(replace(runs, " ")) exactly,
@@ -263,15 +277,28 @@ def winnowing_fingerprints(
         "_s",
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.length("_s") - k, F.lit(0))),
-            lambda i: F.substring(F.md5(F.col("_s").substr(i + 1, F.lit(k))), 1, 8),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), F.lit(k)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (acc * B + F.ascii(F.col("_s").substr(i + j, F.lit(1)))) % M,
+            ),
         ).alias("_hashes"),
     )
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_hashes") - window, F.lit(0))),
         lambda j: F.array_min(F.slice(F.col("_hashes"), j + 1, window)),
     )
+    # Short-text fallback: Horner over the whole string; empty/NULL → 0
+    # (guarded identically in the oracle — DuckDB ord('') is -1, Spark
+    # ascii('') is 0, so the empty case must never reach the hash).
+    whole = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length("_s"), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * B + F.ascii(F.col("_s").substr(j, F.lit(1)))) % M,
+    )
+    fallback = F.when(F.length("_s") > 0, whole).otherwise(F.lit(0).cast("long"))
     fingerprints = F.when(F.length("_s") >= k, F.array_distinct(mins)).otherwise(
-        F.array(F.substring(F.md5(F.col("_s")), 1, 8))
+        F.array(fallback)
     )
     return hashed.select(F.col(id_col), fingerprints.alias("fingerprints"))
 
@@ -452,10 +479,14 @@ def connected_components(
     PAIRS into clusters so one representative (the min id) survives.
 
     Scale: each round is one shuffle join on the node id; the driver only
-    reads a 1-row change count per round (no data collect). For graphs
-    with continent-sized components swap in alternating large-star/
-    small-star contraction (Kiveris et al.); for near-dup graphs the
-    plain propagation is the right cost.
+    reads a 1-row change count per round (no data collect). Every round
+    ``localCheckpoint``s its result — iterative lineage otherwise grows
+    the logical plan geometrically until planning itself OOMs (persist
+    caches data but does NOT truncate lineage). On a cluster where
+    executor loss matters, swap in a reliable ``checkpoint`` dir. For
+    graphs with continent-sized components swap in alternating
+    large-star/small-star contraction (Kiveris et al.); for near-dup
+    graphs the plain propagation is the right cost.
 
     Output: (node, component) — component = min doc id reachable."""
     sym = (
@@ -464,13 +495,13 @@ def connected_components(
             edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         msgs = sym.join(
@@ -480,7 +511,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -489,11 +520,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 

@@ -1645,10 +1645,16 @@ def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
       FROM documents
     ), hashed AS (
-      -- staged like the Spark side: hash array computed once per row
+      -- staged like the Spark side: hash array computed once per row.
+      -- Horner polynomial base 257 mod 2^31-1 over ASCII codes — the
+      -- constants mirror dedup.WINNOW_HASH_BASE/MOD.
       SELECT doc_id, s,
              list_transform(range(0, greatest(length(s) - 8, 0) + 1),
-                            i -> substr(md5(substr(s, i + 1, 8)), 1, 8)) AS hs
+                            i -> list_reduce(
+                                   list_prepend(0::BIGINT,
+                                     list_transform(range(1, 9),
+                                       j -> ord(substr(s, i + j, 1))::BIGINT)),
+                                   (acc, c) -> (acc * 257 + c) % 2147483647)) AS hs
       FROM normed
     ), fp AS (
       SELECT doc_id,
@@ -1656,7 +1662,13 @@ def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(list_transform(
                  range(0, greatest(len(hs) - 4, 0) + 1),
                  j -> list_min(hs[j+1:j+4])))
-             ELSE [substr(md5(s), 1, 8)] END AS fingerprints
+             ELSE [CASE WHEN length(s) > 0 THEN
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(range(1, length(s) + 1),
+                           j -> ord(substr(s, j, 1))::BIGINT)),
+                       (acc, c) -> (acc * 257 + c) % 2147483647)
+                   ELSE 0 END] END AS fingerprints
       FROM hashed
     ), exploded AS (
       SELECT doc_id, f.fp AS fp FROM fp, unnest(fingerprints) AS f(fp)
