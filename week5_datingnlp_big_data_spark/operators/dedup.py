@@ -13,13 +13,15 @@ the 100 TB target:
   simhash64          — 64-bit SimHash per doc (Hamming-ball near-dup)
   MinHashLSH (MLlib) — approxSimilarityJoin variant for vector pipelines
 
-Determinism: every hash is md5-derived (no JVM/Python hash seeds), so the
-whole MinHash pipeline is reproducible AND expressible in ANSI SQL — the
-DuckDB oracle runs the identical algorithm. A fixed-length hex prefix
-compares lexicographically exactly like the integer it encodes, so "min of
-hex strings" is a valid min-hash without any base conversion.
+Determinism: every hash is md5- or polynomial-derived (no JVM/Python hash
+seeds), so the whole MinHash pipeline is reproducible AND expressible in
+ANSI SQL — the DuckDB oracle runs the identical algorithm. The MinHash
+family is Kirsch-Mitzenmacher double hashing (one md5 per shingle, two
+56-bit halves, h_i = h1 + i·h2); the winnowing k-gram hash is a Horner
+polynomial over char codes — both pure integer arithmetic both engines
+evaluate bit-identically.
 
-Scale notes: signatures are one narrow row per doc (k × 16-byte strings).
+Scale notes: signatures are one narrow row per doc (k × 8-byte longs).
 The LSH self-join shuffles on (band_idx, band_key) whose cardinality is
 ~n_docs × n_bands with near-uniform md5 distribution — no hot keys. Exact
 Jaccard verification touches only candidate pairs, not the n² cross join.
@@ -31,8 +33,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from week5_datingnlp_big_data_spark.session import spread
-
-HASH_PREFIX_LEN = 16  # 64 bits of md5, as fixed-width hex
 
 # Winnowing k-gram hash: Horner polynomial over ASCII char codes. Both
 # constants are mirrored in the DuckDB oracle SQL (registry.py); change
@@ -74,8 +74,16 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """k min-hashes per doc: h_i(doc) = min over shingles of
-    md5(shingle ∥ '#i') hex prefix. Output: (doc_id, mh0..mh{k-1}).
+    """k min-hashes per doc via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle yields two independent 56-bit halves (h1, h2);
+    the family is h_i = h1 + i·h2 (the standard two-hash construction —
+    same LSH guarantees as k independent hashes at 1/k the hashing cost,
+    which dominates the whole MinHash pipeline at corpus scale).
+    Output: (doc_id, mh0..mh{k-1}) as BIGINT.
+
+    14 hex chars = 56 bits keeps h1 + 11·h2 < 2^63 (no overflow) and is
+    parseable identically on both engines (Spark ``conv``, DuckDB
+    ``('0x'||…)::BIGINT``).
 
     One explode + one groupBy(doc_id) — the k mins are computed as k
     aggregate columns in a single pass (map-side partial min, tiny
@@ -83,13 +91,16 @@ def minhash_signatures(
     # Contentless docs (NULL/whitespace-only) have no shingles to compare;
     # they belong to exact dedup, not near-dup candidacy.
     nonempty = docs.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    digest = F.md5("shingle")
     shingled = spread(nonempty).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    ).select(
+        id_col,
+        F.conv(F.substring(digest, 1, 14), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(digest, 17, 14), 16, 10).cast("long").alias("_h2"),
     )
     aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, HASH_PREFIX_LEN)
-        ).alias(f"mh{i}")
+        F.min(F.col("_h1") + i * F.col("_h2")).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)

@@ -1368,8 +1368,12 @@ _SQL_SHINGLES = (
 
 
 def _sql_minhash_cols(num_hashes: int = 12) -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures:
+    # one md5 per shingle, two 56-bit hex halves, family h_i = h1 + i*h2.
+    h1 = "('0x' || substr(md5(shingle), 1, 14))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 17, 14))::BIGINT"
     return ", ".join(
-        f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS mh{i}" for i in range(num_hashes)
+        f"min({h1} + {i} * {h2}) AS mh{i}" for i in range(num_hashes)
     )
 
 
@@ -1427,10 +1431,10 @@ _SQL_MINHASH_PAIRS = f"""
     ), banded AS (
       SELECT doc_id, b.band_idx,
              CASE b.band_idx
-               WHEN 0 THEN mh0 || '|' || mh1 || '|' || mh2
-               WHEN 1 THEN mh3 || '|' || mh4 || '|' || mh5
-               WHEN 2 THEN mh6 || '|' || mh7 || '|' || mh8
-               ELSE mh9 || '|' || mh10 || '|' || mh11 END AS band_key
+               WHEN 0 THEN mh0::VARCHAR || '|' || mh1::VARCHAR || '|' || mh2::VARCHAR
+               WHEN 1 THEN mh3::VARCHAR || '|' || mh4::VARCHAR || '|' || mh5::VARCHAR
+               WHEN 2 THEN mh6::VARCHAR || '|' || mh7::VARCHAR || '|' || mh8::VARCHAR
+               ELSE mh9::VARCHAR || '|' || mh10::VARCHAR || '|' || mh11::VARCHAR END AS band_key
       FROM sigs, unnest([0, 1, 2, 3]) AS b(band_idx)
     ), cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
