@@ -1420,11 +1420,14 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-# Reused by minhash_near_dups AND the connected-components oracle below.
-_SQL_MINHASH_PAIRS = f"""
+def _sql_minhash_pairs(source: str = "documents", threshold: float = 0.5) -> str:
+    """MinHash-LSH verified-pair SQL over any doc-shaped source
+    (parameterized for the prep-cascade funnel, which runs it over the
+    exact-deduped survivors at threshold 0.8)."""
+    return f"""
     WITH shingled AS (
       SELECT doc_id, s.shingle AS shingle
-      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_SQL_SHINGLES}) AS s(shingle)
+      FROM (SELECT * FROM {source} WHERE length(trim(coalesce(text, ''))) > 0) documents, unnest({_SQL_SHINGLES}) AS s(shingle)
     ), sigs AS (
       SELECT doc_id, {_sql_minhash_cols(12)}
       FROM shingled GROUP BY doc_id
@@ -1442,7 +1445,7 @@ _SQL_MINHASH_PAIRS = f"""
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ), sh AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM {source}
     )
     SELECT id_a, id_b,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
@@ -1450,8 +1453,12 @@ _SQL_MINHASH_PAIRS = f"""
     FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
                JOIN sh sb ON cands.id_b = sb.doc_id
     WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+          / len(list_distinct(sa.shingles || sb.shingles)) >= {threshold}
 """
+
+
+# Reused by minhash_near_dups AND the connected-components oracle below.
+_SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
 @query("minhash_near_dups", _SQL_MINHASH_PAIRS)
@@ -2305,6 +2312,94 @@ def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lang_pred(source: str) -> str:
+    """Per-doc predicted language over any doc-shaped source (mirrors
+    textstats.lang_id / the lang_id_confusion oracle)."""
+    return f"""
+      SELECT *, CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                     WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                     ELSE 'de' END AS pred_lang
+      FROM (
+        SELECT *, {_sql_lang_score('en')} AS s_en, {_sql_lang_score('fr')} AS s_fr,
+               {_sql_lang_score('es')} AS s_es, {_sql_lang_score('de')} AS s_de
+        FROM {source}
+      )
+    """
+
+
+def _sql_quality(source: str) -> str:
+    """Per-doc composite quality over any doc-shaped source (mirrors
+    textstats.quality_score / the quality_scores oracle)."""
+    return f"""
+      SELECT doc_id, text,
+             round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least((CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END) / 0.6, 1.0) * 0.3
+               + least((CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END) / 0.05, 1.0) * 0.2
+               + (CASE WHEN (CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality
+      FROM (
+        SELECT doc_id, text,
+               length(text) AS n_chars_q,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+                 AS stop_hits
+        FROM {source}
+      )
+    """
+
+
+@query(
+    "prep_cascade_funnel",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, text FROM ({_sql_lang_pred('documents')}) WHERE pred_lang = 'en'
+    ), good AS (
+      SELECT doc_id, text FROM ({_sql_quality('kept')}) WHERE quality >= 0.5
+    ), reps AS (
+      SELECT min(doc_id) AS rid FROM good GROUP BY sha256(text)
+    ), exact AS (
+      SELECT good.* FROM good JOIN reps ON doc_id = rid
+    ), pairs AS ({_sql_minhash_pairs('exact', 0.8)}
+    ), clean AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    )
+    SELECT 'input' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n
+    UNION ALL SELECT 'lang', (SELECT count(*) FROM kept)::BIGINT
+    UNION ALL SELECT 'quality', (SELECT count(*) FROM good)::BIGINT
+    UNION ALL SELECT 'exact', (SELECT count(*) FROM exact)::BIGINT
+    UNION ALL SELECT 'near', (SELECT count(*) FROM clean)::BIGINT
+    """,
+)
+def prep_cascade_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data prep cascade (language filter → quality
+    filter → exact dedup → MinHash near-dedup) run end to end, returning
+    the per-stage survivor funnel — every stage count oracle-verified
+    against a DuckDB re-implementation of the whole cascade. The Spark
+    side collects the funnel with a single-pass Observation (the corpus
+    is read once, not once per stage)."""
+    from week5_datingnlp_big_data_spark.plans import datapipe
+
+    r = datapipe.prepare_corpus(
+        _t(spark, sf_dir, "documents"),
+        keep_langs=("en",),
+        min_quality=0.5,
+        near_dup_threshold=0.8,
+    )
+    rows = [
+        ("input", r.n_input), ("lang", r.n_after_lang),
+        ("quality", r.n_after_quality), ("exact", r.n_after_exact),
+        ("near", r.n_after_near),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -2332,6 +2427,7 @@ DEMOTED: tuple[str, ...] = (
     "customers_with_big_orders",  # semi-join; q20_heavy_suppliers is the richer form
     "active_nations_union",       # UNION of nation names; thin hash signal
     "order_ship_latency",         # date-diff histogram; q12 buckets cover the shape
+    "doc_trigrams_top20",         # n-gram freq; wordcount/raw_split cover the shape
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -2341,6 +2437,7 @@ PROMOTED: tuple[str, ...] = (
     "ngram_jaccard_near_dups",
     "near_dup_components",
     "streaming_wordcount_top100",
+    "prep_cascade_funnel",
 )
 
 
