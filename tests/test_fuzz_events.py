@@ -49,6 +49,10 @@ PROPS_POOL = [
     '{"k": 9223372036854775807}',
     '{"k": "99"}',
     '{"k": "0051"}',
+    '{"k": 51.5}',
+    '{"k": "51.5"}',
+    '{"k": 1000.0}',
+    '{"k": "6e2"}',
     '{"k": null}',
     '{"j": 1}',
     '{"k": 12, "j": "x"}',
@@ -172,13 +176,20 @@ def test_events_hourly_fuzz(sides):
 
 
 def test_events_json_extract_fuzz(sides):
+    # Integer-regex guard on BOTH sides: the engines' bare try_cast
+    # disagrees on fractional strings (DuckDB rounds '51.5' to 52, Spark
+    # yields NULL) — the pinned spec casts pure-integer strings only.
     sdf, con = sides
-    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    v = F.get_json_object("props", "$.k")
+    k = F.when(v.rlike("^-?[0-9]+$"), v).try_cast("bigint")
     got = sdf.select("event_id", k.alias("k"))
     _compare(
         got,
         con,
-        "SELECT event_id, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events",
+        """SELECT event_id,
+                  TRY_CAST(CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$')
+                           THEN props->>'k' END AS BIGINT) AS k
+           FROM events""",
     )
 
 

@@ -534,6 +534,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would return multiple "components" for
+        # one real cluster AND diverge from the oracle's exact fixpoint —
+        # fail loudly instead (a component's diameter exceeded max_iter).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter of the largest component exceeds it)"
+        )
     return labels
 
 

@@ -105,6 +105,9 @@ def tsne_exact(
         Y += dY
         Y -= Y.mean(axis=0)
 
-        if it == 100:
-            P /= early_exaggeration  # end early exaggeration
+        # End early exaggeration a quarter of the way in (iteration 100 at
+        # the default 400) — pinned to n_iter so short runs still optimize
+        # the true objective for most of their iterations.
+        if it == min(100, max(n_iter // 4, 1)):
+            P /= early_exaggeration
     return Y

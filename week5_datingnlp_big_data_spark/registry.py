@@ -696,9 +696,11 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_extract",
     """
-    SELECT event_id, TRY_CAST(props->>'k' AS BIGINT) AS k
+    SELECT event_id, TRY_CAST(CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$')
+                               THEN props->>'k' END AS BIGINT) AS k
     FROM events
-    WHERE TRY_CAST(props->>'k' AS BIGINT) > 50
+    WHERE TRY_CAST(CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$')
+                   THEN props->>'k' END AS BIGINT) > 50
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,7 +709,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL, not a query-killing ANSI cast error — at 100 TB some row
     is always dirty (fuzz-pinned in tests/test_fuzz_events.py)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    # Integer-regex guard pins the cast SPEC: DuckDB TRY_CAST('1.5' AS
+    # BIGINT) rounds to 2 while Spark try_cast yields NULL — only
+    # pure-integer strings cast on either side, everything else is NULL.
+    v = F.get_json_object("props", "$.k")
+    k = F.when(v.rlike("^-?[0-9]+$"), v).try_cast("bigint")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
 
 
@@ -1452,8 +1458,8 @@ def _sql_minhash_pairs(source: str = "documents", threshold: float = 0.5) -> str
                  / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
     FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
                JOIN sh sb ON cands.id_b = sb.doc_id
-    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-          / len(list_distinct(sa.shingles || sb.shingles)) >= {threshold}
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(sa.shingles || sb.shingles)), 6) >= {threshold}
 """
 
 
@@ -2069,8 +2075,8 @@ def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
     FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
                JOIN sh sb ON cands.id_b = sb.doc_id
-    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
     """,
 )
 def ngram_jaccard_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2336,9 +2342,9 @@ def _sql_quality(source: str) -> str:
       SELECT doc_id, text,
              round(
                (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
-               + least((CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END) / 0.6, 1.0) * 0.3
-               + least((CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END) / 0.05, 1.0) * 0.2
-               + (CASE WHEN (CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
+               + least(round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6) / 0.6, 1.0) * 0.3
+               + least(round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6) / 0.05, 1.0) * 0.2
+               + (CASE WHEN round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2,
              6) AS quality
       FROM (
         SELECT doc_id, text,
