@@ -144,6 +144,25 @@ def test_q20_semi_join_shape(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_tokenize_chain_evaluated_once(spark, sf_dir):
+    # Catalyst's implicit pre-Generate filter (size(tokens)>0) used to push
+    # the full regex tokenize chain below the spread() Exchange, evaluating
+    # it twice per row. explode_outer + null-filter (corpus.explode_tokens)
+    # must keep exactly ONE regexp_extract_all in every flagship text plan.
+    # Cached plans (tfidf, stemmed counts, winnow) legitimately print the
+    # chain inside InMemoryRelation/InMemoryTableScan blocks — the cache
+    # fill evaluates it once; those are exempt from the ==1 textual count.
+    for name in ("wordcount_top100", "doc_term_counts",
+                 "lang_distinctive_words", "lang_words_except_all",
+                 "vocab_lexical_top100"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("regexp_extract_all")
+        assert n == 1 or "InMemoryTableScan" in plan, (
+            f"{name}: tokenize chain appears {n}x in physical plan"
+        )
+
+
 def test_ngram_jaccard_no_cartesian(spark, sf_dir):
     # The self-join must be an equi-join on the shingle column, never a
     # cartesian/BNLJ expansion.

@@ -68,6 +68,31 @@ def tokenize_corpus(
     return spread(docs).withColumn("tokens", toks)
 
 
+def explode_tokens(
+    df: DataFrame,
+    tokens_col: Column | str = "tokens",
+    out: str = "word",
+    *keep: str,
+) -> DataFrame:
+    """Explode a token-array column WITHOUT Catalyst's implicit
+    pre-Generate filter.
+
+    A plain ``explode`` makes Catalyst insert ``Filter(size(tokens) > 0 AND
+    isnotnull(tokens))`` under the Generate; when ``tokens`` is an alias
+    over the tokenize regex chain, that filter is pushed below the
+    ``spread()`` round-robin Exchange and the whole
+    regexp_replace×3 → regexp_extract_all → transform → filter expression
+    is evaluated TWICE per row — once pre-Exchange (at raw-scan
+    parallelism) and again in the post-Exchange Project. ``explode_outer``
+    adds no implicit filter, so the chain is computed exactly once,
+    post-spread; empty/null arrays yield one NULL row, dropped afterwards
+    by a filter on the *generated* column (cheap — no re-evaluation)."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return df.select(*keep, F.explode_outer(c).alias(out)).filter(
+        F.col(out).isNotNull()
+    )
+
+
 def drop_columns(df: DataFrame, *names: str) -> DataFrame:
     """P4 — drop by name (reference ``subset(select=-c(doc_id))``, R:145)."""
     return df.drop(*names)

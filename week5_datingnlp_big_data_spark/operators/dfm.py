@@ -22,9 +22,15 @@ from pyspark.sql import types as T
 
 
 def doc_term_counts(tokenized: DataFrame, doc_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
-    """A1 — bag-of-words long form: ``(doc_id, term, count)``."""
+    """A1 — bag-of-words long form: ``(doc_id, term, count)``.
+
+    Explodes via ``corpus.explode_tokens`` (explode_outer + null filter)
+    so the tokenize expression is evaluated once, not re-run inside
+    Catalyst's implicit ``size(tokens) > 0`` pre-Generate filter."""
+    from week5_datingnlp_big_data_spark.operators.corpus import explode_tokens
+
     return (
-        tokenized.select(doc_col, F.explode(tokens_col).alias("term"))
+        explode_tokens(tokenized, tokens_col, "term", doc_col)
         .groupBy(doc_col, "term")
         .agg(F.count(F.lit(1)).alias("count"))
     )

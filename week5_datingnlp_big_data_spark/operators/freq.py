@@ -25,8 +25,10 @@ def explode_words(docs: DataFrame, text_col: str = "text", *, raw: bool = True) 
 
     ``raw=True`` reproduces the reference's ``str_split(" ")`` (keeps ""
     tokens, R:259); ``raw=False`` uses the engine tokenizer."""
+    from week5_datingnlp_big_data_spark.operators.corpus import explode_tokens
+
     words = split_raw(text_col) if raw else tokenize(text_col)
-    return docs.select(F.explode(words).alias("word"))
+    return explode_tokens(docs, words, "word")
 
 
 def word_counts(docs: DataFrame, text_col: str = "text", *, raw: bool = True) -> DataFrame:

@@ -94,7 +94,13 @@ def _sql_tokens(col: str, *, clean: bool = True, stop: bool = False) -> str:
 
 
 def _docs_tokenized(spark: SparkSession, sf_dir: str, *, stop: bool = True) -> DataFrame:
-    docs = spread(_t(spark, sf_dir, "documents"))
+    # Cheap pre-filter BEFORE the spread() Exchange: contentless docs never
+    # produce tokens anyway (the oracles filter them the same way), so drop
+    # them at scan parallelism with a length() test instead of letting any
+    # downstream filter re-derive emptiness from the expensive regex chain.
+    docs = spread(
+        _t(spark, sf_dir, "documents").filter(F.length(F.col("text")) > 0)
+    )
     toks = tokenize(corpus.clean_text("text"))
     if stop:
         toks = remove_stopwords(toks)
@@ -120,7 +126,7 @@ def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-stopword → explode → count → top-100. A5+T1+T2."""
     toks = _docs_tokenized(spark, sf_dir, stop=True)
     return (
-        toks.select(F.explode("tokens").alias("word"))
+        corpus.explode_tokens(toks, "tokens", "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
@@ -144,7 +150,7 @@ def wordcount_salted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, same oracle SQL; the salt spreads Zipf-head words over
     n_salts reducers before the collapse."""
     toks = _docs_tokenized(spark, sf_dir, stop=True)
-    words = toks.select(F.explode("tokens").alias("word"))
+    words = corpus.explode_tokens(toks, "tokens", "word")
     counted = skew.salted_count(words, ["word"], n_salts=16)
     return counted.orderBy(F.desc("cnt"), F.asc("word")).limit(100)
 
@@ -255,20 +261,30 @@ def lang_distinctive_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     still yields a non-empty, discriminative result)."""
     docs = _t(spark, sf_dir, "documents")
     toks = _docs_tokenized(spark, sf_dir).join(docs.select("doc_id", "lang"), "doc_id")
-    words = toks.select("lang", F.explode("tokens").alias("word")).filter(
-        F.col("lang").isin("en", "fr")
+    words = corpus.explode_tokens(
+        toks.filter(F.col("lang").isin("en", "fr")), "tokens", "word", "lang"
     )
     wc = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    top_a = (
-        wc.filter(F.col("lang") == "en")
-        .orderBy(F.desc("cnt"), F.asc("word")).limit(20).select("word", "cnt")
+    # Single-pass top-k set difference: rank within each lang partition,
+    # then one conditional re-aggregation on word — the naive
+    # top_a.antijoin(top_b) form is a DIAMOND over wc that makes Catalyst
+    # recompute the whole tokenize+explode+count subtree once per branch.
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
     )
-    top_b = (
-        wc.filter(F.col("lang") == "fr")
-        .orderBy(F.desc("cnt"), F.asc("word")).limit(10).select("word")
+    sel = wc.withColumn("rk", rk).filter(
+        ((F.col("lang") == "en") & (F.col("rk") <= 20))
+        | ((F.col("lang") == "fr") & (F.col("rk") <= 10))
     )
-    return top_a.join(F.broadcast(top_b), "word", "left_anti").orderBy(
-        F.desc("cnt"), F.asc("word")
+    return (
+        sel.groupBy("word")
+        .agg(
+            F.max(F.when(F.col("lang") == "en", F.col("cnt"))).alias("cnt"),
+            F.max(F.when(F.col("lang") == "fr", 1)).alias("_in_b"),
+        )
+        .filter(F.col("cnt").isNotNull() & F.col("_in_b").isNull())
+        .select("word", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("word"))
     )
 
 
@@ -661,12 +677,28 @@ def lang_words_except_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bag-semantics sibling of the distinctive-words anti-join."""
     toks = _docs_tokenized(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = toks.join(docs, "doc_id").filter(F.col("lang").isin("en", "fr")).select(
-        "lang", F.explode("tokens").alias("word")
+    w = corpus.explode_tokens(
+        toks.join(docs, "doc_id").filter(F.col("lang").isin("en", "fr")),
+        "tokens", "word", "lang",
     )
-    en = w.filter(F.col("lang") == "en").select("word")
-    fr = w.filter(F.col("lang") == "fr").select("word")
-    return en.exceptAll(fr)
+    # Distributive EXCEPT ALL: en.exceptAll(fr) is a diamond over w that
+    # recomputes the tokenize subtree per branch. Bag difference in ONE
+    # pass instead: count per (word, side), replicate max(n_en - n_fr, 0)
+    # copies via sequence+explode — exactly Spark's own ExceptAll rewrite
+    # (replicate-rows over a grouped count), minus the double scan.
+    surplus = (
+        w.groupBy("word")
+        .agg(
+            (
+                F.count(F.when(F.col("lang") == "en", 1))
+                - F.count(F.when(F.col("lang") == "fr", 1))
+            ).alias("n")
+        )
+        .filter(F.col("n") > 0)
+    )
+    return surplus.select(
+        "word", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i")
+    ).select("word")
 
 
 @query(
@@ -972,7 +1004,7 @@ def vocab_lexical_top100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sort(colnames(matrix))[1:100]``, R:121)."""
     toks = _docs_tokenized(spark, sf_dir)
     return (
-        toks.select(F.explode("tokens").alias("term"))
+        corpus.explode_tokens(toks, "tokens", "term")
         .distinct()
         .orderBy("term")
         .limit(100)

@@ -54,8 +54,12 @@ def streaming_word_counts(docs_stream: DataFrame) -> DataFrame:
     flagship query (clean → tokenize → de-stopword → explode → count).
     Complete-mode aggregation; state = one row per distinct word."""
     toks = remove_stopwords(tokenize(clean_text("text")))
+    # explode_outer + null filter: same single-evaluation rationale as the
+    # batch side (operators.corpus.explode_tokens) — a plain explode makes
+    # Catalyst re-run the tokenize chain inside its implicit size() filter.
     return (
-        docs_stream.select(F.explode(toks).alias("word"))
+        docs_stream.select(F.explode_outer(toks).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .count()
         .withColumnRenamed("count", "cnt")
