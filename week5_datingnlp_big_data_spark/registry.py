@@ -744,9 +744,17 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-regex guard pins the cast SPEC: DuckDB TRY_CAST('1.5' AS
     # BIGINT) rounds to 2 while Spark try_cast yields NULL — only
     # pure-integer strings cast on either side, everything else is NULL.
+    # regexp_extract references the parsed value ONCE (no match → '' →
+    # try_cast NULL), halving the JSON work vs the CASE WHEN rlike form.
     v = F.get_json_object("props", "$.k")
-    k = F.when(v.rlike("^-?[0-9]+$"), v).try_cast("bigint")
-    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+    k = F.regexp_extract(v, "^(-?[0-9]+)$", 1).try_cast("bigint")
+    # Generate barrier: filter(k > 50) on a plain Project alias gets
+    # rewritten in terms of the expression and pushed below the Project,
+    # parsing the JSON twice per row (measured +69% on this query).
+    # Filters on a generator's OUTPUT attribute cannot be pushed below the
+    # Generate, so explode(array(k)) pins exactly one parse per row.
+    parsed = ev.select("event_id", F.explode(F.array(k)).alias("k"))
+    return parsed.filter(F.col("k") > 50)
 
 
 @query(
