@@ -39,6 +39,7 @@ from week5_datingnlp_big_data_spark.session import spread
 # them together or parity breaks.
 WINNOW_HASH_BASE = 257
 WINNOW_HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PRIME = 2147483647  # 2^31 - 1 — KM family modulus (see minhash_signatures)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,14 +77,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hashes per doc via Kirsch-Mitzenmacher double hashing:
     ONE md5 per shingle yields two independent 56-bit halves (h1, h2);
-    the family is h_i = h1 + i·h2 (the standard two-hash construction —
-    same LSH guarantees as k independent hashes at 1/k the hashing cost,
-    which dominates the whole MinHash pipeline at corpus scale).
-    Output: (doc_id, mh0..mh{k-1}) as BIGINT.
+    the family is h_i = (h1 + i·h2) mod p (the standard two-hash
+    construction — same LSH guarantees as k independent hashes at 1/k the
+    hashing cost, which dominates the whole MinHash pipeline at corpus
+    scale). Output: (doc_id, mh0..mh{k-1}) as BIGINT.
 
-    14 hex chars = 56 bits keeps h1 + 11·h2 < 2^63 (no overflow) and is
-    parseable identically on both engines (Spark ``conv``, DuckDB
-    ``('0x'||…)::BIGINT``).
+    The mod-p reduction (p = 2^31−1, Mersenne) is what makes the family
+    members behave independently: without it, h1 + i·h2 is ordered by h2
+    alone for large i, so the high bands pick correlated argmin shingles
+    and banded-LSH candidate recall degrades. h1/h2 are first reduced into
+    [0, p), so h1 + 11·h2 < 2^36 — no BIGINT overflow on either engine,
+    and the arithmetic is bit-identical in Spark and the DuckDB twin.
 
     One explode + one groupBy(doc_id) — the k mins are computed as k
     aggregate columns in a single pass (map-side partial min, tiny
@@ -92,15 +96,16 @@ def minhash_signatures(
     # they belong to exact dedup, not near-dup candidacy.
     nonempty = docs.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
     digest = F.md5("shingle")
+    p = F.lit(MINHASH_PRIME)
     shingled = spread(nonempty).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     ).select(
         id_col,
-        F.conv(F.substring(digest, 1, 14), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(digest, 17, 14), 16, 10).cast("long").alias("_h2"),
+        (F.conv(F.substring(digest, 1, 14), 16, 10).cast("long") % p).alias("_h1"),
+        (F.conv(F.substring(digest, 17, 14), 16, 10).cast("long") % p).alias("_h2"),
     )
     aggs = [
-        F.min(F.col("_h1") + i * F.col("_h2")).alias(f"mh{i}")
+        F.min((F.col("_h1") + i * F.col("_h2")) % p).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
@@ -167,12 +172,33 @@ def jaccard_near_dups(
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold.
     Returns (id_a, id_b, jaccard). Only candidate pairs are verified —
-    the verification join broadcasts shingle arrays per pair, never n²."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, num_bands)
-    sh = spread(docs).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    the verification join broadcasts shingle arrays per pair, never n².
+
+    Materialization barriers (profiled at sf0.1, where the signature
+    aggregation dominates the whole pipeline):
+    - ``sigs`` is persisted: the band self-join consumes it on BOTH sides
+      and Spark does not reuse the exchange across them, so unpersisted it
+      recomputes the entire shingle+md5+12-min aggregation twice (measured
+      2.6s vs 0.8s for the candidate stage).
+    - ``cands`` is persisted: it feeds the candidate-id semi-join AND the
+      verify join.
+    - verify shingling runs only over docs that appear in some candidate
+      pair (semi-join on the id set) — at corpus scale the candidate set
+      is orders of magnitude smaller than the corpus, so re-shingling
+      everything for the verify joins would dwarf the verification
+      itself."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, num_bands).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    # Persisted: consumed by BOTH verify joins (sh_a / sh_b) — unpersisted,
+    # each side re-scans the corpus and re-runs the semi-join + shingling.
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).persist()
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -1414,12 +1414,16 @@ _SQL_SHINGLES = (
 
 
 def _sql_minhash_cols(num_hashes: int = 12) -> str:
-    # Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures:
-    # one md5 per shingle, two 56-bit hex halves, family h_i = h1 + i*h2.
-    h1 = "('0x' || substr(md5(shingle), 1, 14))::BIGINT"
-    h2 = "('0x' || substr(md5(shingle), 17, 14))::BIGINT"
+    # Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures
+    # bit-for-bit: one md5 per shingle, two 56-bit hex halves reduced mod
+    # p = 2^31-1, family h_i = (h1 + i*h2) % p (the reduction keeps the
+    # family members independent — without it high-i hashes are ordered by
+    # h2 alone and the LSH bands correlate).
+    p = 2147483647
+    h1 = f"(('0x' || substr(md5(shingle), 1, 14))::BIGINT % {p})"
+    h2 = f"(('0x' || substr(md5(shingle), 17, 14))::BIGINT % {p})"
     return ", ".join(
-        f"min({h1} + {i} * {h2}) AS mh{i}" for i in range(num_hashes)
+        f"min(({h1} + {i} * {h2}) % {p}) AS mh{i}" for i in range(num_hashes)
     )
 
 
