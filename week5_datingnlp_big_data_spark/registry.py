@@ -2478,6 +2478,10 @@ DEMOTED: tuple[str, ...] = (
     "active_nations_union",       # UNION of nation names; thin hash signal
     "order_ship_latency",         # date-diff histogram; q12 buckets cover the shape
     "doc_trigrams_top20",         # n-gram freq; wordcount/raw_split cover the shape
+    "doc_sentence_stats",         # per-doc scan stats; quality_scores/token_counts cover
+    "events_props_map",           # map-extract; events_json_extract covers the shape
+    "events_last_signup",         # last_value window; user_event_lag/events_asof cover
+    "lang_id_chargram_confusion", # confusion shape covered by lang_id_confusion
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
