@@ -252,3 +252,59 @@ def test_connected_components_match_union_find(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_star_matches_plain_100_graphs(spark):
+    # 100 randomized graphs, node ids namespaced per graph and unioned into
+    # ONE edge list, so a single Spark run covers all of them. Star
+    # contraction must agree with plain propagation AND the pure-Python
+    # union-find ground truth on every graph.
+    import random
+
+    rng = random.Random(4242)
+    edges = []
+    for g in range(100):
+        base = g * 10_000
+        n = rng.randint(8, 40)
+        m = rng.randint(n // 2, 50)
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.append((base + a, base + b))
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_star = {r["node"]: r["component"]
+                for r in dedup.connected_components_star(df).collect()}
+    got_plain = {r["node"]: r["component"]
+                 for r in dedup.connected_components(df, max_iter=80).collect()}
+    assert got_star == expected
+    assert got_plain == expected
+
+
+def test_connected_components_star_deep_path_bounded_rounds(spark):
+    # A 1000-node path has diameter 999: plain propagation needs ~999
+    # rounds, star contraction O(log² n). max_iter=25 enforces the bound —
+    # the call raises if the edge set is still contracting past 25 rounds.
+    edges = [(i, i + 1) for i in range(999)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components_star(df, max_iter=25).collect()}
+    assert len(comp) == 1000
+    assert set(comp.values()) == {0}

@@ -234,16 +234,19 @@ def ngram_jaccard_near_dups(
         .persist()  # feeds the blocking explode AND both verify sides
     )
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    # Broadcast the FREQUENT set (Zipf head — small) and anti-join; the
-    # rare set is the tail (~all distinct shingles) and must never be
-    # broadcast or collected.
+    # Anti-join away the FREQUENT set (Zipf head). No broadcast hint: the
+    # frequent side is data-dependent — with a fixed doc-freq cap over a
+    # trillion-token Zipf corpus, hundreds of millions of shingle types
+    # can clear the threshold, so forcing a broadcast risks OOM. AQE
+    # converts to broadcast at runtime when the measured size is small
+    # (the sf0.1 case) and keeps a shuffle join when it is not.
     frequent = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("sh_df"))
         .filter(F.col("sh_df") > max_shingle_docfreq)
         .select("shingle")
     )
-    blocked = exploded.join(F.broadcast(frequent), "shingle", "left_anti")
+    blocked = exploded.join(frequent, "shingle", "left_anti")
     cands = (
         blocked.alias("a")
         .join(
@@ -500,6 +503,23 @@ def mllib_minhash_join(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage of a SUPERSEDED localCheckpoint
+    generation. ``DataFrame.unpersist`` cannot reach it — the cached
+    blocks belong to the internal RDD held by the checkpointed plan's
+    LogicalRDD node — so without this, an iterative algorithm accumulates
+    one checkpointed generation per round for the whole session. Only
+    call on DataFrames that nothing downstream references: a local
+    checkpoint has no lineage to recompute from once its blocks are gone.
+    Best-effort (a leaked generation is memory pressure, not wrongness)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -519,11 +539,12 @@ def connected_components(
     reads a 1-row change count per round (no data collect). Every round
     ``localCheckpoint``s its result — iterative lineage otherwise grows
     the logical plan geometrically until planning itself OOMs (persist
-    caches data but does NOT truncate lineage). On a cluster where
-    executor loss matters, swap in a reliable ``checkpoint`` dir. For
-    graphs with continent-sized components swap in alternating
-    large-star/small-star contraction (Kiveris et al.); for near-dup
-    graphs the plain propagation is the right cost.
+    caches data but does NOT truncate lineage) — and releases the
+    superseded generation's blocks once the change probe has read them.
+    On a cluster where executor loss matters, swap in a reliable
+    ``checkpoint`` dir. For graphs with continent-sized components use
+    ``connected_components_star`` (same signature); for near-dup graphs
+    the plain propagation is the right cost.
 
     Output: (node, component) — component = min doc id reachable."""
     sym = (
@@ -557,6 +578,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        _release_local_checkpoint(labels)  # superseded generation
         labels = new_labels
         if changed == 0:
             break
@@ -564,11 +586,101 @@ def connected_components(
         # Silent non-convergence would return multiple "components" for
         # one real cluster AND diverge from the oracle's exact fixpoint —
         # fail loudly instead (a component's diameter exceeded max_iter).
+        _release_local_checkpoint(sym)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (diameter of the largest component exceeds it)"
+            "raise max_iter (diameter of the largest component exceeds it), "
+            "or use connected_components_star (O(log²) rounds, any diameter)"
         )
+    _release_local_checkpoint(sym)  # labels no longer references sym
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC 2014): converges
+    in O(log² n) rounds regardless of component DIAMETER, vs the
+    O(diameter) rounds of plain min-label propagation. Drop-in for
+    ``connected_components`` when the graph can contain deep components
+    (boilerplate chains in a 100 TB crawl); same output contract:
+    (node, component = min reachable id).
+
+    Edges live canonically as (u = greater endpoint, v = smaller).
+    large-star links every strictly-larger neighbor of each center to the
+    minimum of the center's closed neighborhood; small-star links each
+    center and its smaller neighbors to that minimum. Each operation is
+    one groupBy + one join; the fixpoint is a star forest rooted at every
+    component's min node. Per round: two shuffles, a 1-row
+    (count, hash-sum) convergence probe, a localCheckpoint (lineage
+    truncation), and release of the superseded generation's blocks."""
+    e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        e0.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (sum(xxhash64) overflows long). Edge sets differing in an even
+        # number of identical rows can't occur here (rows are distinct).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        return linked.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
+    sig = _checksum(cur)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        new_sig = _checksum(nxt)
+        _release_local_checkpoint(cur)
+        cur = nxt
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (expected O(log² n)); the edge set is still contracting"
+        )
+    star = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def near_dup_components(
