@@ -19,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 59_946
+DEFAULT_N_ROWS = 59_946
 OUT = "/tmp/scale_stress_profiles.parquet"
 
 
@@ -32,8 +32,16 @@ def generate(spark, n_rows: int):
 
     from week5_datingnlp_big_data_spark.sources.schemas import PROFILES_SCHEMA
 
+    # Sex-marker words OVERLAP between classes (presence rates P_OWN vs
+    # P_CROSS below): a disjoint vocabulary made EP-1 accuracy exactly 1.0,
+    # which can't distinguish a broken tree from a working one. The
+    # reference's own golden is 64.2% on a genuinely overlapping corpus
+    # (Week5_datingNLP.out.txt:1 confusion matrix); these rates put the
+    # Bayes ceiling near ~0.85 and a depth-5 tree in the 0.65–0.92 band
+    # that the assertion at the bottom pins.
     male = ["guy", "guys", "sports", "engineering", "beard", "whiskey"]
     female = ["girl", "girls", "dancing", "yoga", "sparkle", "brunch"]
+    P_OWN, P_CROSS = 0.5, 0.15
     common = [
         "think", "kind", "intellectual", "either", "music", "coffee",
         "travel", "books", "hiking", "movies", "food", "friends", "work",
@@ -47,7 +55,7 @@ def generate(spark, n_rows: int):
             for doc_id in pdf["id"]:
                 rng = random.Random(1234 + int(doc_id))
                 sex = "m" if rng.random() < 0.6 else "f"
-                skew = male if sex == "m" else female
+                own, cross = (male, female) if sex == "m" else (female, male)
                 essays = []
                 for _ in range(10):
                     if rng.random() < 0.1:
@@ -56,9 +64,7 @@ def generate(spark, n_rows: int):
                     words = []
                     for _ in range(rng.randint(30, 90)):
                         r = rng.random()
-                        if r < 0.2:
-                            words.append(rng.choice(skew))
-                        elif r < 0.5:
+                        if r < 0.5:
                             words.append(rng.choice(common))
                         elif r < 0.8:
                             # mid-frequency band: ~20k distinct terms with
@@ -74,6 +80,14 @@ def generate(spark, n_rows: int):
                         else:
                             words.append(rng.choice(noise))
                     essays.append(" ".join(words))
+                # Presence-based markers: each marker word appears at most
+                # once per doc (the tree's splits are presence thresholds,
+                # as in the reference's guy<0.5 / girl>=0.5 tree).
+                markers = [w for w in own if rng.random() < P_OWN]
+                markers += [w for w in cross if rng.random() < P_CROSS]
+                for w in markers:
+                    slot = rng.randrange(10)
+                    essays[slot] = (essays[slot] + " " + w).strip()
                 rows.append((
                     int(doc_id), rng.randint(18, 70), "single", sex, "straight",
                     "fit", "anything", "socially", "", "college", "white",
@@ -92,11 +106,12 @@ def main() -> None:
     from week5_datingnlp_big_data_spark.session import get_spark
     from week5_datingnlp_big_data_spark.sources import sinks
 
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_N_ROWS
     spark = get_spark("scale-stress", extra_conf={"spark.driver.memory": "24g"})
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    generate(spark, N_ROWS).write.mode("overwrite").parquet(OUT)
+    generate(spark, n_rows).write.mode("overwrite").parquet(OUT)
     timings["generate_write"] = round(time.perf_counter() - t0, 1)
 
     profiles = spark.read.parquet(OUT)
@@ -124,8 +139,18 @@ def main() -> None:
     timings["ep3_freq"] = round(time.perf_counter() - t0, 1)
 
     timings["total"] = round(sum(timings.values()), 1)
+    # Discriminating band: majority baseline is 0.6 (class prior), Bayes
+    # ceiling ~0.85 for the overlapping marker rates above. A tree at 1.0
+    # means the corpus degenerated back to separable; at <=0.62 the model
+    # learned nothing beyond the prior. Either way the stress run can no
+    # longer detect a broken pipeline — fail loudly.
+    if not 0.62 < r.accuracy < 0.95:
+        raise SystemExit(
+            f"EP-1 accuracy {r.accuracy:.4f} outside the discriminating "
+            "band (0.62, 0.95) — stress corpus or tree pipeline broke"
+        )
     print(json.dumps({
-        "n_docs": N_ROWS,
+        "n_docs": n_rows,
         "vocab_after_trim": n_vocab,
         "accuracy": round(r.accuracy, 4),
         "confusion": {f"{k[0]}/{k[1]}": v for k, v in confusion.items()},

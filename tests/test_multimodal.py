@@ -30,10 +30,57 @@ def test_decode_is_deterministic(media):
     assert a == b
 
 
-def test_real_codec_gate_raises(media):
+def test_real_codec_gate_raises_on_non_image(media):
+    # The mixed table contains audio/video rows, which still need an
+    # external codec: the real-codec path must raise on them.
     with pytest.raises(Exception) as exc_info:
         mm.decode_media(media, use_real_codec=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "decode" in str(exc_info.value)
+
+
+def test_imagecodec_roundtrip():
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (5, 3), (7, 4), (32, 17)]:  # odd widths hit BMP padding
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(ic.decode_image(ic.encode_bmp(img)), img), (w, h)
+        assert np.array_equal(ic.decode_image(ic.encode_ppm(img)), img), (w, h)
+    with pytest.raises(ValueError):
+        ic.decode_image(b"\x89PNG\r\n\x1a\n not a raster")
+
+
+def test_real_decode_end_to_end(media):
+    # Image payloads in the fixture are genuine BMP/PPM bytes: the real
+    # codec must recover the TRUE dimensions recorded in meta.
+    images = media.filter(F.col("kind") == "image")
+    out = {r["media_id"]: r for r in
+           mm.decode_media(images, use_real_codec=True).collect()}
+    meta = {r["media_id"]: (r["w"], r["h"]) for r in
+            images.select("media_id", F.col("meta.width").alias("w"),
+                          F.col("meta.height").alias("h")).collect()}
+    assert set(out) == set(meta) and len(out) > 0
+    for mid, (w, h) in meta.items():
+        assert (out[mid]["width"], out[mid]["height"]) == (w, h)
+        assert 0.0 <= out[mid]["mean_byte"] <= 255.0
+
+
+def test_real_resize_end_to_end(media):
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.functions import imagecodec as ic
+
+    images = media.filter(F.col("kind") == "image")
+    out = mm.resize_images(images, 7, 5, use_real_codec=True).collect()
+    assert len(out) == images.count()
+    originals = {r["media_id"]: bytes(r["payload"]) for r in images.collect()}
+    for r in out:
+        resized = ic.decode_image(bytes(r["payload"]))
+        assert resized.shape == (5, 7, 3)
+        expected = ic.resize_nearest(ic.decode_image(originals[r["media_id"]]), 7, 5)
+        assert np.array_equal(resized, expected)
 
 
 def test_feature_extraction_shape_and_determinism(media):

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Extension surface (SURVEY.md section 2.10 north star). The container has
-no image/audio codecs, so the DECODE step is stubbed two ways:
+Extension surface (SURVEY.md section 2.10 north star). Decode comes in
+two flavors:
 
-  * ``use_real_codec=True``  → raises NotImplementedError at the first
-    batch (clearly marked; plug PIL/torchaudio/pyav here on a real
-    cluster);
+  * ``use_real_codec=True``  → IMAGES decode for real via the bundled
+    pure-NumPy codec (``functions.imagecodec``: uncompressed 24-bit BMP
+    and binary PPM — no PIL/libav needed). Compressed image formats and
+    audio/video decode still raise NotImplementedError at the first batch
+    (clearly marked; plug PIL/torchaudio/pyav here on a real cluster);
   * default                  → a deterministic fake decode that derives
     pixel/audio statistics from the payload bytes (md5-seeded), so the
     Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
@@ -66,22 +68,39 @@ def _fake_pixel_stats(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_byte
 
 
+def _real_pixel_stats(kind: str, payload: bytes) -> tuple[int, int, float]:
+    """Real decode for image payloads in the formats the bundled codec
+    understands (BMP/PPM); everything else stays gated."""
+    from week5_datingnlp_big_data_spark.functions import imagecodec
+
+    if kind == "image" and imagecodec.sniff_format(payload):
+        img = imagecodec.decode_image(payload)
+        return img.shape[1], img.shape[0], float(img.mean())
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} payload needs an external codec "
+        "(PIL/torchaudio/pyav) — only uncompressed BMP/PPM images decode "
+        "in-container; plug in here"
+    )
+
+
 def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode step: payload → per-item decoded stats. Arrow-batched
     mapInPandas; one output row per input row; blobs dropped on output so
-    downstream stages shuffle only scalars."""
+    downstream stages shuffle only scalars. With ``use_real_codec`` the
+    width/height/mean come from actually decoded pixels (BMP/PPM)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codec:
-                raise NotImplementedError(
-                    "real image/audio decode needs PIL/libav — not available "
-                    "in this container; plug in here"
-                )
-            stats = [
-                _fake_pixel_stats(p if p is not None else b"")
-                for p in pdf["payload"]
-            ]
+                stats = [
+                    _real_pixel_stats(k, p if p is not None else b"")
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+            else:
+                stats = [
+                    _fake_pixel_stats(p if p is not None else b"")
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -157,19 +176,34 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
         "width int, height int"
     )
 
+    def _real_resize(kind: str, payload: bytes) -> bytes:
+        from week5_datingnlp_big_data_spark.functions import imagecodec
+
+        if kind == "image" and imagecodec.sniff_format(payload):
+            img = imagecodec.decode_image(payload)
+            return imagecodec.encode_bmp(
+                imagecodec.resize_nearest(img, target_w, target_h)
+            )
+        raise NotImplementedError(
+            f"real resize for kind={kind!r} payload needs an external "
+            "codec — only uncompressed BMP/PPM images resize in-container"
+        )
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codec:
-                raise NotImplementedError(
-                    "real resize needs an image codec — plug in here"
-                )
-            payloads = [
-                hashlib.sha256(
-                    (p if p is not None else b"")
-                    + target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")
-                ).digest()
-                for p in pdf["payload"]
-            ]
+                payloads = [
+                    _real_resize(k, p if p is not None else b"")
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+            else:
+                payloads = [
+                    hashlib.sha256(
+                        (p if p is not None else b"")
+                        + target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")
+                    ).digest()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -182,20 +216,34 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
 
 
 def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests/demos: payload bytes are
-    seeded; a third each of image/audio/video."""
+    """Deterministic fake media table for tests/demos: a third each of
+    image/audio/video. IMAGE payloads are real encoded rasters (BMP/PPM
+    alternating, random small dims) so the ``use_real_codec`` path decodes
+    them end to end; audio/video payloads stay opaque random bytes."""
+    from week5_datingnlp_big_data_spark.functions import imagecodec
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(np.uint8))
-        meta = {
-            "mime": {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind],
-            "width": 640 if kind != "audio" else None,
-            "height": 480 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "duration_ms": int(rng.integers(1000, 8000)) if kind != "image" else None,
-        }
+        if kind == "image":
+            w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
+            img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            enc = imagecodec.encode_bmp if i % 2 == 0 else imagecodec.encode_ppm
+            payload, mime = enc(img), ("image/bmp" if i % 2 == 0 else "image/x-portable-pixmap")
+            meta = {"mime": mime, "width": w, "height": h,
+                    "sample_rate": None, "duration_ms": None}
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(np.uint8)
+            )
+            meta = {
+                "mime": {"audio": "audio/wav", "video": "video/mp4"}[kind],
+                "width": 640 if kind == "video" else None,
+                "height": 480 if kind == "video" else None,
+                "sample_rate": 16000 if kind == "audio" else None,
+                "duration_ms": int(rng.integers(1000, 8000)),
+            }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
