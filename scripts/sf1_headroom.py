@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Relational headroom at sf1: replicate the sf0.1 tables 10x (keys
+offset per replica so every join relationship is preserved inside each
+replica) and run the TPC-H-shaped + window + events + flagship-text query
+set at both scales. Records per-query wall-clock and the sf1/sf0.1 ratio
+in BENCH_SF1.json — 10x the data through the same plans; AQE/skew
+handling is "linear-ish" evidence when no ratio exceeds the data factor.
+
+Usage: python scripts/sf1_headroom.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+FACTOR = 10
+OFFSET = 1_000_000_000  # far above any base key at sf0.1
+
+# Keys to shift per replica — every FK/PK pair shifts together, so each
+# replica is an internally-consistent disconnected copy.
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "region": [],   # dims stay identical (shared across replicas)
+    "nation": [],
+}
+
+QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share", "q10_returned_items",
+    "q12_shipmode_buckets", "q13_customer_order_distribution",
+    "q14_promo_revenue_pct", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_heavy_suppliers", "nation_top_customers", "acctbal_rollup",
+    "running_revenue_by_priority", "revenue_grouping_sets",
+    "orders_price_percentiles", "rich_customers_no_recent_orders",
+    "events_hourly", "events_json_extract", "user_event_lag",
+    "events_sessionize", "wordcount_top100", "exact_dedup",
+]
+
+
+def regenerate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    Path(DST).mkdir(parents=True, exist_ok=True)
+    for name, keys in KEY_COLS.items():
+        df = load_table(spark, SRC, name)
+        if keys:
+            reps = []
+            for i in range(FACTOR):
+                rep = df
+                for c in keys:
+                    rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                reps.append(rep)
+            df = reduce(lambda a, b: a.unionByName(b), reps)
+        if name == "events":
+            # write ts back as INT64 nanos so catalog.load_table's
+            # nanosAsLong read path applies unchanged at the sf1 dir
+            df = df.select(
+                *[
+                    (F.unix_micros("ts") * 1000).alias("ts") if c == "ts" else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"wrote {name}", file=sys.stderr)
+
+
+def main() -> None:
+    from week5_datingnlp_big_data_spark import registry
+    from week5_datingnlp_big_data_spark.session import get_spark
+
+    spark = get_spark("sf1-headroom")
+    if "--regen" in sys.argv or not Path(DST, "lineitem.parquet").exists():
+        t0 = time.perf_counter()
+        regenerate(spark)
+        print(f"regen: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for sf_label, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            n = registry.QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            results.setdefault(name, {})[sf_label] = dt
+            results[name][f"rows_{sf_label}"] = n
+
+    flagged = []
+    for name, r in results.items():
+        r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
+        if r["ratio"] > FACTOR:
+            flagged.append(name)
+
+    out = {
+        "factor": FACTOR,
+        "queries": results,
+        "total_sf0.1": round(sum(r["sf0.1"] for r in results.values()), 3),
+        "total_sf1": round(sum(r["sf1"] for r in results.values()), 3),
+        "flagged_superlinear": flagged,
+    }
+    Path("BENCH_SF1.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+    if flagged:
+        raise SystemExit(f"super-linear queries at sf1: {flagged}")
+
+
+if __name__ == "__main__":
+    main()

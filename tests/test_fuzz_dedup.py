@@ -1,0 +1,116 @@
+"""Fuzz the dedup surface the way test_fuzz_oracle fuzzes the text layer:
+Hypothesis-generated near-dup corpora — base docs plus mutated copies at
+controlled word-edit distance, exact duplicates, empties, one-worders —
+written as a real documents.parquet and run through the REGISTERED Spark
+queries AND their driver oracle SQL (verbatim from the registry). Any
+cross-engine drift in shingling, MinHash arithmetic, banding, winnowing
+hashes, or component labeling shows up here before the driver gate."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from week5_datingnlp_big_data_spark import registry
+from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+FUZZED_QUERIES = (
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_near_dups",
+    "winnow_dup_pairs",
+    "ngram_jaccard_near_dups",
+    "near_dup_components",
+)
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "dogs", "cats",
+    "likes", "hiking", "coffee", "music",
+]
+
+
+@st.composite
+def near_dup_corpus(draw):
+    """Base docs + mutated copies at a drawn word-edit distance."""
+    rng = draw(st.randoms(use_true_random=False))
+    n_base = draw(st.integers(4, 10))
+    rows = []
+    doc_id = 0
+    for _ in range(n_base):
+        n_words = draw(st.integers(8, 40))
+        words = [rng.choice(VOCAB) for _ in range(n_words)]
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        for _ in range(draw(st.integers(0, 2))):  # mutated copies
+            mutated = list(words)
+            for _ in range(draw(st.integers(0, 6))):  # edit distance
+                op = rng.randrange(3)
+                pos = rng.randrange(len(mutated)) if mutated else 0
+                if op == 0 and mutated:
+                    mutated[pos] = rng.choice(VOCAB)
+                elif op == 1 and len(mutated) > 1:
+                    del mutated[pos]
+                else:
+                    mutated.insert(pos, rng.choice(VOCAB))
+            rows.append((doc_id, " ".join(mutated)))
+            doc_id += 1
+    # exact duplicates of an existing doc
+    for _ in range(draw(st.integers(0, 2))):
+        rows.append((doc_id, rows[rng.randrange(len(rows))][1]))
+        doc_id += 1
+    # degenerate shapes
+    for text in draw(st.lists(st.sampled_from(["", " ", "solo", "a b"]),
+                              max_size=3)):
+        rows.append((doc_id, text))
+        doc_id += 1
+    return [
+        (i, text, "en", "fuzz", len(text)) for i, text, in
+        ((r[0], r[1]) for r in rows)
+    ]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return cols, sorted(
+        tuple(_norm(v) for v in row) for row in df[cols].itertuples(index=False)
+    )
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=near_dup_corpus())
+def test_dedup_queries_match_oracle_on_fuzz(spark, rows):
+    tmp = tempfile.mkdtemp(prefix="dedup_fuzz_")
+    try:
+        spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        # Spark writes a parquet DIRECTORY; glob its part files.
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        for name in FUZZED_QUERIES:
+            got = _canon(registry.QUERIES[name](spark, tmp).toPandas())
+            want = _canon(con.execute(registry.ORACLE[name]).df())
+            assert got == want, f"{name} diverged on corpus of {len(rows)} docs"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
