@@ -31,23 +31,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller-provided SparkSession in any host timezone agrees with it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet timestamp[ns] (INT64 nanos), which Spark's
-        # TimestampType (µs) cannot read directly. Read the raw nanos and
-        # truncate to µs — the same conversion DuckDB applies, so oracle
-        # comparisons agree exactly.
+        # events.ts has shipped as both parquet timestamp[us] and
+        # timestamp[ns] across driver rounds. Spark's TimestampType (µs)
+        # cannot read INT64 nanos directly, so sniff the footer: with
+        # nanosAsLong set, a nanos column infers as LongType while a µs
+        # column still infers as TimestampType. Footer-only read — no data
+        # scan, so the probe is free at any scale.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = T.StructType(
-            [
-                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
-                for f in SCHEMAS[name].fields
+        inferred = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema["ts"].dataType
+        if isinstance(inferred, T.LongType):
+            # Nanos file: read raw INT64 and truncate to µs — the same
+            # conversion DuckDB applies, so oracle comparisons agree exactly.
+            raw = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+                    for f in SCHEMAS[name].fields
+                ]
+            )
+            df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
+            cols = [
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts") if c == "ts" else F.col(c)
+                for c in df.columns
             ]
-        )
-        df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
-        cols = [
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts") if c == "ts" else F.col(c)
-            for c in df.columns
-        ]
-        return df.select(*cols)
+            return df.select(*cols)
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
