@@ -43,7 +43,12 @@ def test_driver_window_holds_flagships():
     for flagship in (
         "minhash_near_dups", "winnow_dup_pairs", "embedding_cosine_topk",
         "embedding_near_dup_pairs", "quality_scores", "lang_id_confusion",
-        "lang_id_chargram_confusion", "token_counts", "orders_price_percentiles",
+        "token_counts", "orders_price_percentiles",
         "ngram_jaccard_near_dups", "near_dup_components", "exact_dedup",
+        # the TPC-H window spans every distinct shape, including the round-3
+        # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
+        "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
+        "q20_heavy_suppliers", "q2_min_cost_supplier", "q9_product_type_profit",
+        "q11_important_parts", "q21_waiting_suppliers", "q22_global_sales_opportunity",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -2451,6 +2451,244 @@ def prep_cascade_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H tail: the five query shapes (Q2/Q9/Q11/Q21/Q22) the registry did
+# not yet cover. The dataset has no partsupp table and no receipt/commit
+# dates, so each query keeps its reference plan SHAPE (correlated min
+# subquery, profit rollup, scalar-subquery HAVING, EXISTS/NOT-EXISTS
+# self-join, scalar-avg + anti-join) over the columns that do exist;
+# docstrings note each adaptation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(sum(l_extendedprice) / sum(l_quantity), 6) AS unit_cost
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, l_suppkey AS s_suppkey, s_name, unit_cost
+    FROM cost c
+    JOIN part     ON p_partkey = c.l_partkey
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE p_type = 'ECONOMY' AND p_size <= 10
+      AND unit_cost = (SELECT min(unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem standing in for partsupp, realized unit
+    price standing in for ps_supplycost): for each small ECONOMY part, the
+    EUROPE supplier(s) achieving the minimum unit cost. The correlated
+    min subquery decorrelates into a per-part window min over the
+    already-grouped cost table — one shuffle for the groupBy, one window
+    pass, no per-row re-aggregation. Unit cost is rounded to 6 decimals on
+    BOTH sides before the min-equality compare so partial-agg summation
+    order cannot flip a tie."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    europe_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    cost = (
+        li.join(F.broadcast(europe_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 6).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    pf = p.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+    return (
+        best.join(F.broadcast(pf), best.l_partkey == pf.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "unit_cost",
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity), 4) AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (0.1 x p_retailprice x quantity standing in for the
+    missing ps_supplycost term): profit on 'red' parts by supplier nation
+    and order year. Five-way join where only lineitem ⋈ orders shuffles —
+    part (LIKE-filtered), supplier, and nation all broadcast — then a
+    single hash aggregate on (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    """,
+)
+def q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value standing in for partsupp stock
+    value): parts whose traded value through nations 0-4 exceeds a
+    fraction of the total — the scalar-subquery HAVING. The per-part
+    aggregate persists once and feeds both the total (a 1-row broadcast)
+    and the filter, so the corpus is scanned once, not twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("value"))
+        .persist()
+    )
+    threshold = val.agg((F.sum("value") * 0.001).alias("_thr"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH pero AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS nsupp,
+             count(DISTINCT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 75
+                                 THEN l_suppkey END) AS nlate,
+             max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 75
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM pero JOIN supplier ON late_supp = s_suppkey
+    WHERE nsupp >= 2 AND nlate = 1
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (shipdate lag > 75 days standing in for the missing
+    receipt-vs-commit-date lateness): suppliers who were the SOLE late
+    shipper on a multi-supplier finalized order. The reference's
+    EXISTS / NOT-EXISTS pair of correlated self-joins decorrelates into
+    one per-order aggregate — countDistinct suppliers, countDistinct late
+    suppliers, and the late supplier itself — then nsupp >= 2 AND
+    nlate = 1 reproduces both quantifiers with a single shuffle instead
+    of three lineitem scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.datediff("l_shipdate", "o_orderdate") > 75
+    pero = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(li.l_orderkey)
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+    )
+    return (
+        pero.join(F.broadcast(s), pero.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation key standing in for the phone country
+    code): well-funded customers — balance above the positive-balance
+    mean, a scalar subquery — with no recent orders (anti-join on the
+    date-filtered order set), rolled up per nation. Subsumes the earlier
+    rich_customers_no_recent_orders flavor (now DEMOTED) by adding the
+    positive-balance mean and the per-nation rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    mean_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.join(F.broadcast(mean_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -2482,6 +2720,11 @@ DEMOTED: tuple[str, ...] = (
     "events_props_map",           # map-extract; events_json_extract covers the shape
     "events_last_signup",         # last_value window; user_event_lag/events_asof cover
     "lang_id_chargram_confusion", # confusion shape covered by lang_id_confusion
+    "rich_customers_no_recent_orders",  # ⊂ q22_global_sales_opportunity (adds scalar avg + rollup)
+    "q4_order_priority_check",    # EXISTS; q21_waiting_suppliers is the richer dual-quantifier form
+    "acctbal_rollup",             # ROLLUP ⊂ GROUPING SETS; revenue_grouping_sets stays
+    "minhash_signatures",         # intermediate of minhash_near_dups (consumed end-to-end there)
+    "running_revenue_by_priority",  # running window sum; user_event_lag keeps the window-fn slot
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
