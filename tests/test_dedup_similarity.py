@@ -308,3 +308,63 @@ def test_connected_components_star_deep_path_bounded_rounds(spark):
             for r in dedup.connected_components_star(df, max_iter=25).collect()}
     assert len(comp) == 1000
     assert set(comp.values()) == {0}
+
+
+def test_ngram_overlap_flags_planted_contamination(spark):
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "tiny doc"),  # < n words: whole text is the single gram
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta more tail"),  # 2 shared 5-grams
+            (2, "completely unrelated content about columnar storage formats"),
+            (3, "tiny doc"),  # exact copy of the short benchmark doc
+            (4, "the words alpha beta gamma appear but never five in a row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["overlap_grams"] for r in
+           dedup.ngram_overlap_flags(corpus, bench, n=5).collect()}
+    # doc 1 shares exactly the 5-grams starting at alpha and beta
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_overlap_flags_empty_benchmark(spark):
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    assert dedup.ngram_overlap_flags(corpus, bench).count() == 0
+
+
+def test_repetition_scores_goldens(spark):
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),           # 4 words 1 distinct; bigrams: 'a a' x3
+            (2, "one"),               # single word: no bigrams -> 0.0 fracs
+            (3, "w x y z"),           # all distinct words and bigrams
+            (4, "go go stop go go"),  # bigrams: 'go go' x2, 'go stop', 'stop go'
+            (5, "   "),               # whitespace-only: dropped
+            (6, None),                # NULL: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_scores(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.0
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_2gram_frac"] == round(1 / 3, 6)  # 3 bigrams, all unique
+    assert out[4]["dup_word_frac"] == 0.6          # 5 words, 2 distinct
+    assert out[4]["dup_2gram_frac"] == 0.25        # 4 bigrams, 3 distinct
+    assert out[4]["top_2gram_frac"] == 0.5         # 'go go' x2 of 4

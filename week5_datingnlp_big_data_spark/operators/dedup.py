@@ -701,3 +701,48 @@ def near_dup_components(
         "component",
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+def ngram_overlap_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination scan: flag corpus docs sharing any word ``n``-gram
+    with a benchmark/eval document — the n-gram collision rule used to
+    strip evaluation-set overlap from pretraining corpora (Brown et al.
+    2020, "Language Models are Few-Shot Learners", appendix C uses
+    13-grams; the n is a knob because sane values depend on doc length).
+
+    Output: (doc_id, overlap_grams) — corpus docs only, one row per
+    contaminated doc, with the count of DISTINCT shared n-grams (the
+    triage signal: 1 shared gram is a collision, hundreds is a copy).
+
+    Scale shape: both sides explode to distinct per-doc grams
+    (``word_shingles`` already dedups within a doc), the benchmark side
+    distincts across docs, and the join keys on the gram string. No
+    broadcast hint — real eval sets are tiny and AQE will broadcast them
+    at runtime, but the operator also accepts a corpus-sized "benchmark"
+    (e.g. held-out split vs train split) where a forced broadcast would
+    OOM the driver. Short docs (< n words) contribute their whole text as
+    one gram, so a short benchmark doc fully contained in the corpus
+    still flags."""
+    def grams(frame: DataFrame) -> DataFrame:
+        return (
+            spread(frame)
+            .filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+            .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram"))
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        # per-doc grams are already distinct (word_shingles dedups), so a
+        # plain count IS the distinct-shared-gram count — no second
+        # distinct shuffle.
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )

@@ -156,3 +156,63 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         fingerprint(text_col).alias("fingerprint"),
         F.sha2(_col(text_col), 256).alias("content_hash"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition signals
+    (Rae et al. 2021 §A1.1 "repetitious documents"): duplicate-word
+    fraction, duplicate-2-gram fraction, and the share of the document
+    taken by its single most frequent 2-gram. High values mark the
+    looping/boilerplate pages a pretraining quality filter drops.
+
+    Distributed form: explode → (doc, gram) partial count → per-doc
+    aggregate. Both shuffles key on (doc_id[, gram]) so no single doc's
+    grams ever need to fit anywhere but its own partition rows — the
+    per-doc max/distinct never materializes a vocabulary map per doc the
+    way a UDF would. One-word docs have no 2-grams; their 2-gram
+    fractions are defined as 0.0 (left join + coalesce, not a crash).
+    """
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    base = nonempty.select(F.col(id_col), words.alias("ws"))
+    grams2 = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        base.select(F.col(id_col), F.explode("ws").alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count(F.lit(1)).alias("_n_dw"),
+        )
+    )
+    bi = (
+        base.select(F.col(id_col), F.explode(grams2).alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("_n_g"),
+            F.count(F.lit(1)).alias("_n_dg"),
+            F.max("count").alias("_top_g"),
+        )
+    )
+    return uni.join(bi, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(1 - F.col("_n_dw") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.coalesce(
+            F.round(1 - F.col("_n_dg") / F.col("_n_g"), 6), F.lit(0.0)
+        ).alias("dup_2gram_frac"),
+        F.coalesce(
+            F.round(F.col("_top_g") / F.col("_n_g"), 6), F.lit(0.0)
+        ).alias("top_2gram_frac"),
+    )
