@@ -48,6 +48,12 @@ HEADLINE = [
     "acctbal_rollup",
     "orders_value_quartiles",
     "q18_large_orders",
+    # round-3 additions (earlier rounds' 20-query totals compare against
+    # the same-name subset, not this list's total)
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "doc_repetition_scores",
+    "benchmark_ngram_overlap",
 ]
 
 

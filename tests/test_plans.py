@@ -169,3 +169,36 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_jaccard_near_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_tail_plan_shapes(spark, sf_dir):
+    # q9: only lineitem-side joins may shuffle; part/supplier/nation are
+    # hinted broadcasts. q21: the dual-quantifier aggregate keeps the
+    # whole query to hash aggregates + one broadcast, no cartesian.
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_parts", "q21_waiting_suppliers",
+                 "q22_global_sales_opportunity"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+    # scalar subqueries (q11 threshold, q22 mean balance) must join as
+    # 1-row broadcasts, not resort to per-row subquery execution
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "q22_global_sales_opportunity")
+
+
+def test_decontamination_join_not_forced_broadcast(spark, sf_dir):
+    # The benchmark side is data-dependent; the logical plan must NOT carry
+    # a broadcast hint (AQE may still pick one at runtime from measured
+    # size — that's fine and invisible in the pre-execution plan).
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+    from week5_datingnlp_big_data_spark.operators import dedup
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.ngram_overlap_flags(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower()
