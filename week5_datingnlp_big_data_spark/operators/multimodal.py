@@ -6,9 +6,11 @@ two flavors:
 
   * ``use_real_codec=True``  → IMAGES decode for real via the bundled
     pure-NumPy codec (``functions.imagecodec``: uncompressed 24-bit BMP
-    and binary PPM — no PIL/libav needed). Compressed image formats and
-    audio/video decode still raise NotImplementedError at the first batch
-    (clearly marked; plug PIL/torchaudio/pyav here on a real cluster);
+    and binary PPM) and AUDIO decodes for real via the bundled PCM WAV
+    codec (``functions.audiocodec``) — no PIL/libav/torchaudio needed.
+    Compressed image/audio formats and video decode still raise
+    NotImplementedError at the first batch (clearly marked; plug
+    PIL/torchaudio/pyav here on a real cluster);
   * default                  → a deterministic fake decode that derives
     pixel/audio statistics from the payload bytes (md5-seeded), so the
     Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
@@ -78,8 +80,8 @@ def _real_pixel_stats(kind: str, payload: bytes) -> tuple[int, int, float]:
         return img.shape[1], img.shape[0], float(img.mean())
     raise NotImplementedError(
         f"real decode for kind={kind!r} payload needs an external codec "
-        "(PIL/torchaudio/pyav) — only uncompressed BMP/PPM images decode "
-        "in-container; plug in here"
+        "(PIL/pyav) — only uncompressed BMP/PPM images decode in-container "
+        "here; audio has its own real path (decode_audio, PCM WAV)"
     )
 
 
@@ -115,6 +117,71 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(op, _DECODE_SCHEMA)
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms int, rms double, peak double"
+)
+
+
+def decode_audio(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Audio decode step: payload → per-item waveform stats (sample rate,
+    channel/sample counts, duration, RMS and peak amplitude normalized to
+    [-1, 1]). With ``use_real_codec`` the payload is ACTUALLY parsed by
+    the bundled pure-NumPy PCM WAV codec (``functions.audiocodec``);
+    non-WAV/compressed audio raises at the first batch (plug torchaudio
+    or libsndfile there on a real cluster). The default fake path derives
+    the same schema deterministically from the payload digest so the
+    plumbing is testable without codecs. Same scale shape as
+    ``decode_media``: Arrow batches in, scalar rows out, blobs never
+    shuffle."""
+
+    def _real(p: bytes) -> tuple[int, int, int, int, float, float]:
+        from week5_datingnlp_big_data_spark.functions import audiocodec
+
+        if not audiocodec.sniff_wav(p):
+            raise NotImplementedError(
+                "real audio decode needs an external codec for non-WAV "
+                "payloads — only uncompressed PCM WAV decodes in-container"
+            )
+        samples, rate = audiocodec.decode_wav(p)
+        n_frames, n_ch = samples.shape
+        # Normalize to [-1, 1] whatever the container width.
+        if samples.dtype == np.uint8:
+            x = (samples.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = samples.astype(np.float64) / float(2 ** (samples.dtype.itemsize * 8 - 1))
+        rms = float(np.sqrt((x * x).mean())) if n_frames else 0.0
+        peak = float(np.abs(x).max()) if n_frames else 0.0
+        dur_ms = int(round(n_frames * 1000 / rate)) if rate else 0
+        return rate, n_ch, n_frames, dur_ms, round(rms, 6), round(peak, 6)
+
+    def _fake(p: bytes) -> tuple[int, int, int, int, float, float]:
+        d = hashlib.md5(p).digest()
+        rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+        n_ch = 1 + d[1] % 2
+        n_frames = 1000 + int.from_bytes(d[2:5], "big") % 100_000
+        rms = round((d[5] / 255.0) * 0.5, 6)
+        return rate, n_ch, n_frames, int(round(n_frames * 1000 / rate)), rms, round(
+            min(1.0, rms * 2), 6
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real if use_real_codec else _fake
+        for pdf in batches:
+            stats = [decode(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [s[0] for s in stats],
+                "n_channels": [s[1] for s in stats],
+                "n_samples": [s[2] for s in stats],
+                "duration_ms": [s[3] for s in stats],
+                "rms": [s[4] for s in stats],
+                "peak": [s[5] for s in stats],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(op, _AUDIO_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = IMAGE_FEATURE_DIM) -> DataFrame:
@@ -222,6 +289,8 @@ def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFram
     them end to end; audio/video payloads stay opaque random bytes."""
     from week5_datingnlp_big_data_spark.functions import imagecodec
 
+    from week5_datingnlp_big_data_spark.functions import audiocodec
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -234,6 +303,18 @@ def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFram
             payload, mime = enc(img), ("image/bmp" if i % 2 == 0 else "image/x-portable-pixmap")
             meta = {"mime": mime, "width": w, "height": h,
                     "sample_rate": None, "duration_ms": None}
+        elif kind == "audio":
+            # Real PCM WAV payload (seeded sine + noise) so the
+            # use_real_codec path decodes audio end to end in-container.
+            rate = (8000, 16000)[i % 2]
+            n_frames = int(rng.integers(rate // 4, rate))  # 0.25-1.0 s
+            t = np.arange(n_frames) / rate
+            tone = 0.4 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
+            wave = ((tone + rng.normal(0, 0.05, n_frames)).clip(-1, 1) * 32767)
+            payload = audiocodec.encode_wav(wave.astype(np.int16), rate)
+            meta = {"mime": "audio/wav", "width": None, "height": None,
+                    "sample_rate": rate,
+                    "duration_ms": int(round(n_frames * 1000 / rate))}
         else:
             payload = bytes(
                 rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(np.uint8)

@@ -1834,6 +1834,39 @@ def media_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_audio_stats")
+def media_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec through the driver contract: each document's
+    UTF-8 bytes become 8-bit PCM samples, encode to canonical WAV in one
+    Arrow-batched pass (functions/audiocodec.encode_wav), then the real
+    decode path (decode_audio(use_real_codec=True)) parses the RIFF
+    container back and reports waveform stats. Fully deterministic;
+    rows-only because DuckDB has no WAV parser to twin the container
+    round-trip (the codec itself is pinned bit-exact by
+    tests/test_multimodal.py round-trips)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import audiocodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                audiocodec.encode_wav(
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8), 8000
+                )
+                for t in pdf["text"].fillna("")
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return mm.decode_audio(media, use_real_codec=True)
+
+
 @query("simhash_near_dups")
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits, pigeonhole-blocked).
