@@ -49,6 +49,10 @@ QUERIES = [
     "orders_price_percentiles", "rich_customers_no_recent_orders",
     "events_hourly", "events_json_extract", "user_event_lag",
     "events_sessionize", "wordcount_top100", "exact_dedup",
+    # round-3 additions: TPC-H tail + training-data quality surface
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_parts",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "doc_repetition_scores", "benchmark_ngram_overlap", "doc_chunks",
 ]
 
 

@@ -136,3 +136,56 @@ def test_doc_term_counts_duplicate_tokens(spark):
     )
     out = {(r["doc_id"], r["term"]): r["count"] for r in dfm.doc_term_counts(toks).collect()}
     assert out == {(1, "a"): 3, (1, "b"): 1, (2, "b"): 1}
+
+
+def test_chunk_documents_window_semantics(spark):
+    from week5_datingnlp_big_data_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 2 chunks: [0:8], [6:10]
+            (2, "a b"),                                 # single short chunk
+            (3, None),                                  # dropped
+            (4, " ".join(f"x{i}" for i in range(8))),   # exactly one window; no dup tail
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+         for r in corpus.chunk_documents(docs, chunk_tokens=8, overlap=2).collect())
+    )
+    assert out == [
+        (1, 0, 8, "w0 w1 w2 w3 w4 w5 w6 w7"),
+        (1, 1, 4, "w6 w7 w8 w9"),
+        (2, 0, 2, "a b"),
+        (4, 0, 8, "x0 x1 x2 x3 x4 x5 x6 x7"),
+    ]
+    # overlap must strictly undercut the window
+    import pytest
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_coverage_invariant(spark, sf_dir):
+    # Every non-empty doc's words are fully covered: sum of unique token
+    # spans == n_words, and consecutive chunks overlap by exactly
+    # `overlap` except possibly the suppressed tail.
+    import pyspark.sql.functions as F
+    from week5_datingnlp_big_data_spark.operators import corpus
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    n_words = docs.filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n")
+    )
+    stride = 24
+    agg = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * stride + F.col("n_tokens")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    joined = n_words.join(agg, "doc_id")
+    assert joined.count() > 0
+    assert joined.filter(F.col("covered") != F.col("n")).count() == 0

@@ -112,3 +112,52 @@ def profiles_to_docs(profiles: DataFrame) -> DataFrame:
         "sex",
         concat_essays(*ESSAY_COLS).alias("text"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-word windows advancing by ``chunk_tokens - overlap``
+    words — the standard context-length packing step of a pretraining
+    pipeline (each chunk fits a model's window; the overlap preserves
+    cross-boundary context).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text), one row per chunk.
+    A trailing window that would sit entirely inside the previous one
+    (start + chunk_tokens - stride >= n_words) is suppressed, so short
+    tails are never emitted twice; documents shorter than one window
+    yield exactly one chunk.
+
+    Scale shape: pure per-row built-ins (split → filtered start sequence
+    → posexplode → slice), shuffle-free and whole-stage codegen'd — the
+    chunker is embarrassingly parallel at any corpus size, and the output
+    rows are at most ``1/stride`` times larger than the input text."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    base = nonempty.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), "\\s+").alias("w")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + chunk_tokens - stride < F.size("w")),
+    )
+    exploded = base.select(
+        F.col(id_col), "w", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.size("w") - F.col("start"), F.lit(chunk_tokens))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("w", F.col("start") + 1, chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )

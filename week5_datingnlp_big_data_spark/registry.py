@@ -2804,6 +2804,33 @@ def benchmark_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunks",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), st AS (
+      SELECT doc_id, w,
+             list_filter(range(0, len(w), 24),
+                         s -> s = 0 OR s + 32 - 24 < len(w)) AS ss
+      FROM ws
+    )
+    SELECT doc_id, i - 1 AS chunk_idx,
+           least(len(w) - ss[i], 32) AS n_tokens,
+           array_to_string(w[ss[i] + 1 : ss[i] + 32], ' ') AS chunk_text
+    FROM st, unnest(range(1, len(ss) + 1)) AS t(i)
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 32-token sliding chunks with 8-token
+    overlap over every document. See operators/corpus.py:chunk_documents
+    for semantics and scale notes (shuffle-free per-row explode)."""
+    return corpus.chunk_documents(
+        spread(_t(spark, sf_dir, "documents")), chunk_tokens=32, overlap=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -2843,6 +2870,7 @@ DEMOTED: tuple[str, ...] = (
     "running_revenue_by_priority",  # running window sum; user_event_lag keeps the window-fn slot
     "events_hourly",              # time-bucket groupBy; events_sessionize covers the shape
     "nation_top_customers",       # rank-over-partition; lang_distinctive_words/q15 cover
+    "doc_fingerprints",           # hash-scan; exact_dedup (sha2) + token_counts keep the slots
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
