@@ -26,6 +26,12 @@ FUZZED_QUERIES = (
     "winnow_dup_pairs",
     "ngram_jaccard_near_dups",
     "near_dup_components",
+    # round-3 text-quality surface: repetition fractions, decontamination
+    # (sources cycle src0/src1/src2 below so the benchmark split is
+    # non-empty), and context-window chunking
+    "doc_repetition_scores",
+    "benchmark_ngram_overlap",
+    "doc_chunks",
 )
 
 VOCAB = [
@@ -72,7 +78,7 @@ def near_dup_corpus(draw):
         rows.append((doc_id, text))
         doc_id += 1
     return [
-        (i, text, "en", "fuzz", len(text)) for i, text, in
+        (i, text, "en", f"src{i % 3}", len(text)) for i, text, in
         ((r[0], r[1]) for r in rows)
     ]
 
