@@ -189,3 +189,26 @@ def test_chunk_documents_coverage_invariant(spark, sf_dir):
     joined = n_words.join(agg, "doc_id")
     assert joined.count() > 0
     assert joined.filter(F.col("covered") != F.col("n")).count() == 0
+
+
+def test_mixture_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from week5_datingnlp_big_data_spark.operators import corpus
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = corpus.mixture_sample(docs, rates, default_rate=0.2)
+    b = corpus.mixture_sample(docs, rates, default_rate=0.2)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    per_src = {r["source"]: r["n"] for r in
+               a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src.get("src0", 0) == totals["src0"]      # rate 1.0 keeps all
+    assert "src2" not in per_src                          # rate 0.0 keeps none
+    # a different salt draws a different (but still deterministic) subset
+    c = corpus.mixture_sample(docs, rates, default_rate=0.2, salt="other")
+    ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
+    assert ids_c != ids_a

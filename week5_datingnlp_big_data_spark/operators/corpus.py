@@ -161,3 +161,44 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source sampling — the reproducible way to build a
+    training-data mixture ("2 epochs of wiki, 10% of crawl"). Each doc
+    keeps iff ``md5(salt:doc_id) mod 10000 < rate*10000`` for its
+    source's rate, so the mix is a pure function of ids + salt: identical
+    across runs, engines, partition layouts, and cluster sizes — none of
+    which holds for ``DataFrame.sample``/``sampleBy``, whose Bernoulli
+    draws depend on partition-local RNG streams. Changing the salt draws
+    an independent mixture (e.g. for held-out splits).
+
+    Scale shape: one scan, one codegen'd filter — no shuffle, no state.
+    Thresholds are precomputed integers so the filter compares longs,
+    never floats."""
+    denom = 10_000
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    )
+    threshold = F.lit(int(round(default_rate * denom)))
+    for src, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(source_col) == src, F.lit(int(round(rate * denom)))
+        ).otherwise(threshold)
+    return docs.filter(bucket < threshold)

@@ -2831,6 +2831,57 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_mixture_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 10000)
+          < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500 ELSE 1000 END
+    """,
+)
+def corpus_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-mix sampling: keep all of src0, half of
+    src1, a quarter of src2, 10% of everything else — selected by
+    md5(salt:doc_id) buckets so both engines (and any two cluster runs)
+    pick the IDENTICAL rows. See operators/corpus.py:mixture_sample."""
+    return corpus.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+@query(
+    "streaming_exact_dedup_parity",
+    """
+    SELECT DISTINCT sha256(text) AS content_hash FROM documents
+    """,
+)
+def streaming_exact_dedup_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second stream-batch equivalence gate: exact dedup run as a
+    Structured Streaming query (file source → dropDuplicates on content
+    hash → memory sink) must emit exactly the batch DISTINCT hash set.
+    The surviving doc per hash group is arrival-order-dependent, so the
+    contract compares the hash SET — which is deterministic — rather than
+    representative ids (the batch exact_dedup query pins min-id
+    representatives separately)."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_documents(spark, f"{sf_dir}/documents.parque*")
+    name = "streaming_dedup_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_exact_dedup(stream).select("content_hash"), name,
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -2871,6 +2922,8 @@ DEMOTED: tuple[str, ...] = (
     "events_hourly",              # time-bucket groupBy; events_sessionize covers the shape
     "nation_top_customers",       # rank-over-partition; lang_distinctive_words/q15 cover
     "doc_fingerprints",           # hash-scan; exact_dedup (sha2) + token_counts keep the slots
+    "q14_promo_revenue_pct",      # CASE-conditional agg ratio; q12 buckets + q8 share cover
+    "q10_returned_items",         # filtered join+group ranking; q3/q18 cover the shape
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -2883,6 +2936,8 @@ PROMOTED: tuple[str, ...] = (
     "prep_cascade_funnel",
     "doc_repetition_scores",
     "benchmark_ngram_overlap",
+    "corpus_mixture_sample",
+    "streaming_exact_dedup_parity",
 )
 
 
