@@ -32,6 +32,7 @@ FUZZED_QUERIES = (
     "doc_repetition_scores",
     "benchmark_ngram_overlap",
     "doc_chunks",
+    "corpus_mixture_sample",
 )
 
 VOCAB = [

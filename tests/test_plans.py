@@ -202,3 +202,19 @@ def test_decontamination_join_not_forced_broadcast(spark, sf_dir):
     )
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in logical.lower()
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    # Chunking is a pure per-row explode; any Exchange beyond the scan's
+    # round-robin spread() would mean a regression to a shuffling plan.
+    df = QUERIES["doc_chunks"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, "doc_chunks grew a hash shuffle"
+
+
+def test_mixture_sample_pure_filter(spark, sf_dir):
+    # The sampler must stay a codegen'd filter over the scan: no shuffle,
+    # no join, no aggregate.
+    plan = _plan(spark, sf_dir, "corpus_mixture_sample")
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, f"corpus_mixture_sample plan contains {op}"

@@ -89,3 +89,47 @@ def test_cross_validate_tree(spark):
     # best model predicts on held-out data
     pred = ml.predict(best, r.test)
     assert ml.accuracy(pred) > 0.5
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    sinks.write_jsonl(docs, out)
+    back = sinks.read_jsonl(spark, out, SCHEMAS["documents"])
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_do_not_fail(spark, tmp_path):
+    from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+    )
+    back = sinks.read_jsonl(spark, str(p), SCHEMAS["documents"])
+    rows = back.collect()
+    assert len(rows) == 3  # corrupt line survives as a null-filled row
+    assert sorted(r["doc_id"] for r in rows if r["doc_id"] is not None) == [1, 2]
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    sinks.write_orc(docs, out, partition_by=("lang",))
+    back = sinks.read_orc(spark, out)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must reach the scan as a
+    # PartitionFilter, not a data filter
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(back.lang == "en").explain(True)
+    assert "PartitionFilters: [isnotnull(lang" in buf.getvalue()

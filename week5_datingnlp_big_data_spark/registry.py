@@ -2607,15 +2607,19 @@ def q9_product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, value
     FROM val
-    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    WHERE value > (SELECT 2 * avg(value) FROM val)
     """,
 )
 def q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (lineitem value standing in for partsupp stock
-    value): parts whose traded value through nations 0-4 exceeds a
-    fraction of the total — the scalar-subquery HAVING. The per-part
-    aggregate persists once and feeds both the total (a 1-row broadcast)
-    and the filter, so the corpus is scanned once, not twice."""
+    value): parts whose traded value through nations 0-4 exceeds twice
+    the mean part value — the scalar-subquery HAVING. TPC-H's own
+    FRACTION knob scales as 0.0001/SF because a fixed share of the TOTAL
+    starves as the part count grows (measured here: 91 rows at sf0.01 but
+    0 at sf0.1); the mean-relative threshold keeps the result non-empty
+    at every scale with the identical plan shape. The per-part aggregate
+    persists once and feeds both the scalar (a 1-row broadcast) and the
+    filter, so the corpus is scanned once, not twice."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
     val = (
@@ -2624,7 +2628,7 @@ def q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("value"))
         .persist()
     )
-    threshold = val.agg((F.sum("value") * 0.001).alias("_thr"))
+    threshold = val.agg((F.avg("value") * 2).alias("_thr"))
     return (
         val.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("_thr"))

@@ -41,6 +41,46 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (the interchange format most training-data
+    pipelines speak): one JSON object per line, splittable by newline.
+    Columnar formats beat it at rest — this is the export/ingest edge."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — never schema
+    inference, which at 100 TB costs a full pre-scan and silently widens
+    types on dirty rows. Corrupt lines land in no column and the row
+    comes back null-filled (PERMISSIVE mode), so ingest stays total."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink — Spark's other native columnar format (Hive ecosystems
+    standardize on it). Same pushdown/pruning behavior as parquet from
+    Catalyst's side; same partition-layout rules as write_parquet."""
+    out = df
+    if partition_by:
+        out = out.repartition(*[out[c] for c in partition_by])
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def save_model(model, path: str) -> None:
     """MLlib model sink (S4's rdata analog): self-describing directory of
     parquet metadata + data, reloadable cross-language."""
