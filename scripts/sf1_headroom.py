@@ -53,6 +53,7 @@ QUERIES = [
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_parts",
     "q21_waiting_suppliers", "q22_global_sales_opportunity",
     "doc_repetition_scores", "benchmark_ngram_overlap", "doc_chunks",
+    "corpus_mixture_sample",
 ]
 
 
