@@ -51,3 +51,37 @@ def test_make_names_idempotent_on_valid(names):
     again = make_names(once)
     assert len(again) == len(once)
     assert len(set(again)) == len(again)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=40),
+             min_size=1, max_size=8),
+    st.integers(2, 12),
+    st.integers(0, 11),
+)
+def test_chunking_reconstructs_documents(spark, docs_words, chunk, overlap):
+    """Property: stripping each chunk's `overlap` leading tokens (except
+    chunk 0) and concatenating reconstructs the original word sequence —
+    chunks lose nothing and duplicate only the overlap."""
+    from week5_datingnlp_big_data_spark.operators.corpus import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for doc_id, ws in enumerate(docs_words):
+        if not ws:
+            assert doc_id not in out  # empty docs are dropped
+            continue
+        chunks = [t for _, t in sorted(out[doc_id])]
+        rebuilt = chunks[0].split(" ") if chunks else []
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[overlap:] if len(c.split(" ")) > overlap else []
+        # tail suppression can shorten the last chunk below overlap; the
+        # covered-prefix property still must hold exactly
+        assert rebuilt == ws, (doc_id, chunk, overlap)
