@@ -38,3 +38,21 @@ def test_training_prep(eng):
 def test_similarity(eng):
     out = eng.cosine_topk(eng.table("embeddings"), query_ids=[0, 1], k=3)
     assert out.count() == 6
+
+
+def test_round3_surface(eng):
+    docs = eng.table("documents")
+    rep = eng.repetition_scores(docs)
+    assert set(rep.columns) == {
+        "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac", "top_2gram_frac"
+    }
+    import pyspark.sql.functions as F
+    flags = eng.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    assert set(flags.columns) == {"doc_id", "overlap_grams"}
+    chunks = eng.chunk(docs, chunk_tokens=16, overlap=4)
+    assert chunks.count() > docs.count()  # docs split into multiple windows
+    mix = eng.mixture_sample(docs, rates={"src0": 1.0}, default_rate=0.0)
+    assert 0 < mix.count() < docs.count()

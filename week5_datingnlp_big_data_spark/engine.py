@@ -96,3 +96,19 @@ class Engine:
 
     def quality_scores(self, docs: DataFrame, **kw) -> DataFrame:
         return _textstats.quality_score(docs, **kw)
+
+    def repetition_scores(self, docs: DataFrame, **kw) -> DataFrame:
+        """Gopher-style within-doc repetition signals (quality filter)."""
+        return _textstats.repetition_scores(docs, **kw)
+
+    def decontaminate(self, docs: DataFrame, benchmark: DataFrame, **kw) -> DataFrame:
+        """Flag docs sharing word n-grams with a held-out benchmark set."""
+        return _dedup.ngram_overlap_flags(docs, benchmark, **kw)
+
+    def chunk(self, docs: DataFrame, **kw) -> DataFrame:
+        """Context-window packing: sliding token windows with overlap."""
+        return _corpus.chunk_documents(docs, **kw)
+
+    def mixture_sample(self, docs: DataFrame, rates: dict, **kw) -> DataFrame:
+        """Deterministic per-source sampling for training mixtures."""
+        return _corpus.mixture_sample(docs, rates, **kw)
