@@ -1813,14 +1813,26 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_stats")
+@query(
+    "media_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           64 + ('0x' || substr(md5(coalesce(text, '')), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substr(md5(coalesce(text, '')), 3, 2))::INT % 192 AS height,
+           octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+           sha256(coalesce(text, '')) AS payload_sha
+    FROM documents
+    """,
+)
 def media_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver contract: treat each
     document's UTF-8 bytes as an opaque media payload, run the Arrow-
-    batched decode (deterministic fake codec — real codecs are gated), and
-    return per-item stats. Rows-only: the fake decode's md5-derived
-    dimensions have no tractable SQL twin offline; decode determinism and
-    batch shape are pinned by tests/test_multimodal.py."""
+    batched decode (deterministic fake codec — real image/audio codecs
+    have their own paths), and return per-item stats. The DuckDB twin
+    recomputes the fake codec's md5-derived dimensions and the payload
+    sha from the same bytes, so the whole mapInPandas plumbing — Arrow
+    batching, null handling, binary round-trip — is value-verified, not
+    just row-counted."""
     from week5_datingnlp_big_data_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
@@ -2883,6 +2895,39 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_event_windows_parity",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_event_windows_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third stream-batch equivalence gate, for the watermarked-window
+    family: tumbling 1-hour windows per event_type run as a Structured
+    Streaming query over the events file source (complete mode, drained)
+    must equal DuckDB's epoch-aligned time_bucket aggregate — pinning
+    that Spark's F.window bucketing, the watermark path, and the batch
+    SQL all agree on boundaries and sums."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_events(spark, f"{sf_dir}/events.parque*")
+    name = "streaming_windows_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_event_window_counts(stream), name
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
     "corpus_mixture_sample",
     """
     SELECT doc_id, source FROM documents
@@ -2976,6 +3021,8 @@ DEMOTED: tuple[str, ...] = (
     "q14_promo_revenue_pct",      # CASE-conditional agg ratio; q12 buckets + q8 share cover
     "q10_returned_items",         # filtered join+group ranking; q3/q18 cover the shape
     "raw_split_top25",            # X4 raw-split variant; wordcount_top100 keeps the explode-count-topk slot
+    "dfm_sparsity_stats",         # 1-row DFM stats; doc_term_counts + vocab_trim carry the family
+    "q17_small_quantity_revenue", # decorrelated per-group avg limit; q2/q11/q15 carry the shape
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -2991,6 +3038,8 @@ PROMOTED: tuple[str, ...] = (
     "corpus_mixture_sample",
     "streaming_exact_dedup_parity",
     "simhash_near_dups",
+    "doc_chunks",
+    "streaming_event_windows_parity",
 )
 
 
