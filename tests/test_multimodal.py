@@ -174,3 +174,15 @@ def test_fake_audio_decode_deterministic(media):
     a = sorted(map(tuple, mm.decode_audio(media).collect()))
     b = sorted(map(tuple, mm.decode_audio(media).collect()))
     assert a == b and len(a) == 21
+
+
+def test_encode_wav_rejects_lossy_dtypes():
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.functions import audiocodec as ac
+
+    for bad in (np.zeros(4, dtype=np.float32), np.zeros(4, dtype=np.float64),
+                np.zeros(4, dtype=np.int8), np.zeros(4, dtype=np.uint16),
+                np.zeros(4, dtype=np.uint32)):
+        with pytest.raises(ValueError):
+            ac.encode_wav(bad, 8000)

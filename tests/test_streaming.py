@@ -227,3 +227,35 @@ def test_streaming_sessions_merge(spark, tmp_path):
         ("2024-01-01 10:00:00", 2),
         ("2024-01-01 12:00:00", 1),
     ]
+
+
+def test_stream_events_handles_nanos_parquet(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as both timestamp[us] and
+    timestamp[ns]; stream_events must sniff the footer and read either,
+    truncating nanos to micros exactly like catalog.load_table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events").limit(200).collect()
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in ev], pa.int64()),
+        "ts": pa.array([r["ts"] for r in ev], pa.timestamp("ns")),
+        "user_id": pa.array([r["user_id"] for r in ev], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in ev], pa.string()),
+        "value": pa.array([r["value"] for r in ev], pa.float64()),
+        "props": pa.array([r["props"] for r in ev], pa.string()),
+    })
+    ns_dir = tmp_path / "ns_events"
+    ns_dir.mkdir()
+    pq.write_table(tbl, str(ns_dir / "events.parquet"))
+
+    stream = sc.stream_events(spark, str(ns_dir))
+    q = sc.run_stream_to_memory(
+        sc.streaming_event_window_counts(stream), "ns_stream_check"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    got = spark.table("ns_stream_check").agg(F.sum("n_events")).first()[0]
+    assert got == 200

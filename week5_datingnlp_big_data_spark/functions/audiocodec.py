@@ -68,7 +68,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     if arr.ndim == 1:
         arr = arr[:, None]
     bits = arr.dtype.itemsize * 8
-    if bits not in _PCM_DTYPES:
+    # Kind+width check, not just width: float32 shares itemsize with
+    # int32 and would silently truncate every normalized sample to 0;
+    # int8 would wrap into uint8, uint16/uint32 into the signed types.
+    # Callers with float waveforms must quantize first.
+    ok = (bits == 8 and arr.dtype.kind == "u") or (
+        bits in (16, 32) and arr.dtype.kind == "i"
+    )
+    if not ok:
         raise ValueError(f"unsupported sample dtype: {arr.dtype}")
     arr = arr.astype(_PCM_DTYPES[bits], copy=False)
     n_frames, n_ch = arr.shape

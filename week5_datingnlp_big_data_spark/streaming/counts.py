@@ -40,8 +40,37 @@ def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of events-shaped parquet (µs timestamps —
-    write fixtures with Spark, not raw pyarrow ns)."""
+    """File-source stream of events-shaped parquet.
+
+    Mirrors ``sources.catalog.load_table``'s timestamp handling: the
+    driver has shipped ``ts`` as BOTH parquet timestamp[us] and
+    timestamp[ns] across rounds, and Spark's TimestampType (µs) cannot
+    read INT64 nanos directly. A footer-only batch probe (no data scan)
+    picks the right stream schema; nanos are truncated to µs exactly like
+    the batch path so stream and batch agree bit-for-bit. Also pins the
+    session to UTC — file streams bypass ``load_table``, which normally
+    does this pin for the oracle compare."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    inferred = spark.read.parquet(input_dir).schema["ts"].dataType
+    if isinstance(inferred, T.LongType):
+        raw = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        return stream.select(
+            *[
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts") if c == "ts" else F.col(c)
+                for c in stream.columns
+            ]
+        )
     return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
