@@ -186,3 +186,51 @@ def test_encode_wav_rejects_lossy_dtypes():
                 np.zeros(4, dtype=np.uint32)):
         with pytest.raises(ValueError):
             ac.encode_wav(bad, 8000)
+
+
+def test_y4m_roundtrip_bit_exact():
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.functions import videocodec as vc
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(7, 12, 9)).astype(np.uint8)
+    dec, w, h, fps = vc.decode_y4m(vc.encode_y4m_mono(frames, (30, 1)))
+    assert (w, h, fps) == (9, 12, (30, 1)) and len(dec) == 7
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    with pytest.raises(ValueError):
+        vc.decode_y4m(b"\x00\x00 not y4m")
+
+
+def test_real_frame_sampling_end_to_end(media):
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.functions import videocodec as vc
+
+    videos = media.filter(F.col("kind") == "video")
+    out = {}
+    for r in mm.sample_frames(videos, every_ms=200, use_real_codec=True).collect():
+        out.setdefault(r["media_id"], []).append(r)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in videos.collect()}
+    assert set(out) == set(payloads) and len(out) > 0
+    for mid, rows in out.items():
+        frames, w, h, (num, den) = vc.decode_y4m(payloads[mid])
+        # 10 fps stream sampled every 200 ms -> every other frame
+        expect = [f for i, f in enumerate(frames) if i % 2 == 0]
+        assert len(rows) == len(expect)
+        import hashlib
+        got_shas = [r["frame_sha"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        want_shas = [hashlib.sha256(f.tobytes()).hexdigest() for f in expect]
+        assert got_shas == want_shas  # hashes of REAL decoded luma planes
+
+
+def test_frame_sampling_real_gate_raises_on_compressed(spark):
+    bad = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x01\xba mpeg-ps"),
+          {"mime": "video/mp4", "width": 1, "height": 1,
+           "sample_rate": None, "duration_ms": 1000})],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc_info:
+        mm.sample_frames(bad, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "YUV4MPEG2" in str(exc_info.value)

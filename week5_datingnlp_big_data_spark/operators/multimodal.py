@@ -4,13 +4,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 Extension surface (SURVEY.md section 2.10 north star). Decode comes in
 two flavors:
 
-  * ``use_real_codec=True``  → IMAGES decode for real via the bundled
-    pure-NumPy codec (``functions.imagecodec``: uncompressed 24-bit BMP
-    and binary PPM) and AUDIO decodes for real via the bundled PCM WAV
-    codec (``functions.audiocodec``) — no PIL/libav/torchaudio needed.
-    Compressed image/audio formats and video decode still raise
-    NotImplementedError at the first batch (clearly marked; plug
-    PIL/torchaudio/pyav here on a real cluster);
+  * ``use_real_codec=True``  → ALL THREE modalities decode for real via
+    bundled pure-NumPy codecs: IMAGES (``functions.imagecodec``,
+    uncompressed 24-bit BMP + binary PPM), AUDIO
+    (``functions.audiocodec``, PCM WAV), VIDEO frame sampling
+    (``functions.videocodec``, YUV4MPEG2) — no PIL/torchaudio/pyav
+    needed. COMPRESSED formats (JPEG/PNG/MP3/H.264/…) still raise
+    NotImplementedError at the first batch (clearly marked; plug the
+    external codecs in on a real cluster);
   * default                  → a deterministic fake decode that derives
     pixel/audio statistics from the payload bytes (md5-seeded), so the
     Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
@@ -202,10 +203,51 @@ def extract_features(media: DataFrame, dim: int = IMAGE_FEATURE_DIM) -> DataFram
     return media.select("media_id", "payload").mapInPandas(op, _FEATURE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame (explodes
-    duration_ms into frame indices; frame content hash is a deterministic
-    fake of the decoded frame). Non-video rows produce no output."""
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, use_real_codec: bool = False
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame. With
+    ``use_real_codec`` the payload is ACTUALLY parsed by the bundled
+    YUV4MPEG2 codec (``functions.videocodec``): frame timestamps come
+    from the stream's own frame rate, and ``frame_sha`` hashes the REAL
+    decoded luma plane — compressed containers raise at the first batch
+    (plug pyav/ffmpeg there on a real cluster). The default fake path
+    explodes ``meta.duration_ms`` into synthetic frame rows so the
+    one-row-in/many-rows-out UDF shape stays testable without codecs.
+    Non-video rows produce no output either way."""
+
+    def _fake_rows(mid, p: bytes, dur, out) -> None:
+        if dur is None:
+            return
+        for idx, ts in enumerate(range(0, int(dur), every_ms)):
+            out["media_id"].append(mid)
+            out["frame_idx"].append(idx)
+            out["frame_ts_ms"].append(ts)
+            out["frame_sha"].append(
+                hashlib.sha256(p + ts.to_bytes(8, "big")).hexdigest()
+            )
+
+    def _real_rows(mid, p: bytes, out) -> None:
+        from week5_datingnlp_big_data_spark.functions import videocodec
+
+        if not videocodec.sniff_y4m(p):
+            raise NotImplementedError(
+                "real frame sampling needs an external codec for compressed "
+                "video — only uncompressed YUV4MPEG2 decodes in-container"
+            )
+        frames, _w, _h, (num, den) = videocodec.decode_y4m(p)
+        ms_per_frame = 1000.0 * den / num
+        emitted, next_ts = 0, 0.0
+        for i, luma in enumerate(frames):
+            ts = i * ms_per_frame
+            if ts + 1e-9 < next_ts:
+                continue
+            out["media_id"].append(mid)
+            out["frame_idx"].append(emitted)
+            out["frame_ts_ms"].append(int(ts))
+            out["frame_sha"].append(hashlib.sha256(luma.tobytes()).hexdigest())
+            emitted += 1
+            next_ts += every_ms
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -213,16 +255,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, kind, p, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "video" or dur is None:
+                if kind != "video":
                     continue
                 p = p if p is not None else b""
-                for idx, ts in enumerate(range(0, int(dur), every_ms)):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(idx)
-                    out["frame_ts_ms"].append(ts)
-                    out["frame_sha"].append(
-                        hashlib.sha256(p + ts.to_bytes(8, "big")).hexdigest()
-                    )
+                if use_real_codec:
+                    _real_rows(mid, p, out)
+                else:
+                    _fake_rows(mid, p, dur, out)
             yield pd.DataFrame(out)
 
     flat = media.select(
@@ -316,15 +355,21 @@ def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFram
                     "sample_rate": rate,
                     "duration_ms": int(round(n_frames * 1000 / rate))}
         else:
-            payload = bytes(
-                rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(np.uint8)
-            )
+            # Real Cmono y4m payload (seeded gradient frames) so the
+            # use_real_codec frame sampler decodes video end to end.
+            from week5_datingnlp_big_data_spark.functions import videocodec
+
+            vw, vh = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            n_frames = int(rng.integers(3, 25))
+            fps = (10, 1)
+            frames = rng.integers(0, 256, size=(n_frames, vh, vw)).astype(np.uint8)
+            payload = videocodec.encode_y4m_mono(frames, fps)
             meta = {
-                "mime": {"audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": 640 if kind == "video" else None,
-                "height": 480 if kind == "video" else None,
-                "sample_rate": 16000 if kind == "audio" else None,
-                "duration_ms": int(rng.integers(1000, 8000)),
+                "mime": "video/x-yuv4mpeg",
+                "width": vw,
+                "height": vh,
+                "sample_rate": None,
+                "duration_ms": int(n_frames * 1000 / fps[0]),
             }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
