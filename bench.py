@@ -54,6 +54,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "doc_repetition_scores",
     "benchmark_ngram_overlap",
+    # round-4 additions
+    "pii_redaction_stats",
+    "doc_unigram_logprob",
 ]
 
 

@@ -56,3 +56,15 @@ def test_round3_surface(eng):
     assert chunks.count() > docs.count()  # docs split into multiple windows
     mix = eng.mixture_sample(docs, rates={"src0": 1.0}, default_rate=0.0)
     assert 0 < mix.count() < docs.count()
+
+
+def test_round4_surface(eng):
+    docs = eng.table("documents")
+    pii = eng.pii_scrub(docs)
+    assert {"doc_id", "n_email", "n_ipv4", "n_phone", "redacted"} <= set(pii.columns)
+    rare = eng.rarity_scores(docs)
+    assert {"doc_id", "n_tokens", "mean_neg_logprob"} <= set(rare.columns)
+    comp = eng.compression_ratios(docs)
+    assert {"doc_id", "compression_ratio"} <= set(comp.columns)
+    kept = eng.semantic_dedup(eng.table("embeddings"), threshold=0.35, n_clusters=8)
+    assert 0 < kept.count() <= 500

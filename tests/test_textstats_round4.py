@@ -1,0 +1,165 @@
+"""Unit tests for the round-4 training-data operators: PII scrubbing,
+unigram-LM rarity scoring, zlib compression-ratio signal, and SemDeDup
+semantic near-dup pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from week5_datingnlp_big_data_spark.operators import similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@mail-host.co.uk or at work"),
+        (2, "server 192.168.0.17 and backup 10.0.0.1 are down"),
+        (3, "call +1 (555) 010-4242 after five"),
+        (4, "no sensitive content here at all"),
+        (5, "two mails: a@b.io c.d@e-f.org and ip 8.8.8.8 and +44 20 7946 0958 ok"),
+        (6, None),
+        (7, "order #123456789 costs 99.99 dollars"),  # digit runs, no PII
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_pii_counts(pii_docs):
+    out = {r["doc_id"]: r for r in textstats.pii_scrub(pii_docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 1)
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (2, 1, 1)
+    # Conservative by design: bare digit runs / prices are NOT phones.
+    assert (out[7]["n_email"], out[7]["n_ipv4"], out[7]["n_phone"]) == (0, 0, 0)
+
+
+def test_pii_redaction_replaces_spans(pii_docs):
+    out = {r["doc_id"]: r["redacted"] for r in textstats.pii_scrub(pii_docs).collect()}
+    assert out[1] == "reach me at <EMAIL> or at work"
+    assert out[2] == "server <IPV4> and backup <IPV4> are down"
+    assert out[3] == "call <PHONE> after five"
+    assert out[4] == "no sensitive content here at all"
+    assert "<EMAIL>" in out[5] and "<IPV4>" in out[5] and "<PHONE>" in out[5]
+    # No raw PII survives anywhere.
+    for doc_id, red in out.items():
+        if red is None:
+            continue
+        assert "@" not in red, doc_id
+        assert "192.168" not in red and "8.8.8.8" not in red
+        assert "+1 (555)" not in red and "+44" not in red
+
+
+def test_unigram_logprob_rare_doc_scores_higher(spark):
+    # 9 docs of a common phrase + 1 doc of hapax words: the hapax doc must
+    # carry a strictly higher mean negative logprob (rarer tokens).
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((9, "zyzzyva quetzal ocelot axolotl"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.unigram_logprob_scores(docs).collect()}
+    common = out[0]["mean_neg_logprob"]
+    rare = out[9]["mean_neg_logprob"]
+    assert rare > common
+    assert out[0]["n_tokens"] == 6
+    assert out[9]["n_tokens"] == 4
+    # Hand-check the hapax doc: every token has count 1 of 58 total tokens
+    # (9*6 + 4), so the score is exactly log10(58).
+    assert rare == pytest.approx(math.log10(58), abs=1e-6)
+
+
+def test_unigram_logprob_skips_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = textstats.unigram_logprob_scores(docs).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    rows = [
+        (1, "spam " * 400),                      # highly compressible
+        (2, ("the quick brown fox jumps over the lazy dog and then wanders "
+             "through seventeen unrelated meadows describing each flower "
+             "uniquely with varied vocabulary every single time ") * 4),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.compression_ratios(docs).collect()}
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    assert out[1]["compression_ratio"] < 0.05
+    assert out[3]["compression_ratio"] is None
+    assert out[4]["compression_ratio"] is None
+    # Deterministic across runs (driver reruns rows-only queries per round).
+    again = {r["doc_id"]: r for r in textstats.compression_ratios(docs).collect()}
+    assert out[1]["compression_ratio"] == again[1]["compression_ratio"]
+
+
+@pytest.fixture(scope="module")
+def emb4(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_semantic_dedup_finds_planted_duplicates(emb4, spark):
+    """SemDeDup's contract is HIGH-threshold semantic duplicates: plant a
+    jittered near-copy of 20 corpus vectors (cos ≈ 0.999) and require ≥
+    90% of the planted pairs back — near-identical vectors land in the
+    same k-means cell except at cell boundaries. The synthetic corpus
+    itself is near-orthogonal (no pairs above cos 0.5), so planted copies
+    ARE the ground truth at threshold 0.95."""
+    from pyspark.sql import functions as F
+
+    base = emb4.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * 1.001 + 0.0003,
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb4.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(base)
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            corpus, threshold=0.95, n_clusters=8
+        ).collect()
+    }
+    planted = {(i, i + 100_000) for i in range(20)}
+    assert len(got & planted) / len(planted) >= 0.9
+    # Exact in-cell verification means nothing below the threshold sneaks in.
+    assert all(a < b for a, b in got)
+
+
+def test_semantic_dedup_keep_drops_one_per_pair(spark):
+    # Two identical vectors + two far-away ones: exactly one of the twin
+    # pair is dropped, everything else kept.
+    v = [1.0] + [0.0] * 63
+    w = [0.0] * 32 + [1.0] + [0.0] * 31
+    u = [0.0, 1.0] + [0.0] * 62
+    rows = [(1, v), (2, v), (3, w), (4, u)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_keep(
+            df, threshold=0.99, n_clusters=2
+        ).collect()
+    }
+    assert 1 in kept and 2 not in kept
+    assert {3, 4} <= kept
+
+
+def test_semantic_dedup_deterministic_across_runs(emb4):
+    a = sorted(
+        map(tuple, similarity.semantic_dedup_pairs(emb4, 0.35, 8).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.semantic_dedup_pairs(emb4, 0.35, 8).collect())
+    )
+    assert a == b

@@ -112,3 +112,19 @@ class Engine:
     def mixture_sample(self, docs: DataFrame, rates: dict, **kw) -> DataFrame:
         """Deterministic per-source sampling for training mixtures."""
         return _corpus.mixture_sample(docs, rates, **kw)
+
+    def pii_scrub(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-doc PII counts + redacted text (email/IPv4/phone tags)."""
+        return _textstats.pii_scrub(docs, **kw)
+
+    def rarity_scores(self, docs: DataFrame, **kw) -> DataFrame:
+        """CCNet-style mean negative unigram logprob per doc."""
+        return _textstats.unigram_logprob_scores(docs, **kw)
+
+    def compression_ratios(self, docs: DataFrame, **kw) -> DataFrame:
+        """zlib compression-ratio redundancy signal per doc."""
+        return _textstats.compression_ratios(docs, **kw)
+
+    def semantic_dedup(self, embeddings: DataFrame, **kw) -> DataFrame:
+        """SemDeDup: keep one exemplar per high-cosine embedding cluster."""
+        return _similarity.semantic_dedup_keep(embeddings, **kw)

@@ -312,6 +312,72 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space into ``n_clusters``
+    cells and compare vectors ONLY within a cell, emitting pairs with
+    cosine ≥ threshold. The 100 TB shape: the self-join keys on the
+    cluster id, so candidate count is Σ|cell|² instead of N² — and the
+    cell column partitions naturally, with AQE skew-split absorbing a
+    giant cell. High-cosine pairs land in the same cell with high
+    probability (recall-tested against the exact hyperplane-bucketed
+    variant); pairs whose members straddle a k-means boundary are the
+    known, paper-documented miss mode.
+
+    Seeded k-means → stable per Spark version but not SQL-expressible →
+    rows-only at the driver + recall/unit tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    feat = vecs.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, "v", "cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The dedup decision on top of ``semantic_dedup_pairs``: drop the
+    higher id of every near-dup pair (SemDeDup keeps one exemplar per
+    semantic duplicate set; min-id is the deterministic choice), keep
+    everything else. One anti-join against the distinct drop set."""
+    pairs = semantic_dedup_pairs(
+        embeddings, threshold, n_clusters, id_col, vec_col, seed
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(drops, id_col, "left_anti")
+
+
 def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs recovered by the approx variant."""
     e = exact.select("query_id", "neighbor_id")

@@ -8,6 +8,7 @@ SQL-expressible for the DuckDB oracle. At 100 TB these run at scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,6 +156,140 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.col(id_col),
         fingerprint(text_col).alias("fingerprint"),
         F.sha2(_col(text_col), 256).alias("content_hash"),
+    )
+
+
+# PII surface patterns. Written to the regex subset shared by Java
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences, so the
+# SAME pattern string runs in both engines for the oracle twin. The
+# phone pattern requires a leading '+' on purpose — a bare digit-run
+# heuristic false-positives on ids/quantities, and a training-data
+# scrubber would rather under-redact deterministically than shred
+# numerals (the conservative choice is also the dialect-stable one).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()\-]{6,}[0-9]",
+}
+
+# Replacement order matters: emails first (an email's domain would
+# otherwise be half-eaten by nothing, but an IPv4-looking local part
+# must be consumed as part of the email), then IPs, then phones.
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-type PII hit counts over one text column (scan-speed
+    built-ins; each count is a regexp_extract_all size)."""
+    return {
+        kind: F.size(F.regexp_extract_all(_col(c), F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(c: Column | str) -> Column:
+    """Replace every PII span with a typed tag ('<EMAIL>', '<IPV4>',
+    '<PHONE>'). Pure regexp_replace chain — per-row, shuffle-free,
+    whole-stage codegen; at 100 TB this is a scan-speed rewrite pass."""
+    out = _col(c)
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII stats + redacted text: counts per type and the scrubbed
+    string. Counting runs on the ORIGINAL text (redaction is applied
+    after), so counts equal the number of tags inserted."""
+    counts = pii_counts(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[cnt.alias(f"n_{kind}") for kind, cnt in counts.items()],
+        pii_redact(text_col).alias("redacted"),
+    )
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus unigram language model: (term, logprob) with
+    logprob = log10(count(term) / total_tokens) over whitespace-lowered
+    tokens. One explode + one groupBy(term) — partial aggregation absorbs
+    the Zipf head map-side, and the total is a scalar broadcast."""
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    counts = (
+        nonempty.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "term", F.log10(F.col("cnt") / F.col("total")).alias("logprob")
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style document rarity score: mean negative log10 unigram
+    probability per document (the unigram stand-in for LM perplexity;
+    Wenzek et al. 2020 bucket CommonCrawl by exactly this kind of score
+    to split head/middle/tail quality tiers).
+
+    Distributed shape: per-doc term counts (one doc_id-keyed shuffle)
+    joined to the LM on term, then one per-doc aggregate. The join keys
+    on term AFTER the per-doc count aggregation, so the Zipf-head join
+    volume is bounded by distinct (doc, term) pairs, not token count;
+    AQE's skew-join handles the residual head skew at scale."""
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    doc_terms = (
+        nonempty.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = unigram_lm(docs, text_col, id_col)
+    return (
+        doc_terms.join(lm, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(-F.sum(F.col("c") * F.col("logprob")) / F.sum("c"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
+def compression_ratios(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    classic cheap redundancy signal: boilerplate and looping text
+    compresses far below ~0.4 while natural prose sits higher. Not
+    SQL-expressible (no zlib in the oracle) → rows-only + unit-pinned.
+
+    Arrow-batched pandas UDF: one Python call per batch, zlib releases
+    the GIL, and only (id, text) cross the JVM boundary."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return docs.select(
+        F.col(id_col),
+        F.length(_col(text_col)).alias("n_chars"),
+        _ratio(_col(text_col)).alias("compression_ratio"),
     )
 
 

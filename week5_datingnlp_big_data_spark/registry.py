@@ -2978,6 +2978,113 @@ def streaming_exact_dedup_parity_q(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).distinct()
 
 
+def _sql_pii(col: str) -> dict[str, str]:
+    """The PII patterns as DuckDB fragments. The pattern STRINGS are shared
+    with operators/textstats.py:PII_PATTERNS (same regex subset in Java and
+    RE2 — no lookaround/backrefs), so both engines run identical automata."""
+    from week5_datingnlp_big_data_spark.operators.textstats import PII_PATTERNS
+
+    return {kind: _sq(pat) for kind, pat in PII_PATTERNS.items()}
+
+
+_PII = _sql_pii("text")
+# Deterministic PII suffix: the synthetic corpus carries no real PII, so
+# the query plants one email/IP/phone per doc (derived from doc_id, both
+# engines) — the oracle then verifies detection AND redaction for real.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || ' or +1 (555) 010-' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "pii_redaction_stats",
+    f"""
+    WITH pii AS (
+      SELECT doc_id, coalesce(text, '') || {_PII_SUFFIX_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII['email']}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII['ipv4']}')) AS n_ipv4,
+           len(regexp_extract_all(t, '{_PII['phone']}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII['email']}', '<EMAIL>', 'g'),
+               '{_PII['ipv4']}', '<IPV4>', 'g'),
+               '{_PII['phone']}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    """,
+)
+def pii_redaction_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — per-doc detection counts + an md5 over the fully
+    redacted text, so the oracle pins the rewrite itself, not just the
+    counts. See operators/textstats.py:pii_scrub for patterns and the
+    conservative-phone design note; scan-speed regexp chain at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com at 10.0.0."), F.col("doc_id") % 200,
+            F.lit(" or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = textstats.pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents WHERE length(trim(coalesce(text, ''))) > 0) t(doc_id, term)
+    ), dt AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+    ), lm AS (
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(-sum(c * log10(cnt / total)) / sum(c), 6) AS mean_neg_logprob
+    FROM dt JOIN lm USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style rarity score: mean negative log10 unigram probability
+    per doc against a corpus-wide unigram LM (the quality-tier bucketing
+    signal of Wenzek et al. 2020). See
+    operators/textstats.py:unigram_logprob_scores for the scale shape."""
+    return textstats.unigram_logprob_scores(spread(_t(spark, sf_dir, "documents")))
+
+
+@query("embedding_semantic_dedup")
+def embedding_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed within-cluster cosine near-dup pairs
+    over the embeddings table (seeded k-means → rows-only at the driver;
+    recall-tested against the exact hyperplane-bucketed variant in
+    tests/test_dedup_similarity.py). See
+    operators/similarity.py:semantic_dedup_pairs."""
+    return similarity.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=8
+    )
+
+
+@query("doc_compression_ratios")
+def doc_compression_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (no zlib in the
+    oracle → rows-only; pinned by unit tests on crafted repetitive vs
+    natural text). See operators/textstats.py:compression_ratios."""
+    return textstats.compression_ratios(spread(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -3023,6 +3130,8 @@ DEMOTED: tuple[str, ...] = (
     "raw_split_top25",            # X4 raw-split variant; wordcount_top100 keeps the explode-count-topk slot
     "dfm_sparsity_stats",         # 1-row DFM stats; doc_term_counts + vocab_trim carry the family
     "q17_small_quantity_revenue", # decorrelated per-group avg limit; q2/q11/q15 carry the shape
+    "event_type_pivot",           # CASE-conditional agg; revenue_grouping_sets + q12/q14 cover
+    "streaming_exact_dedup_parity",  # thinnest of the 3 stream-batch gates; wordcount + windows stay
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -3036,10 +3145,11 @@ PROMOTED: tuple[str, ...] = (
     "doc_repetition_scores",
     "benchmark_ngram_overlap",
     "corpus_mixture_sample",
-    "streaming_exact_dedup_parity",
     "simhash_near_dups",
     "doc_chunks",
     "streaming_event_windows_parity",
+    "pii_redaction_stats",
+    "doc_unigram_logprob",
 )
 
 
