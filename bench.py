@@ -57,6 +57,8 @@ HEADLINE = [
     # round-4 additions
     "pii_redaction_stats",
     "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "source_distinct_hll",
 ]
 
 

@@ -54,6 +54,9 @@ QUERIES = [
     "q21_waiting_suppliers", "q22_global_sales_opportunity",
     "doc_repetition_scores", "benchmark_ngram_overlap", "doc_chunks",
     "corpus_mixture_sample",
+    # round-4 additions: PII scrub, LM scoring, sketches
+    "pii_redaction_stats", "doc_unigram_logprob", "doc_bigram_logprob",
+    "source_distinct_hll", "events_value_quantiles_sketch",
 ]
 
 

@@ -218,3 +218,35 @@ def test_mixture_sample_pure_filter(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_mixture_sample")
     for op in ("Exchange", "Join", "Aggregate"):
         assert op not in plan, f"corpus_mixture_sample plan contains {op}"
+
+
+def test_pii_redaction_scan_speed_no_exchange(spark, sf_dir):
+    # PII scrubbing is a pure per-row regexp pass: the plan must contain
+    # no shuffle at all — scan → project, whole-stage codegen.
+    plan = _plan(spark, sf_dir, "pii_redaction_stats")
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_unigram_logprob_single_corpus_pass(spark, sf_dir):
+    # The LM is derived from the persisted per-doc term counts: every
+    # Generate (token explode) in the plan is the SAME node inside the
+    # cached subtree (explain repeats the InMemoryRelation's fill plan at
+    # each reference) — a second distinct Generate id would mean the
+    # corpus is tokenized twice.
+    import re
+
+    plan = _plan(spark, sf_dir, "doc_unigram_logprob")
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) <= 1, gen_ids
+    assert "InMemoryRelation" in plan  # the persist barrier is in place
+    # vocab-sized LM side rides a broadcast join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_sketch_single_aggregation(spark, sf_dir):
+    # One groupBy: partial_approx_percentile map-side + exactly one
+    # tree-level exchange (mergeable summaries combine at the reduce).
+    plan = _plan(spark, sf_dir, "events_value_quantiles_sketch")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_approx_percentile" in plan

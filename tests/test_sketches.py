@@ -1,0 +1,71 @@
+"""Sketch-accuracy tolerance tests: HLL distinct estimates and approx
+quantiles vs exact answers, plus the mergeability contract (union of
+per-source sketches ≈ global distinct, computed WITHOUT a second scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import sketches
+from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_hll_per_source_within_tolerance(docs):
+    est = {r["source"]: r for r in sketches.source_distinct_hll(docs).collect()}
+    exact = {
+        r["source"]: r["d"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.sha2(F.coalesce("text", F.lit("")), 256)).alias("d"))
+        .collect()
+    }
+    for src, d in exact.items():
+        assert est[src]["est_distinct"] == pytest.approx(d, rel=0.05), src
+
+
+def test_hll_merged_rollup_matches_global(docs):
+    est = {r["source"]: r for r in sketches.source_distinct_hll(docs).collect()}
+    global_exact = docs.agg(
+        F.countDistinct(F.sha2(F.coalesce("text", F.lit("")), 256)).alias("d")
+    ).first()["d"]
+    assert est["__all__"]["est_distinct"] == pytest.approx(global_exact, rel=0.05)
+    assert est["__all__"]["n_docs"] == docs.count()
+
+
+def test_hll_deterministic_across_reruns(docs):
+    a = sorted(map(tuple, sketches.source_distinct_hll(docs).collect()))
+    b = sorted(map(tuple, sketches.source_distinct_hll(docs).collect()))
+    assert a == b
+
+
+def test_quantile_sketch_hits_true_order_statistics(events):
+    """approx_percentile returns actual data elements (nearest-rank, not
+    interpolated); at accuracy=10000 and test-scale group sizes the rank
+    error is ~0, so each estimate must be an element whose true rank sits
+    within ±1% of the requested quantile's rank."""
+    approx = {r["grp"]: r for r in sketches.value_quantile_sketch(events).collect()}
+    rows = events.select("event_type", "value").collect()
+    by_grp: dict[str, list[float]] = {}
+    for r in rows:
+        by_grp.setdefault(r["event_type"], []).append(r["value"])
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for q in (0.5, 0.9, 0.99):
+            got = approx[grp][f"q{int(q * 100)}"]
+            # true rank window: requested rank ± max(1, 1% of n)
+            target = q * (n - 1)
+            slack = max(1.0, 0.01 * n)
+            lo = vals[max(0, int(target - slack))]
+            hi = vals[min(n - 1, int(target + slack) + 1)]
+            assert lo - 1e-9 <= got <= hi + 1e-9, (grp, q, got, lo, hi)

@@ -163,3 +163,23 @@ def test_semantic_dedup_deterministic_across_runs(emb4):
         map(tuple, similarity.semantic_dedup_pairs(emb4, 0.35, 8).collect())
     )
     assert a == b
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # d1 = "a b a b" → bigrams (a,b)×2, (b,a)×1; d2 = "a b" → (a,b)×1.
+    # Corpus: c(a,b)=3, c(b,a)=1, ctx a=3, b=1; V=3 (the vocabulary
+    # includes the bigram-less doc's "solo"), α=0.4.
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_logprob_scores(docs).collect()}
+    p_ab = (3 + 0.4) / (3 + 0.4 * 3)
+    p_ba = (1 + 0.4) / (1 + 0.4 * 3)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_neg_logprob"] == pytest.approx(-math.log10(p_ab), abs=1e-6)
+    assert out[1]["n_bigrams"] == 3
+    want = -(2 * math.log10(p_ab) + math.log10(p_ba)) / 3
+    assert out[1]["mean_neg_logprob"] == pytest.approx(want, abs=1e-6)
+    assert 3 not in out  # single-word doc has no bigrams

@@ -121,6 +121,16 @@ class Engine:
         """CCNet-style mean negative unigram logprob per doc."""
         return _textstats.unigram_logprob_scores(docs, **kw)
 
+    def bigram_scores(self, docs: DataFrame, **kw) -> DataFrame:
+        """Bigram-LM conditional perplexity proxy per doc."""
+        return _textstats.bigram_logprob_scores(docs, **kw)
+
+    def distinct_sketches(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-source HLL distinct estimates + merged '__all__' rollup."""
+        from week5_datingnlp_big_data_spark.operators import sketches as _sketches
+
+        return _sketches.source_distinct_hll(docs, **kw)
+
     def compression_ratios(self, docs: DataFrame, **kw) -> DataFrame:
         """zlib compression-ratio redundancy signal per doc."""
         return _textstats.compression_ratios(docs, **kw)

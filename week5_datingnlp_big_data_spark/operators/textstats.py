@@ -276,6 +276,76 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram-LM document scores: mean −log10 P(w₂|w₁) with add-α
+    smoothing, P = (c(w₁w₂)+α) / (c(w₁·)+α·V) where c(w₁·) is the
+    context count (Σ_w₂ c(w₁w₂)) and V the corpus vocabulary size — the
+    conditional upgrade of ``unigram_logprob_scores``: repeated boilerplate
+    transitions score low, incoherent word salad scores high.
+
+    Distributed shape: one explode of adjacent pairs → per-doc bigram
+    counts (one (doc,w₁,w₂) shuffle, volume bounded by distinct per-doc
+    bigrams); the global bigram table and its w₁-context rollup are both
+    derived from those counts (vocab²-bounded aggregates, never a second
+    corpus pass); V is a scalar broadcast. The final join is
+    bigram-vocab-sized — broadcast here, AQE shuffle join at extreme
+    vocabulary sizes (same note as the unigram scorer). Docs with fewer
+    than 2 words have no bigrams and are excluded, like empty docs in the
+    unigram scorer."""
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    base = nonempty.select(F.col(id_col), words.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.struct(
+                F.col("ws")[i].alias("w1"), F.col("ws")[i + 1].alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bi = (
+        base.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    big = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_size = (
+        base.select(F.explode("ws").alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        )
+    )
+    lm = (
+        big.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "w1", "w2",
+            F.log10(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("logprob"),
+        )
+    )
+    return (
+        doc_bi.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(-F.sum(F.col("c") * F.col("logprob")) / F.sum("c"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
 def compression_ratios(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
 ) -> DataFrame:

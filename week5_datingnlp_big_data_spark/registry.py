@@ -3077,6 +3077,66 @@ def embedding_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bigram_logprob",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), doc_bi AS (
+      SELECT doc_id, g.w1, g.w2, count(*) AS c
+      FROM ws, unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))
+             ELSE [] END) AS t(g)
+      GROUP BY doc_id, g.w1, g.w2
+    ), big AS (
+      SELECT w1, w2, sum(c) AS c12 FROM doc_bi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+    ), voc AS (
+      SELECT count(DISTINCT t.x) AS v FROM ws, unnest(w) AS t(x)
+    ), lm AS (
+      SELECT w1, w2, log10((c12 + 0.4) / (c1 + 0.4 * v)) AS logprob
+      FROM big JOIN ctx USING (w1), voc
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(-sum(c * logprob) / sum(c), 6) AS mean_neg_logprob
+    FROM doc_bi JOIN lm USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional perplexity proxy per document (add-0.4
+    smoothing) — the transition-aware upgrade of doc_unigram_logprob.
+    See operators/textstats.py:bigram_logprob_scores for the scale
+    shape (pair explode → vocab²-bounded LM aggregates, no second
+    corpus pass)."""
+    return textstats.bigram_logprob_scores(spread(_t(spark, sf_dir, "documents")))
+
+
+@query("source_distinct_hll")
+def source_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counts: per-source DataSketches HLL over
+    document content hashes plus a merged '__all__' rollup built by
+    sketch UNION (no second scan). Estimates are deterministic (register
+    max is commutative) but algorithm-specific → rows-only at the driver;
+    tolerance-tested against exact distinct counts in
+    tests/test_sketches.py. See operators/sketches.py."""
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    return sketches.source_distinct_hll(_t(spark, sf_dir, "documents"))
+
+
+@query("events_value_quantiles_sketch")
+def events_value_quantiles_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate quantile sketch of the value column
+    (mergeable bounded-memory percentile summaries). Rows-only +
+    tolerance-tested vs exact percentile_cont."""
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    return sketches.value_quantile_sketch(_t(spark, sf_dir, "events"))
+
+
 @query("bpe_vocab_top")
 def bpe_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: learn 20 pair merges over the
@@ -3150,6 +3210,7 @@ DEMOTED: tuple[str, ...] = (
     "q17_small_quantity_revenue", # decorrelated per-group avg limit; q2/q11/q15 carry the shape
     "event_type_pivot",           # CASE-conditional agg; revenue_grouping_sets + q12/q14 cover
     "streaming_exact_dedup_parity",  # thinnest of the 3 stream-batch gates; wordcount + windows stay
+    "doc_bigram_logprob",         # conditional sibling of doc_unigram_logprob (in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
