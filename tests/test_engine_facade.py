@@ -68,3 +68,12 @@ def test_round4_surface(eng):
     assert {"doc_id", "compression_ratio"} <= set(comp.columns)
     kept = eng.semantic_dedup(eng.table("embeddings"), threshold=0.35, n_clusters=8)
     assert 0 < kept.count() <= 500
+
+
+def test_round4_packing_surface(eng):
+    docs = eng.table("documents")
+    chunks = eng.chunk(docs, chunk_tokens=32, overlap=8)
+    packed = eng.pack_sequences(chunks, seq_len=128, n_buckets=4)
+    assert {"bucket", "seq_id", "n_chunks", "seq_tokens"} == set(packed.columns)
+    mix = eng.token_budget_mixture(docs, budget_tokens=10_000)
+    assert 0 < mix.count() < docs.count()

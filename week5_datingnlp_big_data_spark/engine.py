@@ -113,6 +113,14 @@ class Engine:
         """Deterministic per-source sampling for training mixtures."""
         return _corpus.mixture_sample(docs, rates, **kw)
 
+    def pack_sequences(self, chunks: DataFrame, **kw) -> DataFrame:
+        """Concat-and-split packing of chunks into fixed token budgets."""
+        return _corpus.pack_sequences(chunks, **kw)
+
+    def token_budget_mixture(self, docs: DataFrame, budget_tokens: int, **kw) -> DataFrame:
+        """Temperature-weighted deterministic sampling to a token budget."""
+        return _corpus.token_budget_mixture(docs, budget_tokens, **kw)
+
     def pii_scrub(self, docs: DataFrame, **kw) -> DataFrame:
         """Per-doc PII counts + redacted text (email/IPv4/phone tags)."""
         return _textstats.pii_scrub(docs, **kw)

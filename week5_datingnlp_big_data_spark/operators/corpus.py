@@ -202,3 +202,118 @@ def mixture_sample(
             F.col(source_col) == src, F.lit(int(round(rate * denom)))
         ).otherwise(threshold)
     return docs.filter(bucket < threshold)
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 128,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay the chunk stream end to end
+    and cut every ``seq_len`` tokens — the GPT-style packing step that
+    turns variable-length chunks into fixed-budget training sequences
+    with near-zero padding. A chunk belongs to the sequence where it
+    STARTS (whole chunks are never split here; pad/trim is the trainer's
+    last step).
+
+    Deterministic and distributed: chunks are first hashed into
+    ``n_buckets`` independent streams (md5 of the doc id — stable across
+    runs/engines/layouts, like mixture_sample), each bucket packs its own
+    stream in (doc_id, chunk_idx) order via ONE running-sum window, so
+    the sort/window parallelism is n_buckets-wide instead of a global
+    single-partition total order — the difference between a toy and a
+    100 TB packer. Output: (bucket, seq_id, n_chunks, seq_tokens).
+
+    seq_tokens can exceed seq_len by at most one chunk's tail (start-
+    offset binning); fill ratio asserts live in the unit tests."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    from pyspark.sql import Window
+
+    staged = chunks.select(
+        bucket.alias("bucket"), F.col(id_col), F.col(idx_col), F.col(tokens_col)
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col), F.col(idx_col))
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        staged.withColumn("seq_id", F.floor(start / seq_len))
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).alias("seq_tokens"),
+        )
+    )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    temperature: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "budget",
+) -> DataFrame:
+    """Temperature-weighted sampling to a token budget: source s with
+    n_s tokens gets target share ∝ n_s^τ (τ<1 upsamples small sources —
+    the multilingual/multi-domain mixing rule of GPT-3/XLM-R-style
+    pipelines), keep-rate r_s = min(1, budget·n_s^τ / Σn^τ / n_s), and
+    docs are kept by the same deterministic md5-bucket rule as
+    ``mixture_sample`` — identical rows on any engine, run, or layout.
+
+    Fully relational — no driver collect: per-source token totals (one
+    tiny aggregate), a scalar Σn^τ broadcast, a broadcast rate join, one
+    codegen'd filter. Output: (doc_id, source, n_tokens, keep_rate)."""
+    denom = 10_000
+    n_tok = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), "\\s+")))
+    base = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
+    )
+    per = base.groupBy("source").agg(F.sum("n_tokens").alias("n_src"))
+    z = per.agg(F.sum(F.pow("n_src", F.lit(temperature))).alias("z"))
+    rates = (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens))
+                * F.pow("n_src", F.lit(temperature))
+                / F.col("z")
+                / F.col("n_src"),
+            ).alias("keep_rate"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    )
+    return (
+        base.join(F.broadcast(rates), "source")
+        .filter(bucket / F.lit(float(denom)) < F.col("keep_rate"))
+        .select(id_col, "source", "n_tokens", F.round("keep_rate", 6).alias("keep_rate"))
+    )

@@ -3078,6 +3078,79 @@ def embedding_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "packed_sequences",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), st AS (
+      SELECT doc_id, w,
+             list_filter(range(0, len(w), 24),
+                         s -> s = 0 OR s + 32 - 24 < len(w)) AS ss
+      FROM ws
+    ), chunks AS (
+      SELECT doc_id, i - 1 AS chunk_idx, least(len(w) - ss[i], 32) AS n_tokens
+      FROM st, unnest(range(1, len(ss) + 1)) AS t(i)
+    ), bucketed AS (
+      SELECT (('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8)
+               AS bucket,
+             doc_id, chunk_idx, n_tokens
+      FROM chunks
+    ), seq AS (
+      SELECT bucket, n_tokens,
+             CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+                ROWS UNBOUNDED PRECEDING) - n_tokens) // 128 AS BIGINT) AS seq_id
+      FROM bucketed
+    )
+    SELECT bucket, seq_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+    FROM seq GROUP BY bucket, seq_id
+    """,
+)
+def packed_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing over the doc_chunks stream:
+    md5-bucketed deterministic streams, one running-sum window per
+    bucket, 128-token bins. See operators/corpus.py:pack_sequences for
+    the scale notes (bucket-parallel windows, no global total order)."""
+    chunks = corpus.chunk_documents(
+        spread(_t(spark, sf_dir, "documents")), chunk_tokens=32, overlap=8
+    )
+    return corpus.pack_sequences(chunks, seq_len=128, n_buckets=8)
+
+
+@query(
+    "token_budget_mixture",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source, sum(n_tokens) AS n_src FROM base GROUP BY source
+    ), z AS (
+      SELECT sum(pow(n_src, 0.5)) AS z FROM per
+    ), rates AS (
+      SELECT source, least(1.0, 20000.0 * pow(n_src, 0.5) / z / n_src) AS keep_rate
+      FROM per, z
+    )
+    SELECT doc_id, source, n_tokens, round(keep_rate, 6) AS keep_rate
+    FROM base JOIN rates USING (source)
+    WHERE (('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 10000) / 10000.0 < keep_rate
+    """,
+)
+def token_budget_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (τ=0.5) sampling to a 20k-token budget:
+    small sources upsampled, keep decisions by the deterministic
+    md5-bucket rule. Fully relational (no driver collect) — see
+    operators/corpus.py:token_budget_mixture."""
+    return corpus.token_budget_mixture(
+        _t(spark, sf_dir, "documents"), budget_tokens=20_000, temperature=0.5
+    )
+
+
+@query(
     "doc_bigram_logprob",
     """
     WITH ws AS (
@@ -3211,6 +3284,8 @@ DEMOTED: tuple[str, ...] = (
     "event_type_pivot",           # CASE-conditional agg; revenue_grouping_sets + q12/q14 cover
     "streaming_exact_dedup_parity",  # thinnest of the 3 stream-batch gates; wordcount + windows stay
     "doc_bigram_logprob",         # conditional sibling of doc_unigram_logprob (in-window)
+    "packed_sequences",           # downstream sibling of doc_chunks (in-window)
+    "token_budget_mixture",       # temperature variant of corpus_mixture_sample (in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
