@@ -69,3 +69,28 @@ def test_quantile_sketch_hits_true_order_statistics(events):
             lo = vals[max(0, int(target - slack))]
             hi = vals[min(n - 1, int(target + slack) + 1)]
             assert lo - 1e-9 <= got <= hi + 1e-9, (grp, q, got, lo, hi)
+
+
+def test_profile_table_exact_matches_manual(docs):
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    prof = {r["column"]: r for r in sketches.profile_table(docs, approx=False).collect()}
+    n = docs.count()
+    assert set(prof) == set(docs.columns)
+    for c in docs.columns:
+        assert prof[c]["n_rows"] == n
+    exact_lang = docs.select("lang").distinct().count()
+    assert prof["lang"]["n_distinct"] == exact_lang
+    nulls_text = docs.filter(F.col("text").isNull()).count()
+    assert prof["text"]["n_nulls"] == nulls_text
+
+
+def test_profile_table_approx_within_tolerance(docs):
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    approx = {r["column"]: r for r in sketches.profile_table(docs, approx=True).collect()}
+    exact = {r["column"]: r for r in sketches.profile_table(docs, approx=False).collect()}
+    for c in exact:
+        assert approx[c]["n_distinct"] == pytest.approx(exact[c]["n_distinct"], rel=0.05), c
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_value"] == exact[c]["min_value"]

@@ -259,3 +259,34 @@ def test_stream_events_handles_nanos_parquet(spark, sf_dir, tmp_path):
         q.stop()
     got = spark.table("ns_stream_check").agg(F.sum("n_events")).first()[0]
     assert got == 200
+
+
+def test_streaming_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """The round-4 per-row quality operators compose with readStream
+    unchanged (pure narrow transforms): PII-scrubbing a document stream
+    yields exactly the batch scrub of the same rows."""
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(" mail u"), F.col("doc_id"), F.lit("@ex.org"),
+        ),
+    )
+    _drop_file(pii.filter(F.col("doc_id") < 250), tmp_path, "in", "b1.parquet")
+    _drop_file(pii.filter(F.col("doc_id") >= 250), tmp_path, "in", "b2.parquet")
+
+    stream = sc.stream_documents(spark, str(tmp_path / "in")).select("doc_id", "text")
+    q = sc.run_stream_to_memory(
+        textstats.pii_scrub(stream), "pii_stream", "append"
+    )
+    try:
+        _wait(q)
+        got = sorted(map(tuple, spark.table("pii_stream").collect()))
+    finally:
+        q.stop()
+    want = sorted(map(tuple, textstats.pii_scrub(pii).collect()))
+    assert got == want and len(got) == 500
+    assert all("@" not in r[-1] for r in got)

@@ -139,6 +139,12 @@ class Engine:
 
         return _sketches.source_distinct_hll(docs, **kw)
 
+    def profile(self, df: DataFrame, **kw) -> DataFrame:
+        """One-pass per-column profile: nulls, distincts, min/max."""
+        from week5_datingnlp_big_data_spark.operators import sketches as _sketches
+
+        return _sketches.profile_table(df, **kw)
+
     def compression_ratios(self, docs: DataFrame, **kw) -> DataFrame:
         """zlib compression-ratio redundancy signal per doc."""
         return _textstats.compression_ratios(docs, **kw)

@@ -56,6 +56,51 @@ def source_distinct_hll(
     )
 
 
+def profile_table(df: DataFrame, approx: bool = True) -> DataFrame:
+    """One-pass data profiling: per column — null count/fraction,
+    distinct count, lexicographic-as-string min/max. The ingest sanity
+    check a training pipeline runs before anything else (null spikes,
+    cardinality collapses, range drift).
+
+    ``approx=True`` (the scale path) uses HLL for distincts so the whole
+    profile is ONE aggregate pass with mergeable state per column;
+    ``approx=False`` is exact (Spark plans multi-distinct via expand —
+    fine at audit scale, the deterministic choice for the oracle twin).
+    Output: (column, n_rows, n_nulls, null_frac, n_distinct, min_value,
+    max_value) — min/max cast to string so one schema fits all column
+    types."""
+    cols = df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            distinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.round(F.col(f"_nulls_{c}") / F.greatest(F.col("_n"), F.lit(1)), 6).alias(
+                    "null_frac"
+                ),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
 def value_quantile_sketch(
     events: DataFrame,
     value_col: str = "value",

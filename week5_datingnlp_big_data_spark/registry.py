@@ -3187,6 +3187,63 @@ def doc_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_logprob_scores(spread(_t(spark, sf_dir, "documents")))
 
 
+@query(
+    "table_profile_documents",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT p.* FROM n, LATERAL (
+      SELECT 'doc_id' AS "column", n_rows,
+             (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_nulls,
+             round((SELECT count(*) FROM documents WHERE doc_id IS NULL) * 1.0
+                   / greatest(n_rows, 1), 6) AS null_frac,
+             (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
+             (SELECT CAST(min(doc_id) AS VARCHAR) FROM documents) AS min_value,
+             (SELECT CAST(max(doc_id) AS VARCHAR) FROM documents) AS max_value
+      UNION ALL
+      SELECT 'text', n_rows,
+             (SELECT count(*) FROM documents WHERE text IS NULL),
+             round((SELECT count(*) FROM documents WHERE text IS NULL) * 1.0
+                   / greatest(n_rows, 1), 6),
+             (SELECT count(DISTINCT text) FROM documents),
+             (SELECT min(text) FROM documents),
+             (SELECT max(text) FROM documents)
+      UNION ALL
+      SELECT 'lang', n_rows,
+             (SELECT count(*) FROM documents WHERE lang IS NULL),
+             round((SELECT count(*) FROM documents WHERE lang IS NULL) * 1.0
+                   / greatest(n_rows, 1), 6),
+             (SELECT count(DISTINCT lang) FROM documents),
+             (SELECT min(lang) FROM documents),
+             (SELECT max(lang) FROM documents)
+      UNION ALL
+      SELECT 'source', n_rows,
+             (SELECT count(*) FROM documents WHERE source IS NULL),
+             round((SELECT count(*) FROM documents WHERE source IS NULL) * 1.0
+                   / greatest(n_rows, 1), 6),
+             (SELECT count(DISTINCT source) FROM documents),
+             (SELECT min(source) FROM documents),
+             (SELECT max(source) FROM documents)
+      UNION ALL
+      SELECT 'n_chars', n_rows,
+             (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+             round((SELECT count(*) FROM documents WHERE n_chars IS NULL) * 1.0
+                   / greatest(n_rows, 1), 6),
+             (SELECT count(DISTINCT n_chars) FROM documents),
+             (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents),
+             (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+    ) p
+    """,
+)
+def table_profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling audit of the documents table (exact
+    variant so the DuckDB twin matches bit-for-bit; approx=True is the
+    single-pass HLL scale path, tolerance-tested in
+    tests/test_sketches.py). See operators/sketches.py:profile_table."""
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    return sketches.profile_table(_t(spark, sf_dir, "documents"), approx=False)
+
+
 @query("source_distinct_hll")
 def source_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counts: per-source DataSketches HLL over
@@ -3286,6 +3343,7 @@ DEMOTED: tuple[str, ...] = (
     "doc_bigram_logprob",         # conditional sibling of doc_unigram_logprob (in-window)
     "packed_sequences",           # downstream sibling of doc_chunks (in-window)
     "token_budget_mixture",       # temperature variant of corpus_mixture_sample (in-window)
+    "table_profile_documents",    # audit utility; scan-stat family in-window via quality_scores
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
