@@ -100,7 +100,9 @@ def test_mllib_minhash_agrees_on_planted_dups(dup_docs):
 def emb(spark, sf_dir):
     from week5_datingnlp_big_data_spark.sources.catalog import load_table
 
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_cosine_topk_shape_and_bounds(emb):

@@ -66,7 +66,11 @@ def test_pack_sequences_deterministic(chunked):
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # Unpersist at teardown so the cached full-table relation is not
+    # substituted into later tests' scans (breaks plan-pruning asserts).
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 def test_token_budget_respected(docs):

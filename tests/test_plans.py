@@ -16,6 +16,15 @@ import pytest
 from week5_datingnlp_big_data_spark.registry import QUERIES
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _cold_cache(spark):
+    # Plan assertions (pruned ReadSchema, pushed filters) are about the
+    # cold plan; a table another test module left cached would be
+    # substituted as an InMemoryRelation and mask pruning regressions.
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     df = QUERIES[name](spark, sf_dir)
     buf = io.StringIO()

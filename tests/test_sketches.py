@@ -13,12 +13,19 @@ from week5_datingnlp_big_data_spark.sources.catalog import load_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # Unpersist at teardown: a cached full-table relation would otherwise
+    # be substituted (CacheManager) into later tests' scans, hiding the
+    # column pruning the plan tests assert on.
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").cache()
+    df = load_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
 
 
 def test_hll_per_source_within_tolerance(docs):

@@ -102,12 +102,15 @@ def test_winnowing_short_text_fallback(spark):
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    qids = list(range(8))
-    exact = similarity.cosine_topk(emb, qids, k=5)
-    approx = similarity.ivf_topk(emb, qids, k=5, n_cells=8, n_probe=4)
-    rec = similarity.knn_recall(exact, approx)
-    # probing half the cells should recover well over half the true top-k
-    assert rec >= 0.6, rec
+    try:
+        qids = list(range(8))
+        exact = similarity.cosine_topk(emb, qids, k=5)
+        approx = similarity.ivf_topk(emb, qids, k=5, n_cells=8, n_probe=4)
+        rec = similarity.knn_recall(exact, approx)
+        # probing half the cells should recover well over half the true top-k
+        assert rec >= 0.6, rec
+    finally:
+        emb.unpersist()
 
 
 def test_stream_stream_click_attribution(spark, tmp_path):

@@ -102,7 +102,9 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
 def emb4(spark, sf_dir):
     from week5_datingnlp_big_data_spark.sources.catalog import load_table
 
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_semantic_dedup_finds_planted_duplicates(emb4, spark):
