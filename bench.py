@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_bigram_logprob",
     "source_distinct_hll",
+    "span_dedup_fractions",
+    "lm_quality_buckets",
 ]
 
 

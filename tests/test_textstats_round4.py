@@ -185,3 +185,84 @@ def test_bigram_logprob_hand_computed(spark):
     want = -(2 * math.log10(p_ab) + math.log10(p_ba)) / 3
     assert out[1]["mean_neg_logprob"] == pytest.approx(want, abs=1e-6)
     assert 3 not in out  # single-word doc has no bigrams
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (C4/CCNet signal)
+# ---------------------------------------------------------------------------
+
+_SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        # docs 1 and 2 share their first 8-word span verbatim
+        (1, _SPAN + " unique tail one two three four five six"),
+        (2, _SPAN + " other ending seven eight nine ten eleven twelve"),
+        # doc 3 repeats ITS OWN span twice (within-doc only — must not flag)
+        (3, "solo words here repeated block four five six " * 2),
+        # doc 4 has fewer than 8 words → no spans, no output row
+        (4, "too short for a span"),
+        # doc 5 shares nothing
+        (5, "entirely different content with no overlap at all in any span"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    yield df
+    df.unpersist()
+
+
+def test_span_dedup_cross_doc_flags(spark, span_docs):
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    out = {r["doc_id"]: r for r in dedup.span_dup_fractions(span_docs).collect()}
+    # doc 1: 2 spans (16 words), first is shared with doc 2
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_span_frac"] == pytest.approx(0.5)
+    assert out[2]["n_dup_spans"] == 1
+    # within-doc repetition does not flag
+    assert out[3]["n_dup_spans"] == 0
+    # sub-span_words doc yields no row at all (trailing partial dropped)
+    assert 4 not in out
+    assert out[5]["n_dup_spans"] == 0
+
+
+def test_span_dedup_span_width_respected(spark, span_docs):
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    # with 4-word spans doc 4 (5 words) gets exactly one span
+    out = {r["doc_id"]: r for r in dedup.span_dup_fractions(span_docs, span_words=4).collect()}
+    assert out[4]["n_spans"] == 1
+    # docs 1 and 2 now share the two 4-word halves of the planted span
+    assert out[1]["n_dup_spans"] == 2
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail LM-quality buckets
+# ---------------------------------------------------------------------------
+
+
+def test_lm_quality_buckets_terciles(spark):
+    # 9 docs: three groups of three with sharply different rarity — common
+    # words (head), mixed (middle), hapax-heavy (tail).
+    rows = [(i, "the the the common common words") for i in range(3)]
+    rows += [(i, "the common rare%d mix blend" % i) for i in range(3, 6)]
+    rows += [(i, "zzq%d xwv%d qqj%d kkp%d mmz%d" % (i, i, i, i, i)) for i in range(6, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.lm_quality_buckets(docs).collect()}
+    assert len(out) == 9
+    buckets = [out[i]["lm_bucket"] for i in range(9)]
+    assert buckets[:3] == ["head"] * 3
+    assert buckets[3:6] == ["middle"] * 3
+    assert buckets[6:] == ["tail"] * 3
+    # scores are monotone with the buckets
+    assert out[0]["mean_neg_logprob"] < out[3]["mean_neg_logprob"] < out[6]["mean_neg_logprob"]
+
+
+def test_lm_quality_buckets_ties_share_bucket(spark):
+    # identical docs → identical scores → everyone lands in ONE bucket
+    docs = spark.createDataFrame(
+        [(i, "same words every time") for i in range(6)], "doc_id long, text string"
+    )
+    out = textstats.lm_quality_buckets(docs).collect()
+    assert {r["lm_bucket"] for r in out} == {"head"}

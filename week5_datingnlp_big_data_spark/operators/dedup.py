@@ -746,3 +746,68 @@ def ngram_overlap_flags(
         # distinct shuffle.
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
     )
+
+
+def span_dup_fractions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Cross-document span-level dedup signal (C4 / CCNet style): hash
+    fixed-size word spans and measure, per document, the fraction of its
+    spans that also occur in at least one OTHER document. C4 removes
+    three-sentence spans seen more than once in the corpus; CCNet drops
+    duplicated paragraphs by hash — this is the same signal over
+    fixed-width spans (the corpus has no sentence/paragraph marks), as a
+    filterable score rather than a destructive rewrite. Within-doc
+    repetition deliberately does NOT flag (that is
+    ``textstats.repetition_scores``' domain): a span counts as duplicated
+    only when it appears in > 1 *distinct* documents.
+
+    Semantics: words = whitespace split of ``trim(text)``; spans are the
+    consecutive non-overlapping ``span_words``-word windows; a trailing
+    partial span (< span_words words) is dropped, so docs shorter than
+    ``span_words`` words produce no spans and no output row.
+
+    Scale shape: explode to one narrow (doc_id, md5) row per span — ~1/k
+    of token volume — then two hash shuffles: the span-frequency groupBy
+    on the md5 key (uniform, no hot keys, map-side partial agg) and the
+    per-doc rollup. The frequency side is joined back BY HASH KEY — never
+    broadcast — because the duplicated-span dictionary of a 100 TB crawl
+    is itself huge; AQE picks the join strategy.
+    """
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_spans = F.floor(F.size(words) / span_words).cast("int")
+    spans = (
+        spread(docs)
+        .filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    # sequence(0, -1) would count DOWN; docs with fewer
+                    # than span_words words must yield no spans at all.
+                    F.when(n_spans >= 1, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(words, i * span_words + 1, span_words))
+                    ),
+                )
+            ).alias("span_hash"),
+        )
+    )
+    freq = spans.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs_with_span")
+    )
+    dup = (F.col("n_docs_with_span") > 1).cast("int")
+    return (
+        spans.join(freq, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_span_frac"),
+        )
+    )

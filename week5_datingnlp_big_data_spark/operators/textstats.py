@@ -437,3 +437,45 @@ def repetition_scores(
             F.round(F.col("_top_g") / F.col("_n_g"), 6), F.lit(0.0)
         ).alias("top_2gram_frac"),
     )
+
+
+def lm_quality_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet head/middle/tail quality tiers (Wenzek et al. 2020): split
+    the corpus into terciles of the per-doc LM score
+    (``unigram_logprob_scores``) and label each document head (most
+    LM-probable third), middle, or tail.
+
+    Scale shape — deliberately NOT a global ``ntile`` (a rank window over
+    every document is a single-partition sort at corpus cardinality).
+    Tercile thresholds come from a type-level cumulative histogram
+    instead: scores are already rounded to 6 dp, so the distinct-value
+    table is bounded by the score value-space (≤ ~10^7 values regardless
+    of corpus size); one ordered window over THAT table yields exact
+    cumulative counts, and the two thresholds broadcast back as a 1-row
+    dimension. Ties share a bucket (all docs with an equal score land
+    together), which also makes the assignment deterministic with no
+    tiebreak column.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_logprob_scores(docs, text_col, id_col).persist()
+    dist = scores.groupBy("mean_neg_logprob").agg(F.count(F.lit(1)).alias("c"))
+    cum = dist.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("mean_neg_logprob"))
+    )
+    n_total = scores.count()
+    thresholds = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= n_total, F.col("mean_neg_logprob"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * n_total, F.col("mean_neg_logprob"))).alias("t2"),
+    )
+    return scores.join(F.broadcast(thresholds)).select(
+        id_col,
+        "n_tokens",
+        "mean_neg_logprob",
+        F.when(F.col("mean_neg_logprob") <= F.col("t1"), F.lit("head"))
+        .when(F.col("mean_neg_logprob") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("lm_bucket"),
+    )
