@@ -48,3 +48,27 @@ def test_funnel_monotone_on_documents(spark, sf_dir):
         >= r.n_after_exact >= r.n_after_near > 0
     )
     assert r.clean.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_near_dup_keep_best_prefers_quality_over_min_id(spark):
+    from week5_datingnlp_big_data_spark.plans.datapipe import near_dup_keep_best
+
+    # Docs 1/2 are near-dups; doc 2 (the HIGHER id) is the cleaner copy —
+    # doc 1 is the same text drowned in punctuation noise, so min-id
+    # selection would keep the worse one. Doc 9 is unrelated (no row).
+    base = ("the quick brown fox jumps over the lazy dog and then it naps "
+            "for a while under the old oak tree every single afternoon")
+    rows = [
+        (1, base + " !!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@"),
+        (2, base),
+        (9, "completely different content that is about nothing at all here"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in near_dup_keep_best(docs, threshold=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["keep"] and not out[1]["keep"]
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[2]["quality"] > out[1]["quality"]

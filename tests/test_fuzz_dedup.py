@@ -33,6 +33,8 @@ FUZZED_QUERIES = (
     "benchmark_ngram_overlap",
     "doc_chunks",
     "corpus_mixture_sample",
+    # cross-doc span dedup: mutated copies produce partially-shared spans
+    "span_dedup_fractions",
 )
 
 VOCAB = [

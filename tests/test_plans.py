@@ -259,3 +259,24 @@ def test_quantile_sketch_single_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_value_quantiles_sketch")
     assert plan.count("+- Exchange") == 1
     assert "partial_approx_percentile" in plan
+
+
+def test_span_dedup_single_span_pass(spark, sf_dir):
+    # The span table feeds the frequency aggregate AND the join-back; the
+    # persist barrier must keep ONE span-explode subtree (same Generate id
+    # repeated via the InMemoryRelation), not two independent scans.
+    import re
+
+    plan = _plan(spark, sf_dir, "span_dedup_fractions")
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) <= 1, gen_ids
+
+
+def test_lm_quality_buckets_histogram_window_only(spark, sf_dir):
+    # Bucket thresholds come from the type-level histogram: the only sort
+    # in the plan is the window over DISTINCT score values (post-
+    # aggregate), never a corpus-cardinality global ntile sort over docs.
+    plan = _plan(spark, sf_dir, "lm_quality_buckets")
+    assert "ntile" not in plan.lower()
+    # thresholds broadcast back as a 1-row dimension
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -773,9 +773,13 @@ def span_dup_fractions(
     Scale shape: explode to one narrow (doc_id, md5) row per span — ~1/k
     of token volume — then two hash shuffles: the span-frequency groupBy
     on the md5 key (uniform, no hot keys, map-side partial agg) and the
-    per-doc rollup. The frequency side is joined back BY HASH KEY — never
-    broadcast — because the duplicated-span dictionary of a 100 TB crawl
-    is itself huge; AQE picks the join strategy.
+    per-doc rollup. The span table feeds BOTH the frequency aggregate and
+    the join-back, so it is persisted — without the barrier Catalyst
+    duplicates the scan + split + hash-explode subtree into each side
+    (the measured double-tokenize hazard from the word-count plans). The
+    frequency side is joined back BY HASH KEY — never broadcast — because
+    the duplicated-span dictionary of a 100 TB crawl is itself huge; AQE
+    picks the join strategy.
     """
     words = F.split(F.trim(F.col(text_col)), "\\s+")
     n_spans = F.floor(F.size(words) / span_words).cast("int")
@@ -797,7 +801,7 @@ def span_dup_fractions(
                 )
             ).alias("span_hash"),
         )
-    )
+    ).persist()
     freq = spans.groupBy("span_hash").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs_with_span")
     )

@@ -117,3 +117,50 @@ def prepare_corpus(
         n_after_exact=n_exact,
         n_after_near=n_near,
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware representative selection for near-dup clusters:
+    instead of keeping the min-id member (``near_dup_components``'
+    ``is_representative`` flag — the convention exact dedup uses), keep
+    the member with the HIGHEST quality score, tie-broken by min id. A
+    real crawl cleans this way: among near-copies of a page you keep the
+    cleanest extraction, not the one that happened to be crawled first.
+
+    Output: one row per clustered doc — (doc_id, component, quality,
+    keep). Singletons (docs in no verified near-dup pair) are not listed,
+    same domain as ``near_dup_components``.
+
+    Scale shape: composes the banded-LSH component labeling with the
+    scan-speed quality score; the two extra aggregates (per-component max
+    quality, then min-id among the maxima) shuffle on the component key —
+    component count ≪ doc count, bounded by the pair graph. No driver
+    materialization beyond the component fixpoint's convergence probe.
+    """
+    comps = dedup.near_dup_components(docs, threshold=threshold).select(
+        id_col, "component"
+    )
+    quality = textstats.quality_score(docs, text_col).select(id_col, "quality")
+    scored = comps.join(quality, id_col).persist()
+    mx = scored.groupBy("component").agg(F.max("quality").alias("_max_q"))
+    best = (
+        scored.join(mx, "component")
+        .filter(F.col("quality") == F.col("_max_q"))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("_best_id"))
+    )
+    return (
+        scored.join(best, "component")
+        .select(
+            id_col,
+            "component",
+            "quality",
+            (F.col(id_col) == F.col("_best_id")).alias("keep"),
+        )
+    )

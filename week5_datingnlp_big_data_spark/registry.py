@@ -3369,6 +3369,51 @@ def lm_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_quality_buckets(spread(_t(spark, sf_dir, "documents")))
 
 
+@query(
+    "near_dup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS ({{MINHASH_PAIRS}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comps AS (
+      SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+    ),
+    q AS ({{QUALITY}}),
+    scored AS (
+      SELECT c.doc_id, c.component, q.quality FROM comps c JOIN q USING (doc_id)
+    ),
+    mx AS (
+      SELECT component, max(quality) AS mq FROM scored GROUP BY component
+    ),
+    best AS (
+      SELECT s.component, min(s.doc_id) AS best_id
+      FROM scored s JOIN mx ON s.component = mx.component AND s.quality = mx.mq
+      GROUP BY s.component
+    )
+    SELECT s.doc_id, s.component, s.quality, (s.doc_id = best.best_id) AS keep
+    FROM scored s JOIN best USING (component)
+    """.replace("{MINHASH_PAIRS}", _SQL_MINHASH_PAIRS).replace(
+        "{QUALITY}", _sql_quality("documents")
+    ),
+)
+def near_dup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative selection: within each
+    MinHash-verified component keep the highest-quality member (tie → min
+    id) instead of the min-id member — the policy a real crawl cleanup
+    uses. See plans/datapipe.py:near_dup_keep_best."""
+    from week5_datingnlp_big_data_spark.plans.datapipe import near_dup_keep_best
+
+    return near_dup_keep_best(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
