@@ -180,3 +180,34 @@ def test_pca_explained_variance(ep1):
     assert len(ratios) == 2
     assert ratios[0] >= ratios[1] >= 0
     assert sum(ratios) <= 1.0 + 1e-9
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    from pyspark.sql import functions as F
+
+    from week5_datingnlp_big_data_spark.operators import ml as mlops
+
+    good_vocab = "informative well written prose with careful structure and clarity"
+    bad_vocab = "zzz spam spam buy now click here zzz winner prize xxx"
+    pos = spark.createDataFrame(
+        [(i, f"{good_vocab} item {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, f"{bad_vocab} offer {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    model = mlops.train_quality_classifier(pos, neg)
+    # held-out docs from each vocabulary, plus an empty doc (skipped)
+    test = spark.createDataFrame(
+        [
+            (1000, "careful informative prose written with clarity"),
+            (1001, "click here now winner spam zzz prize"),
+            (1002, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["p_quality"] for r in
+           mlops.quality_classifier_scores(model, test).collect()}
+    assert set(out) == {1000, 1001}
+    assert out[1000] > 0.8 > 0.2 > out[1001]

@@ -279,3 +279,66 @@ def tsne_driver(
     from week5_datingnlp_big_data_spark.operators.tsne import tsne_exact
 
     return tsne_exact(X, n_components=2, perplexity=perplexity, seed=seed)
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    *,
+    num_features: int = 1 << 18,
+    reg_param: float = 0.01,
+) -> PipelineModel:
+    """FastText-style model-based quality filter (the GPT-3 / LLaMA
+    pretraining recipe: train a linear classifier to recognize text that
+    resembles a high-quality reference corpus, then score the crawl and
+    keep the high-scoring tail). Linear model over hashed unigram counts:
+
+    - ``HashingTF`` — NO vocabulary collect, no fitted dictionary; the
+      feature space is a fixed hash range, so featurization is a pure
+      map at any corpus size (the 100 TB-safe choice vs CountVectorizer).
+    - ``LogisticRegression`` — MLlib's distributed L-BFGS; the model is
+      one dense coefficient vector (num_features floats) on the driver.
+
+    Tokenization is the cheap whitespace split, matching the LM scorers:
+    quality classification wants surface text statistics, not the
+    stemmed/stopworded NLP pipeline.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    labeled = positive.select(
+        F.col(text_col).alias("text"), F.lit(1.0).alias("label")
+    ).unionByName(
+        negative.select(F.col(text_col).alias("text"), F.lit(0.0).alias("label"))
+    )
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="_words"),
+            HashingTF(inputCol="_words", outputCol="features", numFeatures=num_features),
+            LogisticRegression(regParam=reg_param, maxIter=25),
+        ]
+    )
+    return pipe.fit(labeled.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0))
+
+
+def quality_classifier_scores(
+    model: PipelineModel,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained quality classifier: P(high-quality)
+    per doc, rounded for cross-run stability. Pure transform — scoring is
+    a map over the corpus, no shuffle, no driver collect."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        docs.select(F.col(id_col), F.col(text_col).alias("text")).filter(
+            F.length(F.trim(F.coalesce("text", F.lit("")))) > 0
+        )
+    )
+    return scored.select(
+        id_col,
+        F.round(vector_to_array("probability")[1], 6).alias("p_quality"),
+    )

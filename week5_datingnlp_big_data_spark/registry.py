@@ -33,6 +33,7 @@ from week5_datingnlp_big_data_spark.operators import (
     dedup,
     dfm,
     freq,
+    ml,
     relational,
     similarity,
     skew,
@@ -3367,6 +3368,25 @@ def lm_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the 6-dp score value-space), NOT a corpus-cardinality
     ntile window. See operators/textstats.py:lm_quality_buckets."""
     return textstats.lm_quality_buckets(spread(_t(spark, sf_dir, "documents")))
+
+
+@query("model_quality_scores")
+def model_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, CCNet-distilled: take the unigram-LM
+    head tercile as positives and the tail tercile as negatives
+    (lm_quality_buckets), train the fastText-style linear classifier
+    (HashingTF → LogisticRegression — no vocabulary collect), and score
+    every document with P(high-quality). MLlib training → rows-only at
+    the driver; separation and determinism pinned in tests/test_pipelines.
+    The GPT-3 / LLaMA crawl-filter recipe end-to-end on one engine."""
+    docs = _t(spark, sf_dir, "documents")
+    buckets = textstats.lm_quality_buckets(spread(docs)).select("doc_id", "lm_bucket")
+    labeled = docs.join(buckets, "doc_id")
+    model = ml.train_quality_classifier(
+        labeled.filter(F.col("lm_bucket") == "head"),
+        labeled.filter(F.col("lm_bucket") == "tail"),
+    )
+    return ml.quality_classifier_scores(model, docs).orderBy("doc_id")
 
 
 @query(
