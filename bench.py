@@ -61,6 +61,9 @@ HEADLINE = [
     "source_distinct_hll",
     "span_dedup_fractions",
     "lm_quality_buckets",
+    "c4_line_filter_stats",
+    "gopher_quality_flags",
+    "training_shard_stats",
 ]
 
 

@@ -50,5 +50,8 @@ def test_driver_window_holds_flagships():
         "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
         "q20_heavy_suppliers", "q2_min_cost_supplier", "q9_product_type_profit",
         "q11_important_parts", "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        # round-3 training-data flagships
+        "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
+        "lm_quality_buckets", "span_dedup_fractions", "pii_redaction_stats",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -280,3 +280,22 @@ def test_lm_quality_buckets_histogram_window_only(spark, sf_dir):
     assert "ntile" not in plan.lower()
     # thresholds broadcast back as a 1-row dimension
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_c4_and_gopher_filters_scan_speed(spark, sf_dir):
+    # Both rule cascades are pure higher-order-function projections over
+    # one scan: no shuffle, no join, no aggregate anywhere in the plan.
+    for name in ("c4_line_filter_stats", "gopher_quality_flags"):
+        plan = _plan(spark, sf_dir, name)
+        for op in ("Exchange", "Join", "Aggregate"):
+            assert op not in plan, f"{name} plan contains {op}"
+        assert "ReadSchema" in plan
+
+
+def test_shard_stats_single_exchange(spark, sf_dir):
+    # Shard assignment is a codegen'd hash expression; the audit groupBy
+    # is the plan's only shuffle (partial agg below it, final above).
+    plan = _plan(spark, sf_dir, "training_shard_stats")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan  # map-side combine below the shuffle
+    assert "Join" not in plan

@@ -1,0 +1,216 @@
+"""Rule-based pretraining-corpus filters: the C4 line-level cleaning
+cascade (Raffel et al. 2020, "Exploring the Limits of Transfer Learning
+with a Unified Text-to-Text Transformer", JMLR — §2.2 heuristics) and
+the Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", §A1.1).
+
+Scale shape: every rule is a Catalyst higher-order-function expression
+over the text column — ``split``/``filter``/``transform``/``aggregate``
+— so the whole cascade is a shuffle-free scan-speed map with no Python
+in the loop. At 100 TB this runs at parquet-read speed inside one
+WholeStageCodegen span; the only downstream cost is whatever consumes
+the verdict columns.
+
+The rule THRESHOLDS are parameters (papers differ and corpora differ);
+the defaults are the published C4/Gopher values. No analog in the
+reference (`Week5_datingNLP.R` filters by language only, line 44-47);
+this module is north-star training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C4's line filter requires a terminal punctuation mark (period,
+# exclamation, question mark, closing quote).
+TERMINAL_PUNCT_PAT = "[.!?”\"']\\s*$"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def c4_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning, reported as per-document stats plus
+    the cleaned text: split on newlines, keep lines that (a) have at
+    least ``min_words_per_line`` words, (b) end in terminal punctuation
+    (when ``require_terminal_punct``), and (c) contain no blocklisted
+    word; then drop whole documents that contain a doc-level blocklist
+    phrase (C4 uses "lorem ipsum" and the code brace ``{``) or retain
+    fewer than ``min_kept_lines`` lines.
+
+    Returns one row per input document — dropped docs are reported with
+    ``keep = false`` rather than removed, so the same plan serves both
+    the filter (``.filter("keep")``) and the audit table. Rows: id,
+    ``n_lines`` (non-blank), ``n_kept_lines``, ``n_kept_words``,
+    ``doc_blocked``, ``keep``, ``kept_text``.
+    """
+    s = F.coalesce(_col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(s, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def line_ok(l: Column) -> Column:
+        ok = F.size(F.split(l, "\\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & l.rlike(TERMINAL_PUNCT_PAT)
+        low = F.lower(l)
+        for w in line_blocklist:
+            ok = ok & ~low.contains(w.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    doc_blocked = F.lit(False)
+    low_doc = F.lower(s)
+    for phrase in doc_blocklist:
+        doc_blocked = doc_blocked | low_doc.contains(phrase.lower())
+    n_kept = F.size(kept)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.aggregate(
+            kept,
+            F.lit(0).cast("long"),
+            lambda acc, l: acc + F.size(F.split(l, "\\s+")),
+        ).alias("n_kept_words"),
+        doc_blocked.alias("doc_blocked"),
+        (~doc_blocked & (n_kept >= min_kept_lines)).alias("keep"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )
+
+
+# Gopher §A1.1 "required words": a document must contain at least
+# ``min_stop_hits`` of these to survive (filters word-salad pages that
+# pass the length rules).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    stop_words: tuple[str, ...] = GOPHER_STOP_WORDS,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules as one scan:
+    word-count window, mean-word-length window, symbol-to-word ratio
+    (``#`` and ``...``/``…``), bullet-start and ellipsis-end line
+    fractions, fraction of words with an alphabetic character, and the
+    required-stop-word rule. Emits the measured features, one boolean
+    per rule, and the conjunction ``keep``.
+
+    Features are rounded to 6 dp so the verdict is reproducible across
+    engines (the oracle twin computes the identical arithmetic in
+    DuckDB).
+    """
+    s = F.coalesce(_col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(s), "\\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    lw = F.transform(words, lambda w: F.lower(w))
+    mean_wl = F.when(
+        n_words > 0,
+        F.round(
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+            / n_words,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.split(s, "#", -1))
+        - 1
+        + F.size(F.split(s, "\\.\\.\\.", -1))
+        - 1
+        + F.size(F.split(s, "…", -1))
+        - 1
+    )
+    sym_ratio = F.when(
+        n_words > 0, F.round(n_symbols / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(s, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(
+                F.filter(lines, lambda l: l.rlike("^[\\u2022\\u2023\\u25e6*-]"))
+            )
+            / n_lines,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$")))
+            / n_lines,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(lw, lambda w: w.isin(*stop_words)))
+
+    ok_words = n_words.between(min_words, max_words)
+    ok_mean_wl = mean_wl.between(min_mean_word_len, max_mean_word_len)
+    ok_symbols = sym_ratio <= max_symbol_word_ratio
+    ok_bullets = bullet_frac <= max_bullet_line_frac
+    ok_ellipsis = ellipsis_frac <= max_ellipsis_line_frac
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    ok_stops = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean_wl.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stop_words"),
+        (
+            ok_words
+            & ok_mean_wl
+            & ok_symbols
+            & ok_bullets
+            & ok_ellipsis
+            & ok_alpha
+            & ok_stops
+        ).alias("keep"),
+    )

@@ -288,6 +288,7 @@ def train_quality_classifier(
     *,
     num_features: int = 1 << 18,
     reg_param: float = 0.01,
+    spill_dir: str | None = None,
 ) -> PipelineModel:
     """FastText-style model-based quality filter (the GPT-3 / LLaMA
     pretraining recipe: train a linear classifier to recognize text that
@@ -303,7 +304,20 @@ def train_quality_classifier(
     Tokenization is the cheap whitespace split, matching the LM scorers:
     quality classification wants surface text statistics, not the
     stemmed/stopworded NLP pipeline.
+
+    The fitted model is round-tripped through a save/load before being
+    returned, which drops the LR training summary. The summary holds a
+    reference to the SparkSession (and through it the non-serializable
+    ObservationManager), so a model carrying it can fail task-closure
+    serialization when ``transform`` runs — the roundtrip leaves only
+    the coefficient vector in the scoring closure. ``spill_dir`` must be
+    a shared filesystem path when training on a real cluster (the model
+    parquet is written by executors); the default temp dir is correct
+    for local mode.
     """
+    import shutil
+    import tempfile
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, Tokenizer
 
@@ -319,7 +333,16 @@ def train_quality_classifier(
             LogisticRegression(regParam=reg_param, maxIter=25),
         ]
     )
-    return pipe.fit(labeled.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0))
+    model = pipe.fit(
+        labeled.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+    )
+    path = spill_dir or tempfile.mkdtemp(prefix="quality-clf-")
+    try:
+        model.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        if spill_dir is None:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def quality_classifier_scores(

@@ -1,0 +1,101 @@
+"""Deterministic global shuffle + training-shard layout.
+
+The last step of a pretraining-data pipeline: break any ordering the
+upstream operators imposed (crawl order, dedup-component order, source
+grouping — all of which correlate adjacent training batches) and write
+the corpus as N equal-ish shards whose membership and internal order are
+a pure function of (id, seed). Two runs of the pipeline — on different
+cluster sizes, partition layouts, or engines — produce byte-identical
+shard membership, which is what makes training jobs resumable and
+ablations comparable.
+
+Scale shape: shard assignment is one codegen'd hash expression (no
+shuffle); writing clusters by the shard column with ONE hash-partition
+exchange sized to the shard count, then a partition-local sort on the
+within-shard key — no global sort, no driver state, no skew (md5 is
+uniform regardless of id distribution).
+
+No analog in the reference (a single-process R script needs no sharded
+layout); north-star training-data surface. The md5-bucket idiom matches
+operators/corpus.py:mixture_sample so both are oracle-twinned the same
+way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Add ``shard`` (0..n_shards-1) and ``shard_key`` columns, both pure
+    functions of (seed, id): shard is the first 56 bits of
+    ``md5(seed:id)`` mod n_shards; shard_key is the remaining hex, the
+    deterministic within-shard sort key (a seeded global shuffle — no
+    RNG, no partition-order dependence)."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return df.withColumns({"shard": shard, "shard_key": F.substring(h, 15, 18)})
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shard",
+) -> DataFrame:
+    """Per-shard balance audit: document count, total whitespace tokens,
+    and the id range landing in each shard. The numbers to watch at
+    100 TB: ``n_docs`` spread across shards should be tight (md5 is
+    uniform — a skewed spread means a broken id column, e.g. nulls), and
+    ``n_tokens`` spread bounds how unevenly training files will be
+    sized."""
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "\\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    return (
+        assign_shards(docs, n_shards, id_col=id_col, seed=seed)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the sharded layout: ``path/shard=K/`` directories,
+    each holding one file whose row order is the deterministic
+    ``shard_key`` order. One exchange (hash on shard, n_shards tasks) +
+    one partition-local sort; ``partitionBy`` keeps the shard id in the
+    directory name so a training loader can open shard K by path without
+    reading footers."""
+    (
+        assign_shards(docs, n_shards, id_col=id_col, seed=seed)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
