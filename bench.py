@@ -64,6 +64,8 @@ HEADLINE = [
     "c4_line_filter_stats",
     "gopher_quality_flags",
     "training_shard_stats",
+    "bloom_dedup_incremental",
+    "dsir_target_sample",
 ]
 
 

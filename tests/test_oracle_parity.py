@@ -53,5 +53,6 @@ def test_driver_window_holds_flagships():
         # round-3 training-data flagships
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
         "lm_quality_buckets", "span_dedup_fractions", "pii_redaction_stats",
+        "bloom_dedup_incremental", "dsir_target_sample",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

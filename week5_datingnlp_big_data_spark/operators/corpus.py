@@ -317,3 +317,96 @@ def token_budget_mixture(
         .filter(bucket / F.lit(float(denom)) < F.col("keep_rate"))
         .select(id_col, "source", "n_tokens", F.round("keep_rate", 6).alias("keep_rate"))
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-bigram bag is under the TARGET
+    distribution (rows where ``target`` is true — e.g. a trusted
+    high-quality slice) than under the RAW corpus distribution. Selecting
+    top-weight documents tilts a crawl toward the target domain without a
+    trained classifier.
+
+    Model: features are word bigrams (multiset, not distinct — counts
+    matter) hashed into ``num_buckets`` md5 buckets; both distributions
+    get add-1 smoothing; a doc's log weight is
+    ``sum_b cnt_b * (ln p_target(b) − ln p_raw(b))``, rounded to 6 dp
+    (partial-aggregation order makes the last ulp nondeterministic).
+    Docs with fewer than two words have no features and are excluded
+    (unscoreable), as are NULL texts.
+
+    Scale shape: ONE tokenize pass — the per-(doc, bucket) count table is
+    persisted and feeds both the λ-table aggregate (``num_buckets`` rows)
+    and the per-doc scoring join. λ is joined back by bucket key with a
+    broadcast (provably bounded: num_buckets is a fixed parameter, like
+    the Bloom filter's word table and unlike data-dependent frequent-item
+    sets). The raw totals ride a 1-row cross join, never a driver
+    collect. Everything is md5-derived → bit-identical in the DuckDB
+    oracle."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("ws")) - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 2)),
+    )
+    feat = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), target.alias("is_target"), words.alias("ws"))
+        .filter(F.size(F.col("ws")) >= 2)
+        .select(id_col, "is_target", F.explode(grams).alias("gram"))
+        .select(
+            id_col,
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 14), 16, 10).cast("long")
+                % num_buckets
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    by_bucket = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias("tc"),
+        F.sum("cnt").alias("rc"),
+    )
+    totals = by_bucket.agg(
+        F.sum("tc").alias("t_total"), F.sum("rc").alias("r_total")
+    )
+    lam = by_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1) / (F.col("t_total") + num_buckets))
+            - F.log((F.col("rc") + 1) / (F.col("r_total") + num_buckets))
+        ).alias("lam"),
+    )
+    return (
+        feat.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lam")), 6).alias("log_weight"))
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    n_select: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+) -> DataFrame:
+    """Top-``n_select`` documents by DSIR importance weight, with a
+    total-order tiebreak (weight DESC, id ASC) so the cut is
+    deterministic on any engine or partitioning. The sort is a global
+    top-k (TakeOrderedAndProject at scale), not a full sort."""
+    w = dsir_importance_weights(docs, target, text_col, id_col, num_buckets)
+    return w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(n_select)

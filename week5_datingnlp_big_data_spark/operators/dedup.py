@@ -815,3 +815,132 @@ def span_dup_fractions(
             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_span_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+# 63 usable bits per BIGINT word: bit 63 is the sign bit, and a set sign
+# bit makes the shifted literal negative with engine-specific overflow
+# edge cases — positions 0..62 keep every mask positive and bit-identical
+# in Spark and DuckDB. Mirrored in registry._sql_bloom_* — change together.
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_positions(text_col: str, num_hashes: int, num_bits: int) -> Column:
+    """Array of ``num_hashes`` bit positions for a document's content.
+
+    Kirsch-Mitzenmacher again (one md5 per doc, two 56-bit halves reduced
+    mod p, pos_i = (h1 + i*h2) mod num_bits): the standard result is that
+    a double-hash family preserves Bloom-filter false-positive guarantees
+    at 1/k the hashing cost. Content key = raw text bytes, matching
+    ``exact_dedup``'s sha2-on-text identity so "seen" means exactly what
+    exact dedup means."""
+    digest = F.md5(F.col(text_col))
+    p = F.lit(MINHASH_PRIME)
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long") % p
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long") % p
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: (h1 + i * h2) % num_bits,
+    )
+
+
+def bloom_filter_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_words: int = 4096,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Build a Bloom filter over document contents as a TABLE of packed
+    bit words: (word_idx BIGINT, bits BIGINT), ≤ ``num_words`` rows.
+
+    This is the incremental-dedup shape for a continuously-crawled
+    corpus: membership state for yesterday's 100 TB is a few MB of longs,
+    not a join against the corpus. The bit array is built relationally —
+    explode each doc's k bit positions, one ``bit_or`` groupBy on
+    word_idx — so it is distributed, deterministic (md5-derived
+    positions), and MERGEABLE: filters of two corpus slices combine with
+    a union + ``bit_or`` regroup (see ``bloom_filter_merge``), the same
+    algebra that lets every executor build partial filters map-side.
+
+    Sizing: m = num_words*63 bits; standard FPR ≈ (1 - e^(-k*n/m))^k.
+    The default 4096 words ≈ 258 kbit holds ~25k docs at k=7 under 1%
+    false positives; scale num_words linearly with corpus count (the
+    filter table stays broadcast-safe: even 10^10 docs at 10 bits/doc is
+    ~1.5 GB sharded across executors, and the build is one shuffle of
+    ≤ num_words rows)."""
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    nonempty = docs.filter(F.col(text_col).isNotNull())
+    pos = (
+        spread(nonempty)
+        .select(F.explode(_bloom_positions(text_col, num_hashes, num_bits)).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).alias("word_idx"),
+            (F.col("pos") % BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_filter_merge(*filters: DataFrame) -> DataFrame:
+    """OR-merge Bloom filters built with identical (num_words, num_hashes):
+    union the word tables and re-``bit_or``. This is what makes the filter
+    a mergeable sketch: per-day (or per-partition) filters combine without
+    touching the documents again."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe_seen(
+    batch: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_words: int = 4096,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Probe a batch of new documents against a built Bloom filter:
+    (doc_id, maybe_seen BOOLEAN). ``maybe_seen = false`` is definitive
+    (no false negatives — the property the planted-dup tests pin);
+    ``true`` means "verify via exact join" and is wrong at most at the
+    filter's FPR.
+
+    Scale shape: the batch explodes to k narrow (doc_id, word_idx, bit)
+    rows; the filter side is ≤ num_words rows and a *fixed parameter* of
+    the operator — a provably bounded broadcast (unlike data-dependent
+    frequent-shingle sets, which this module deliberately leaves to AQE).
+    ``bool_and`` over the k probes is a map-side-combinable aggregate, so
+    the only shuffle is on doc_id at k rows per doc."""
+    num_bits = num_words * BLOOM_BITS_PER_WORD
+    nonempty = batch.filter(F.col(text_col).isNotNull())
+    probes = (
+        spread(nonempty)
+        .select(
+            F.col(id_col),
+            F.explode(_bloom_positions(text_col, num_hashes, num_bits)).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).alias("word_idx"),
+            (F.col("pos") % BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        != 0
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(F.col(id_col), hit.alias("hit"))
+        .groupBy(id_col)
+        .agg(F.bool_and("hit").alias("maybe_seen"))
+    )
