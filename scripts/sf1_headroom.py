@@ -34,6 +34,7 @@ KEY_COLS = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
     "region": [],   # dims stay identical (shared across replicas)
     "nation": [],
 }
@@ -57,6 +58,18 @@ QUERIES = [
     # round-4 additions: PII scrub, LM scoring, sketches
     "pii_redaction_stats", "doc_unigram_logprob", "doc_bigram_logprob",
     "source_distinct_hll", "events_value_quantiles_sketch",
+    # dedup / near-dup self-join family — the highest superlinear-risk
+    # plans (banded LSH, fingerprint joins, iterative components). Valid
+    # only because regenerate() makes replica text DISTINCT (see below):
+    # otherwise every doc gains 9 byte-identical copies and pair outputs
+    # grow 100x for data reasons, which would mask a real plan blowup.
+    "minhash_near_dups", "winnow_dup_pairs", "simhash_near_dups",
+    "ngram_jaccard_near_dups", "near_dup_components", "span_dedup_fractions",
+    # quality / layout / selection surface + flagship text aggregates
+    "tfidf", "doc_term_counts", "quality_scores", "token_counts",
+    "lm_quality_buckets", "c4_line_filter_stats", "gopher_quality_flags",
+    "training_shard_stats", "packed_sequences", "token_budget_mixture",
+    "bloom_dedup_incremental", "dsir_target_sample", "embedding_cosine_topk",
 ]
 
 
@@ -74,6 +87,22 @@ def regenerate(spark) -> None:
                 rep = df
                 for c in keys:
                     rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                if name == "documents" and i > 0:
+                    # Suffix every word with a replica tag so the replicas
+                    # are NOT near-duplicates of each other: every word and
+                    # char shingle carries the tag, making replica shingle
+                    # sets disjoint while PRESERVING within-replica token
+                    # diversity. Without this, each doc has 9 identical
+                    # twins and every pair-emitting dedup query's output
+                    # grows ~100x by construction — a data artifact, not
+                    # the plan regression this harness exists to catch.
+                    # (Do NOT instead insert a shared tag token between
+                    # words: a token repeated n times per doc dominates
+                    # SimHash bit votes and collapses a whole replica into
+                    # one Hamming ball — measured 112M pair rows.)
+                    rep = rep.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"$1zr{i}")
+                    )
                 reps.append(rep)
             df = reduce(lambda a, b: a.unionByName(b), reps)
         if name == "events":
@@ -102,6 +131,11 @@ def main() -> None:
     results: dict[str, dict] = {}
     for sf_label, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
         for name in QUERIES:
+            # Each query is measured cold: a persisted intermediate left by
+            # an earlier query (e.g. minhash signatures reused by
+            # near_dup_components) would make one scale's timing a cache
+            # hit and the other a miss, turning the ratio into noise.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = registry.QUERIES[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)

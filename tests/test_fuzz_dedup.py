@@ -35,6 +35,12 @@ FUZZED_QUERIES = (
     "corpus_mixture_sample",
     # cross-doc span dedup: mutated copies produce partially-shared spans
     "span_dedup_fractions",
+    # Bloom membership (exact dups across the even/odd split flag as
+    # maybe_seen; the undersized filter exercises FP bit arithmetic) and
+    # DSIR selection (langs cycle en/fr below so the target slice is a
+    # strict subset and the λ table is non-degenerate)
+    "bloom_dedup_incremental",
+    "dsir_target_sample",
 )
 
 VOCAB = [
@@ -81,7 +87,7 @@ def near_dup_corpus(draw):
         rows.append((doc_id, text))
         doc_id += 1
     return [
-        (i, text, "en", f"src{i % 3}", len(text)) for i, text, in
+        (i, text, ("en", "fr")[i % 2], f"src{i % 3}", len(text)) for i, text, in
         ((r[0], r[1]) for r in rows)
     ]
 

@@ -299,3 +299,25 @@ def test_shard_stats_single_exchange(spark, sf_dir):
     assert plan.count("+- Exchange") == 1
     assert "partial_count" in plan  # map-side combine below the shuffle
     assert "Join" not in plan
+
+
+def test_bloom_probe_is_broadcast_join(spark, sf_dir):
+    # The filter side is ≤ num_words rows by construction — the probe join
+    # must broadcast it (never sort-merge), and no cartesian may appear.
+    plan = _plan(spark, sf_dir, "bloom_dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_single_tokenize_pass(spark, sf_dir):
+    # The per-(doc,bucket) feature table is persisted and feeds both the
+    # λ aggregate and the scoring join: the expensive bigram explode must
+    # appear ONCE (as an InMemoryRelation consumed twice), and the λ/totals
+    # sides must ride broadcasts, with the final cut a top-k.
+    plan = _plan(spark, sf_dir, "dsir_target_sample")
+    assert plan.count("Generate explode") <= 1
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

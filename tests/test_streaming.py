@@ -290,3 +290,72 @@ def test_streaming_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, textstats.pii_scrub(pii).collect()))
     assert got == want and len(got) == 500
     assert all("@" not in r[-1] for r in got)
+
+
+def test_streaming_bloom_dedup_incremental(spark, tmp_path):
+    """Cross-batch Bloom membership: content already ingested in an earlier
+    micro-batch must flag maybe_seen in later batches (no false negatives
+    across the stream), content never seen must pass when the filter is
+    sized properly, and the versioned filter state must equal the batch
+    build over everything ingested."""
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    rows1 = [(i, f"first wave doc {i}") for i in range(40)]
+    rows2 = (
+        [(100 + i, rows1[i][1]) for i in range(10)]          # replays of batch 1
+        + [(200 + i, f"second wave doc {i}") for i in range(30)]
+    )
+    rows3 = [(300, rows2[15][1]), (301, "third wave fresh")]  # replay of batch 2
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = tmp_path / "_bl" / name
+        df.coalesce(1).write.parquet(str(stage))
+        (tmp_path / "bl").mkdir(parents=True, exist_ok=True)
+        import glob as g, shutil
+        shutil.copy(g.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "bl" / name))
+
+    drop(rows1, "b1.parquet")
+    drop(rows2, "b2.parquet")
+    drop(rows3, "b3.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "bl"))
+    )
+    q = sc.streaming_bloom_dedup(
+        stream,
+        out_dir=str(tmp_path / "bl_out"),
+        state_dir=str(tmp_path / "bl_state"),
+        checkpoint_dir=str(tmp_path / "bl_ckpt"),
+        num_words=256,
+        num_hashes=7,
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = {r.doc_id: r.maybe_seen for r in spark.read.parquet(str(tmp_path / "bl_out")).collect()}
+    assert len(out) == 82
+    # batch 1 is all-new against an empty filter
+    assert not any(out[i] for i in range(40))
+    # replays of earlier batches must flag — the no-false-negative law
+    assert all(out[100 + i] for i in range(10))
+    assert out[300] is True
+    # fresh content passes (filter is amply sized: 256*63 bits, 70 docs)
+    assert not any(out[200 + i] for i in range(30))
+    assert out[301] is False
+
+    # final state version == batch-mode build over all ingested docs
+    import glob as g
+    latest = sorted(
+        g.glob(str(tmp_path / "bl_state" / "v*")),
+        key=lambda p: int(p.rsplit("v", 1)[1]),
+    )[-1]
+    state = sorted(map(tuple, spark.read.parquet(latest).collect()))
+    everything = spark.createDataFrame(rows1 + rows2 + rows3, "doc_id long, text string")
+    want = sorted(
+        map(tuple, dedup.bloom_filter_build(everything, num_words=256, num_hashes=7).collect())
+    )
+    assert state == want

@@ -166,3 +166,19 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import bpe as _bpe
 
         return docs.withColumn("bpe_tokens", _bpe.bpe_segment_udf(merges)(F.col(text_col)))
+
+    def bloom_build(self, docs: DataFrame, **kw) -> DataFrame:
+        """Mergeable Bloom filter over contents (packed-bit-word table)."""
+        return _dedup.bloom_filter_build(docs, **kw)
+
+    def bloom_probe(self, batch: DataFrame, bloom: DataFrame, **kw) -> DataFrame:
+        """Probe new docs against a built filter: (id, maybe_seen)."""
+        return _dedup.bloom_maybe_seen(batch, bloom, **kw)
+
+    def dsir_weights(self, docs: DataFrame, target, **kw) -> DataFrame:
+        """DSIR hashed-bigram importance weights vs a target slice."""
+        return _corpus.dsir_importance_weights(docs, target, **kw)
+
+    def dsir_select(self, docs: DataFrame, target, n_select: int, **kw) -> DataFrame:
+        """Top-n documents by DSIR importance weight (deterministic cut)."""
+        return _corpus.dsir_select(docs, target, n_select, **kw)

@@ -286,3 +286,75 @@ def run_stream_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def streaming_bloom_dedup(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_words: int = 4096,
+    num_hashes: int = 7,
+):
+    """Incremental-crawl ingestion: probe each micro-batch of documents
+    against the Bloom filter accumulated over ALL previous batches, append
+    the probed rows (with ``maybe_seen``) to ``out_dir``, then OR-merge the
+    batch's own filter into the state. The filter state is itself a tiny
+    parquet table of packed bit words (operators/dedup.py:bloom_filter_build)
+    — versioned one subdirectory per batch, so the sink is restart-safe:
+    if a batch is replayed after a crash, re-merging it is idempotent
+    (bit-OR) and its state version is simply overwritten.
+
+    This is the streaming face of the batch Bloom operator: "have we seen
+    this content in the last N days of a 100 TB/day crawl" becomes a
+    broadcast-join against a few MB of state instead of a stream-batch
+    join against the crawl itself, and the same state files are readable
+    by batch jobs (sketch-as-data, engine-agnostic)."""
+    from pathlib import Path
+
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            root = Path(state_dir)
+            versions = sorted(
+                (d for d in root.glob("v*") if d.is_dir()),
+                key=lambda d: int(d.name[1:]),
+            )
+            # replay safety: ignore state at or beyond this batch's id
+            live = [d for d in versions if int(d.name[1:]) < batch_id]
+            if live:
+                bloom = spark.read.parquet(str(live[-1]))
+            else:
+                bloom = spark.createDataFrame([], "word_idx long, bits long")
+            probed = dedup.bloom_maybe_seen(
+                batch_df, bloom, text_col, id_col, num_words, num_hashes
+            )
+            (
+                batch_df.join(probed, id_col, "left")
+                .withColumn("maybe_seen", F.coalesce("maybe_seen", F.lit(False)))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            merged = dedup.bloom_filter_merge(
+                bloom,
+                dedup.bloom_filter_build(
+                    batch_df, text_col, id_col, num_words, num_hashes
+                ),
+            )
+            merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bloom_dedup")
+        .outputMode("append")
+        .start()
+    )
