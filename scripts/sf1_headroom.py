@@ -88,20 +88,34 @@ def regenerate(spark) -> None:
                 for c in keys:
                     rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
                 if name == "documents" and i > 0:
-                    # Suffix every word with a replica tag so the replicas
-                    # are NOT near-duplicates of each other: every word and
-                    # char shingle carries the tag, making replica shingle
-                    # sets disjoint while PRESERVING within-replica token
-                    # diversity. Without this, each doc has 9 identical
-                    # twins and every pair-emitting dedup query's output
-                    # grows ~100x by construction — a data artifact, not
-                    # the plan regression this harness exists to catch.
-                    # (Do NOT instead insert a shared tag token between
-                    # words: a token repeated n times per doc dominates
-                    # SimHash bit votes and collapses a whole replica into
-                    # one Hamming ball — measured 112M pair rows.)
+                    # Caesar-shift each replica's alphabet so replicas are
+                    # NOT near-duplicates of each other: word and char
+                    # shingle sets become disjoint across replicas while
+                    # PRESERVING the exact within-replica structure (word
+                    # lengths, repetition patterns, k-gram diversity), so
+                    # each replica reproduces the base corpus's pair/dup
+                    # topology and outputs scale linearly with replicas.
+                    # Without a mutation, each doc has 9 identical twins
+                    # and every pair-emitting dedup query's output grows
+                    # ~100x by construction — a data artifact, not the
+                    # plan regression this harness exists to catch. Two
+                    # rejected mutations, both measured: a shared tag
+                    # token between words dominates SimHash bit votes
+                    # (one Hamming ball per replica, 112M pair rows); a
+                    # per-word tag suffix floods winnowing's window
+                    # minima with ubiquitous tag-boundary k-grams that
+                    # the doc-freq cap then drops (replica pairs vanish).
+                    src_a = "abcdefghijklmnopqrstuvwxyz"
+                    src_d = "0123456789"
+                    rot_a = src_a[i:] + src_a[:i]
+                    rot_d = src_d[i:] + src_d[:i]
                     rep = rep.withColumn(
-                        "text", F.regexp_replace("text", r"(\S+)", f"$1zr{i}")
+                        "text",
+                        F.translate(
+                            "text",
+                            src_a + src_a.upper() + src_d,
+                            rot_a + rot_a.upper() + rot_d,
+                        ),
                     )
                 reps.append(rep)
             df = reduce(lambda a, b: a.unionByName(b), reps)

@@ -25,7 +25,9 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_kmeans_pca_stable_across_reruns(spark, sf_dir):
     # Seeded estimators: the driver's rows-only check reruns per round, so
     # the outputs must be identical run to run.
-    for name in ("embedding_kmeans_sizes", "embedding_pca_variance"):
+    for name in (
+        "embedding_kmeans_sizes", "embedding_pca_variance", "embedding_cluster_plot"
+    ):
         a = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
         b = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
         assert a == b, name

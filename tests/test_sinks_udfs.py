@@ -133,3 +133,29 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter(back.lang == "en").explain(True)
     assert "PartitionFilters: [isnotnull(lang" in buf.getvalue()
+
+
+def test_plot_data_sink_and_cluster_table(spark, sf_dir, tmp_path):
+    """S5 data layer: the cluster plot table has the fviz_cluster contract
+    (one row per point, 2 PCA coords, size-ranked cluster ids 1..k) and
+    round-trips through the single-CSV plot sink."""
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    plot = QUERIES["embedding_cluster_plot"](spark, sf_dir)
+    rows = plot.collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert plot.columns == ["vec_id", "pc1", "pc2", "cluster"]
+    assert len(rows) == n_vecs
+    assert {r.cluster for r in rows} == {1, 2, 3, 4}
+    # size-ranked: cluster 1 is the largest
+    from collections import Counter
+    sizes = Counter(r.cluster for r in rows)
+    assert sizes[1] == max(sizes.values())
+
+    out = str(tmp_path / "plot_csv")
+    sinks.write_plot_data(plot, out)
+    import glob
+    files = glob.glob(out + "/*.csv")
+    assert len(files) == 1  # chart-ready single file
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == n_vecs

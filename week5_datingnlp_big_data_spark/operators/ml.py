@@ -365,3 +365,46 @@ def quality_classifier_scores(
         id_col,
         F.round(vector_to_array("probability")[1], 6).alias("p_quality"),
     )
+
+
+def cluster_plot_data(
+    vecs: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    features_col: str = "features",
+    nstart: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """S5 (data layer) — the chart-ready table behind the reference's
+    cluster plots (fviz_cluster, Week5_datingNLP.R:302-314): per point,
+    the first two center+scale principal components and the k-means
+    cluster assignment. fviz_cluster itself plots exactly this — PCA dims
+    1-2 colored by cluster — so writing this table (sinks.write_plot_data)
+    is the engine-side contract; rendering stays in a notebook layer, as
+    SURVEY section 2.1 scopes. Cluster ids are re-ranked by descending
+    size (ties by raw id) so the output is invariant to MLlib's arbitrary
+    cluster numbering; coordinates round to 6 dp.
+
+    Scale shape: the projection is a distributed transform; only the 2-D
+    plot table ever narrows, and even that stays a DataFrame for the
+    sink — a 100 TB corpus plots via this table's own downstream
+    aggregation/sampling, never a driver collect here."""
+    from pyspark.ml.functions import vector_to_array
+
+    cached = vecs.cache()
+    model, _cost = kmeans_restarts(cached, k, features_col, nstart, seed)
+    assigned = model.transform(cached)
+    projected, _ratios = pca_project(assigned, k=2, features_col=features_col)
+    sizes = assigned.groupBy("prediction").agg(F.count(F.lit(1)).alias("_n"))
+    rank_w = Window.orderBy(F.desc("_n"), F.asc("prediction"))
+    rank = sizes.select("prediction", F.row_number().over(rank_w).alias("cluster"))
+    pcs = vector_to_array(F.col("pca_features"))
+    return (
+        projected.join(F.broadcast(rank), "prediction")
+        .select(
+            F.col(id_col),
+            F.round(pcs[0], 6).alias("pc1"),
+            F.round(pcs[1], 6).alias("pc2"),
+            "cluster",
+        )
+    )

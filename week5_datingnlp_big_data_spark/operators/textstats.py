@@ -299,7 +299,10 @@ def bigram_logprob_scores(
     unigram scorer."""
     words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
     nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
-    base = nonempty.select(F.col(id_col), words.alias("ws"))
+    # Persist: the tokenized rows feed TWO consumers — the bigram explode
+    # and the vocabulary-size aggregate — and the split would otherwise
+    # re-run over the whole corpus for each.
+    base = nonempty.select(F.col(id_col), words.alias("ws")).persist()
     grams = F.when(
         F.size("ws") >= 2,
         F.transform(

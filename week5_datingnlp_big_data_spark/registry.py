@@ -3636,6 +3636,24 @@ def bloom_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_cluster_plot")
+def embedding_cluster_plot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through the driver contract (data layer): the chart-ready table
+    behind the reference's fviz_cluster plots — per embedding, PCA dims
+    1-2 (center+scale) and the size-ranked k-means cluster. Seeded
+    estimators → rows-only; determinism across reruns is pinned by
+    tests/test_oracle_parity.py's rerun-stability check and the sink by
+    test_sinks_udfs. See operators/ml.py:cluster_plot_data and
+    sources/sinks.py:write_plot_data."""
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    return ml.cluster_plot_data(vecs, k=4, nstart=2, seed=42)
+
+
 _DSIR_BUCKETS = 512
 
 

@@ -129,3 +129,17 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     only through this path — ``spark.read.parquet`` on the files would
     discard it)."""
     return spark.table(table)
+
+
+def write_plot_data(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 (data layer) — plot-data sink: write a chart-ready table (e.g.
+    ml.cluster_plot_data's (id, pc1, pc2, cluster), a t-SNE coordinate
+    table, or a top-k frequency table) as a single headered CSV a
+    notebook/BI layer renders directly. The reference pipes these tables
+    straight into fviz_cluster/plot/rpart.plot (Week5_datingNLP.R:191,
+    302-314,322); this engine scopes rendering out (SURVEY section 2.1)
+    and ships the data contract instead. coalesce(1) is deliberate and
+    safe ONLY because plot tables are small by definition (points on a
+    chart) — bulk exports go through write_csv/write_parquet, which keep
+    full parallelism."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
