@@ -66,6 +66,7 @@ HEADLINE = [
     "training_shard_stats",
     "bloom_dedup_incremental",
     "dsir_target_sample",
+    "token_cms_heavy_hitters",
 ]
 
 

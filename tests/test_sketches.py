@@ -101,3 +101,41 @@ def test_profile_table_approx_within_tolerance(docs):
         assert approx[c]["n_distinct"] == pytest.approx(exact[c]["n_distinct"], rel=0.05), c
         assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
         assert approx[c]["min_value"] == exact[c]["min_value"]
+
+
+def test_cms_never_undercounts_any_token(docs):
+    toks = sketches.tokenize_whitespace(docs).persist()
+    sketch = sketches.countmin_from_tokens(toks)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_estimate_from_sketch(sketch, truth.select("tok"))
+    joined = truth.join(est, "tok")
+    under = joined.filter(F.col("cms_est") < F.col("true_cnt")).count()
+    assert under == 0  # the one-sided error law: est >= true, always
+
+
+def test_cms_absent_token_estimates_from_collisions_only(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)], "doc_id long, text string"
+    )
+    sketch = sketches.countmin_from_tokens(sketches.tokenize_whitespace(docs))
+    probe = spark.createDataFrame([("neverseen",)], "tok string")
+    est = sketches.cms_estimate_from_sketch(sketch, probe).collect()[0]
+    # min-of-rows bounds the collision inflation; with 90 tokens in a
+    # 4x256 grid a fixed probe should be ~0 (and never negative)
+    assert 0 <= est.cms_est <= 3
+
+
+def test_cms_merge_is_cell_sum(spark):
+    a = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x q r")], "doc_id long, text string")
+    sa = sketches.countmin_from_tokens(sketches.tokenize_whitespace(a))
+    sb = sketches.countmin_from_tokens(sketches.tokenize_whitespace(b))
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = sketches.countmin_from_tokens(
+        sketches.tokenize_whitespace(a.unionByName(b))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))

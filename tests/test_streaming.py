@@ -359,3 +359,44 @@ def test_streaming_bloom_dedup_incremental(spark, tmp_path):
         map(tuple, dedup.bloom_filter_build(everything, num_words=256, num_hashes=7).collect())
     )
     assert state == want
+
+
+def test_streaming_minhash_matches_batch(spark, sf_dir, tmp_path):
+    """The union of pairs emitted across micro-batches (within-batch +
+    new-vs-history) must equal the one-shot batch jaccard_near_dups over
+    the concatenated corpus — the append-only incremental-dedup law."""
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i).persist() for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        _drop_file(p, tmp_path, "mh_in", f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mh_in"))
+    )
+    q = sc.streaming_minhash_near_dups(
+        stream,
+        out_dir=str(tmp_path / "mh_out"),
+        state_dir=str(tmp_path / "mh_state"),
+        checkpoint_dir=str(tmp_path / "mh_ckpt"),
+        threshold=0.5,
+    )
+    try:
+        _wait(q, timeout=180)
+    finally:
+        q.stop()
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "mh_out")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_near_dups(docs, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0

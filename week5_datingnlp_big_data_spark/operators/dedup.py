@@ -111,18 +111,17 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 12,
     num_bands: int = 4,
 ) -> DataFrame:
-    """Band the signature (rows_per_band = k/bands) and self-join on
-    (band_idx, band_key): docs agreeing on ALL hashes of any band become a
-    candidate pair. Returns distinct (id_a < id_b) pairs.
-
-    The n² cross join is replaced by a bucket join whose per-bucket size is
-    the collision count — at 100 TB this is THE reason MinHash/LSH scales."""
+    """Exploded LSH band table (id, band_idx, band_key) from a signature
+    frame — the joinable (and persistable) form of the banding: the batch
+    path self-joins it (lsh_candidate_pairs); the incremental path joins a
+    new batch's bands against the accumulated history's
+    (streaming/counts.py:streaming_minhash_near_dups)."""
     rows_per_band = num_hashes // num_bands
     bands = F.array(
         *[
@@ -135,9 +134,24 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = k/bands) and self-join on
+    (band_idx, band_key): docs agreeing on ALL hashes of any band become a
+    candidate pair. Returns distinct (id_a < id_b) pairs.
+
+    The n² cross join is replaced by a bucket join whose per-bucket size is
+    the collision count — at 100 TB this is THE reason MinHash/LSH scales."""
+    banded = band_table(signatures, id_col, num_hashes, num_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

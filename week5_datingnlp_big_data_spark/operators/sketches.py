@@ -120,3 +120,90 @@ def value_quantile_sketch(
         for q in quantiles
     ]
     return events.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+# Count-Min parameters are operator knobs, not data-dependent: the sketch
+# table is exactly depth × width cells regardless of corpus size.
+CMS_PRIME = 2147483647  # 2^31 − 1, same Mersenne modulus as the MinHash family
+
+
+def _cms_cells(depth: int, width: int):
+    """Per-token (row, bucket) cells via a Kirsch-Mitzenmacher md5 double
+    hash reduced mod width — shared by build and probe so they cannot
+    drift; mirrored in the registry's DuckDB twin."""
+    digest = F.md5("tok")
+    p = F.lit(CMS_PRIME)
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long") % p
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long") % p
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda r: F.struct(
+                r.cast("int").alias("row"),
+                ((h1 + r * h2) % width).cast("int").alias("bucket"),
+            ),
+        )
+    )
+
+
+def tokenize_whitespace(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One (tok) row per token occurrence — the cheap lowercase whitespace
+    tokenization the shingle/span family uses."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "\\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return docs.select(F.explode(words).alias("tok"))
+
+
+def countmin_from_tokens(tokens: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a token stream
+    as a TABLE of counters: (row, bucket, c), ≤ depth×width rows.
+
+    Each of the ``depth`` hash rows buckets a token by an md5 double hash
+    mod ``width``; a token's estimate is the MIN of its cells across rows
+    and NEVER undercounts (est ≥ true; overcounting only from collisions —
+    the one-sided error that makes CMS safe for heavy-hitter screens and
+    frequency caps). Like the Bloom filter and HLL here, the sketch is
+    MERGEABLE — two slices' tables combine by summing cells — so per-day
+    token-frequency state for a crawl is a depth×width grid, not a
+    vocabulary-sized table. And because the hashing is md5-derived (no
+    seeds), the sketch — unlike HLL — is bit-identical in the DuckDB
+    oracle, so the driver value-verifies every cell path end to end.
+    One explode + one groupBy on (row, bucket): uniform keys, map-side
+    partial sums, tiny shuffle."""
+    return (
+        tokens.select(_cms_cells(depth, width).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def token_countmin_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Corpus token-frequency Count-Min sketch; see countmin_from_tokens."""
+    return countmin_from_tokens(tokenize_whitespace(docs, text_col), depth, width)
+
+
+def cms_estimate_from_sketch(
+    sketch: DataFrame,
+    probe_tokens: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate frequencies for a (tok) probe table against a built
+    sketch: (tok, cms_est). The sketch side is a bounded broadcast
+    (≤ depth×width rows, a fixed parameter); absent cells are zero
+    counters. est = min over rows of the token's cell."""
+    probes = probe_tokens.select("tok", _cms_cells(depth, width).alias("cell")).select(
+        "tok", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

@@ -3636,6 +3636,72 @@ def bloom_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+@query(
+    "token_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+               w -> length(w) > 0)) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT tok,
+             ('0x' || substr(md5(tok), 1, 14))::BIGINT % {2147483647} AS h1,
+             ('0x' || substr(md5(tok), 17, 14))::BIGINT % {2147483647} AS h2
+      FROM toks
+    ),
+    cells AS (
+      SELECT tok, CAST(i AS INT) AS row,
+             CAST((h1 + i * h2) % {_CMS_WIDTH} AS INT) AS bucket
+      FROM h CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS i)
+    ),
+    sketch AS (SELECT row, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+    top AS (
+      SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok
+      ORDER BY true_cnt DESC, tok ASC LIMIT 20
+    ),
+    probe AS (
+      SELECT top.tok, true_cnt, CAST(i AS INT) AS row,
+             CAST(((('0x' || substr(md5(top.tok), 1, 14))::BIGINT % {2147483647})
+                   + i * (('0x' || substr(md5(top.tok), 17, 14))::BIGINT % {2147483647}))
+                  % {_CMS_WIDTH} AS INT) AS bucket
+      FROM top CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS i)
+    )
+    SELECT tok, true_cnt, min(coalesce(c, 0)) AS cms_est
+    FROM probe LEFT JOIN sketch USING (row, bucket)
+    GROUP BY tok, true_cnt
+    """,
+)
+def token_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit: the exact top-20 corpus tokens next
+    to their sketch estimates from a 4×256 Count-Min table. The oracle
+    recomputes every cell (md5 double-hash rows, cell sums, min-of-rows
+    estimate) bit-for-bit — CMS is the one frequency sketch whose cells
+    are value-verifiable cross-engine because its hashing is seedless.
+    The data itself witnesses the one-sided error law (cms_est ≥
+    true_cnt, equality when no collision), which the unit tests pin. See
+    operators/sketches.py:countmin_from_tokens for the mergeable-state
+    scale story."""
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    toks = sketches.tokenize_whitespace(_t(spark, sf_dir, "documents")).persist()
+    sketch = sketches.countmin_from_tokens(toks, _CMS_DEPTH, _CMS_WIDTH)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate_from_sketch(
+        sketch, top.select("tok"), _CMS_DEPTH, _CMS_WIDTH
+    )
+    return top.join(est, "tok").select("tok", "true_cnt", "cms_est")
+
+
 @query("embedding_cluster_plot")
 def embedding_cluster_plot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the driver contract (data layer): the chart-ready table

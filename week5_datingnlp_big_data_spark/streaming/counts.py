@@ -358,3 +358,128 @@ def streaming_bloom_dedup(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_minhash_near_dups(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Incremental MinHash near-dup detection: each micro-batch emits
+    (a) its within-batch near-dup pairs and (b) its pairs against ALL
+    previously ingested documents, then appends its own LSH band table
+    and shingle sets to the accumulated state. The union of emitted pairs
+    over any batch sequence equals the one-shot batch
+    ``jaccard_near_dups`` over the concatenated corpus (pinned by
+    ``test_streaming_minhash_matches_batch``) — the crawl-shaped property:
+    dedup state is append-only and never re-derived from the corpus.
+
+    State shape: ``bands/`` is narrow (id, band_idx, band_key) keyed
+    exactly like the batch self-join, so new-vs-history candidate
+    generation is the same bucket join with history on the build side;
+    ``shingles/`` holds per-doc shingle arrays — corpus-sized, but it IS
+    the dedup index a production pipeline materializes (CCNet/Dolma
+    style), partition-pruned to candidate ids by the verify semi-join.
+    Replayed batches re-emit their pairs and re-append identical state
+    rows; downstream consumers dedupe on (id_a, id_b) — same at-least-once
+    contract as every foreachBatch sink."""
+    from pathlib import Path
+
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            sigs = dedup.minhash_signatures(
+                batch, text_col, id_col, num_hashes, shingle_n
+            ).persist()
+            bands_new = dedup.band_table(sigs, id_col, num_hashes, num_bands).persist()
+            sh_new = (
+                batch.filter(
+                    F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+                )
+                .select(
+                    F.col(id_col),
+                    dedup.word_shingles(text_col, shingle_n).alias("shingles"),
+                )
+                .persist()
+            )
+
+            root = Path(state_dir)
+            have_state = (root / "bands").exists()
+            if have_state:
+                bands_old = spark.read.parquet(str(root / "bands"))
+                sh_old = spark.read.parquet(str(root / "shingles"))
+            else:
+                bands_old = spark.createDataFrame(
+                    [], f"{id_col} long, band_idx int, band_key string"
+                )
+                sh_old = spark.createDataFrame(
+                    [], f"{id_col} long, shingles array<string>"
+                )
+
+            within = dedup.lsh_candidate_pairs(sigs, id_col, num_hashes, num_bands)
+            cross = (
+                bands_new.alias("n")
+                .join(
+                    bands_old.alias("o"),
+                    (F.col("n.band_idx") == F.col("o.band_idx"))
+                    & (F.col("n.band_key") == F.col("o.band_key")),
+                )
+                # normalize to id_a < id_b so pair identity matches batch mode
+                .select(
+                    F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+                    F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+                )
+                .distinct()
+            )
+            cands = within.unionByName(cross).distinct().persist()
+            sh_all = sh_new.unionByName(sh_old)
+            cand_ids = (
+                cands.select(F.col("id_a").alias(id_col))
+                .union(cands.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            sh = sh_all.join(cand_ids, id_col, "left_semi").persist()
+            pairs = (
+                cands.join(
+                    sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                        "shingles", "sh_a"
+                    ),
+                    "id_a",
+                )
+                .join(
+                    sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                        "shingles", "sh_b"
+                    ),
+                    "id_b",
+                )
+                .withColumn(
+                    "jaccard",
+                    F.round(dedup.jaccard_similarity(F.col("sh_a"), F.col("sh_b")), 6),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+                .withColumn("_batch_id", F.lit(batch_id))
+            )
+            pairs.write.mode("append").parquet(out_dir)
+            bands_new.write.mode("append").parquet(str(root / "bands"))
+            sh_new.write.mode("append").parquet(str(root / "shingles"))
+        finally:
+            batch.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("minhash_near_dups")
+        .outputMode("append")
+        .start()
+    )
