@@ -118,3 +118,46 @@ def test_dsir_select_is_total_ordered_cut(spark):
     # deterministic across reruns (the driver reruns rows-only checks)
     again = corpus.dsir_select(docs, tgt, 7, num_buckets=64).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_span_rewrite_removes_only_cross_doc_spans(spark):
+    span = "one two three four five six seven eight"       # exactly 8 words
+    rows = [
+        (1, f"{span} unique alpha beta gamma delta epsilon zeta eta"),
+        (2, f"{span} other words here entirely different from one tail bit"),
+        (3, "solo content " + "rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs).collect()}
+    # the shared leading span vanishes from both docs
+    assert not out[1].text_clean.startswith("one two")
+    assert not out[2].text_clean.startswith("one two")
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    # the unique remainder survives, in order
+    assert out[1].text_clean == "unique alpha beta gamma delta epsilon zeta eta"
+    # a span repeated only WITHIN one doc is not cross-document — kept
+    assert out[3].n_dup_spans == 0
+    assert "rep rep" in out[3].text_clean
+
+
+def test_span_rewrite_short_and_empty_docs_pass_through(spark):
+    docs = spark.createDataFrame(
+        [(1, "short doc only"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs).collect()}
+    assert out[1].text_clean == "short doc only" and out[1].n_spans == 0
+    assert out[2].text_clean == "" and out[2].n_dup_spans == 0
+    assert out[3].text_clean == ""
+
+
+def test_span_rewrite_preserves_word_order_and_tail(spark):
+    words = [f"w{i}" for i in range(20)]  # 2 full spans + 4-word tail
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:8]) + " totally different second span words here x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs).collect()}
+    # doc 1: first span removed (shared with doc 2), second span + tail kept in order
+    assert out[1].text_clean == " ".join(words[8:])
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 1

@@ -182,3 +182,8 @@ class Engine:
     def dsir_select(self, docs: DataFrame, target, n_select: int, **kw) -> DataFrame:
         """Top-n documents by DSIR importance weight (deterministic cut)."""
         return _corpus.dsir_select(docs, target, n_select, **kw)
+
+    def remove_duplicate_spans(self, docs: DataFrame, **kw) -> DataFrame:
+        """C4-style destructive span dedup: rewrite docs without
+        cross-document duplicated word spans."""
+        return _dedup.remove_duplicate_spans(docs, **kw)

@@ -1011,3 +1011,116 @@ def bloom_maybe_seen(
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias("maybe_seen"))
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Destructive span dedup (the C4 rule proper, Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span occurring
+    more than once"): REWRITE each document with every cross-document
+    duplicated span removed, where spans are the same fixed
+    ``span_words``-word windows ``span_dup_fractions`` scores. That
+    operator is the audit signal; this one is the cleaning action.
+
+    Semantics: words = whitespace split of trimmed text; spans are the
+    consecutive non-overlapping windows; a span is removed iff its text
+    occurs in > 1 DISTINCT documents (within-doc repetition is repetition
+    scoring's domain, not dedup's); the trailing partial window is always
+    kept. Output text is the kept words joined by single spaces
+    (whitespace-normalized — the rewrite is word-level, so original
+    inter-word whitespace is not preserved), plus counters:
+    (doc_id, text_clean, n_spans, n_dup_spans). Empty/NULL docs and docs
+    shorter than one span pass through with zero counters.
+
+    Scale shape: identical to ``span_dup_fractions`` — one explode to
+    narrow (doc, span_idx, md5) rows (persisted: the span table feeds the
+    frequency aggregate AND the rebuild), a frequency groupBy on the
+    uniform hash key, a hash join back (never broadcast: a 100 TB crawl's
+    duplicated-span dictionary is itself huge), then one per-doc rollup
+    that reassembles kept spans in order. No step is quadratic and no
+    driver collect exists."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_spans = F.floor(F.size(words) / span_words).cast("int")
+    base = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.when(
+                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0, words
+            ).otherwise(F.array().cast("array<string>")).alias("ws"),
+        )
+        .select(
+            id_col,
+            "ws",
+            F.floor(F.size("ws") / span_words).cast("int").alias("n_spans"),
+        )
+        .persist()
+    )
+    spans = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.col("n_spans") >= 1,
+                    F.sequence(F.lit(0), F.col("n_spans") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            id_col,
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("i") * span_words + 1, span_words)
+            ).alias("span_text"),
+        )
+        .withColumn("span_hash", F.md5("span_text"))
+        .persist()
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs_with_span"))
+        .filter(F.col("n_docs_with_span") > 1)
+        .select("span_hash")
+    )
+    kept = (
+        spans.join(dup.withColumn("_dup", F.lit(1)), "span_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(),
+                                F.struct(F.col("i"), F.col("span_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("_kept_text"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    tail = F.concat_ws(
+        " ", F.slice(F.col("ws"), F.col("n_spans") * span_words + 1, F.size("ws"))
+    )
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.trim(
+                F.concat_ws(" ", F.coalesce(F.col("_kept_text"), F.lit("")), tail)
+            ).alias("text_clean"),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )

@@ -3636,6 +3636,52 @@ def bloom_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "span_dedup_rewrite",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) > 0
+                  THEN regexp_split_to_array(trim(text), '\\s+')
+                  ELSE [] END AS ws
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ws, CAST(len(ws) // 8 AS INT) AS n_spans FROM d
+    ), s AS (
+      SELECT doc_id, i, array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS span_text,
+             md5(array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')) AS span_hash
+      FROM b, unnest(range(0, n_spans)) AS t(i)
+    ), dup AS (
+      SELECT span_hash FROM s GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1
+    ), k AS (
+      SELECT s.doc_id,
+             string_agg(span_text, ' ' ORDER BY i)
+               FILTER (WHERE dup.span_hash IS NULL) AS kept,
+             CAST(sum(CASE WHEN dup.span_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM s LEFT JOIN dup USING (span_hash)
+      GROUP BY s.doc_id
+    )
+    SELECT b.doc_id,
+           trim(concat_ws(' ', coalesce(kept, ''),
+                          array_to_string(ws[n_spans * 8 + 1 : len(ws)], ' ')))
+             AS text_clean,
+           b.n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans
+    FROM b LEFT JOIN k ON b.doc_id = k.doc_id
+    """,
+)
+def span_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive span dedup (C4's discard-duplicated-spans rule) through
+    the driver contract: every cross-document duplicated 8-word span
+    removed, full rewritten text value-verified against the oracle's
+    independent reconstruction (slice → hash → frequency → ordered
+    reassembly). The audit-signal twin is `span_dedup_fractions`; see
+    operators/dedup.py:remove_duplicate_spans for semantics and the
+    one-explode scale shape."""
+    return dedup.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 _CMS_DEPTH, _CMS_WIDTH = 4, 256
 
 
