@@ -70,6 +70,7 @@ QUERIES = [
     "lm_quality_buckets", "c4_line_filter_stats", "gopher_quality_flags",
     "training_shard_stats", "packed_sequences", "token_budget_mixture",
     "bloom_dedup_incremental", "dsir_target_sample", "embedding_cosine_topk",
+    "span_dedup_rewrite", "token_cms_heavy_hitters",
 ]
 
 

@@ -370,3 +370,47 @@ def test_repetition_scores_goldens(spark):
     assert out[4]["dup_word_frac"] == 0.6          # 5 words, 2 distinct
     assert out[4]["dup_2gram_frac"] == 0.25        # 4 bigrams, 3 distinct
     assert out[4]["top_2gram_frac"] == 0.5         # 'go go' x2 of 4
+
+
+def test_pq_topk_recall_vs_brute_force(emb):
+    from pyspark.sql import Window
+
+    qids = list(range(5))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = base.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        base.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.sqrt(d2).alias("d"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    approx = similarity.pq_topk(emb, qids, k=5)
+    rec = similarity.knn_recall(exact, approx)
+    # ADC shortlist (8x) + exact re-rank: high recall even on loosely
+    # clustered synthetic vectors (0.88 measured at sf0.01)
+    assert rec >= 0.8, rec
+    # deterministic across reruns (seeded codebooks, total-order cuts)
+    again = similarity.pq_topk(emb, qids, k=5)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pq_encode_shape_and_compression(emb):
+    m, ks = 8, 16
+    books = similarity.pq_train(emb, num_subspaces=m, codebook_size=ks)
+    assert books.count() <= m * ks
+    codes = similarity.pq_encode(emb, books, num_subspaces=m)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        # m small ints stand in for 64 doubles — the 32:1 compression law
+        assert len(r.codes) == m
+        assert all(0 <= c < ks for c in r.codes)

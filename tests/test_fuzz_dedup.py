@@ -41,6 +41,13 @@ FUZZED_QUERIES = (
     # strict subset and the λ table is non-degenerate)
     "bloom_dedup_incremental",
     "dsir_target_sample",
+    # destructive span rewrite: mutated copies share spans, so removal
+    # paths (full-removal, partial, tail-only) all fire; the oracle
+    # reconstructs the rewritten text independently
+    "span_dedup_rewrite",
+    # CMS heavy hitters: the small fuzz vocab forces collisions, pinning
+    # the min-of-rows estimate and the (cnt desc, tok) tiebreak
+    "token_cms_heavy_hitters",
 )
 
 VOCAB = [

@@ -187,3 +187,7 @@ class Engine:
         """C4-style destructive span dedup: rewrite docs without
         cross-document duplicated word spans."""
         return _dedup.remove_duplicate_spans(docs, **kw)
+
+    def pq_topk(self, embeddings: DataFrame, query_ids: list[int], **kw) -> DataFrame:
+        """Product-quantization ANN: ADC scan over PQ codes + exact re-rank."""
+        return _similarity.pq_topk(embeddings, query_ids, **kw)

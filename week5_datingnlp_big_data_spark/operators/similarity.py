@@ -385,3 +385,199 @@ def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
     hit = e.join(a, ["query_id", "neighbor_id"], "inner").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+def pq_train(
+    embeddings: DataFrame,
+    num_subspaces: int = 4,
+    codebook_size: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    D-dim vector into ``num_subspaces`` contiguous subvectors and k-means
+    each subspace into ``codebook_size`` centroids. A vector then
+    compresses to m log2(k*) bits (m=4, k*=16 → 2 BYTES for a 64-dim
+    float vector, 128:1) while distances remain approximately computable
+    from codes alone — the memory leg of the ANN scale triad next to
+    IVF's candidate pruning and LSH's bucketing.
+
+    Returns the codebook TABLE (subspace, code, centroid array<double>):
+    m × k* rows — a fixed-parameter bounded broadcast, engine-agnostic
+    state like the Bloom word table. The m subspace fits run as a driver
+    loop over m (a small constant), each a distributed MLlib k-means.
+    Seeded estimator → rows-only at the driver, recall-tested."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(F.col(vec_col).cast("array<double>").alias("v")).cache()
+    dim = len(vecs.first()["v"])
+    sub_dim = dim // num_subspaces
+    spark = embeddings.sparkSession
+    rows = []
+    for j in range(num_subspaces):
+        sub = vecs.select(
+            array_to_vector(F.slice("v", j * sub_dim + 1, sub_dim)).alias("features")
+        )
+        model = KMeans(
+            k=codebook_size, seed=seed + j, featuresCol="features"
+        ).fit(sub)
+        rows += [
+            (j, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+
+
+def _sub_l2sq(sub_vec: Column, centroid: Column) -> Column:
+    """Squared L2 distance between a subvector and a centroid — the inner
+    quantity both encode (argmin) and ADC (lookup) minimize/sum."""
+    return F.aggregate(
+        F.zip_with(sub_vec, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    num_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against trained codebooks: (vec_id, codes
+    array<int>), codes[j] = argmin_c ||v_j − centroid(j,c)||². Fully
+    relational: explode to (vec, subspace) subvectors, broadcast-join the
+    m×k* codebook, min_by over codes, ordered array rebuild. One narrow
+    shuffle on vec_id; the corpus never leaves the executors."""
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first()
+    sub_dim = dim_row["d"] // num_subspaces
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"), j * sub_dim + 1, sub_dim
+                    ).alias("sub_vec"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "s.subspace", "s.sub_vec")
+    assigned = (
+        subs.join(F.broadcast(codebooks), "subspace")
+        .withColumn("d2", _sub_l2sq(F.col("sub_vec"), F.col("centroid")))
+        .groupBy(id_col, "subspace")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_subspaces: int = 8,
+    codebook_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) with
+    exact re-ranking: the corpus lives as PQ codes; each query precomputes
+    an m×k* lookup table of subvector distances to every centroid, a
+    candidate's ADC distance is the SUM of m table lookups — no float
+    vector is ever touched in the scan — and only the ADC shortlist
+    (``k × rerank_factor`` per query) has its true vectors fetched for
+    exact re-ranking, the standard two-stage recipe (ADC recall@shortlist
+    is what matters, not recall@k; re-rank fixes the ordering). Output:
+    (query_id, neighbor_id, dist, rnk), ascending exact distance with an
+    id tiebreak.
+
+    Scale shape: codes are bytes per vector; the per-query lookup table is
+    |Q|·m·k* rows — bounded like cosine_topk's query set — broadcast into
+    the join; the explode is m narrow rows per candidate; the exact stage
+    joins only |Q|·k·rerank_factor ids back to the vector table. Exactly
+    the IVF-ADC serving layout (this op is the PQ leg; compose with
+    ivf_topk's cell pruning for both)."""
+    codebooks = pq_train(embeddings, num_subspaces, codebook_size, vec_col, seed)
+    encoded = pq_encode(embeddings, codebooks, num_subspaces, id_col, vec_col)
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first()
+    sub_dim = dim_row["d"] // num_subspaces
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    lookup = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("subspace"),
+                        F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("q_sub"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("query_id", "s.subspace", "s.q_sub")
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            _sub_l2sq(F.col("q_sub"), F.col("centroid")).alias("d2"),
+        )
+    )
+    cand = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    ).filter(~F.col("neighbor_id").isin(query_ids))
+    scored = (
+        cand.join(F.broadcast(lookup), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt(_sub_l2sq(F.col("qv"), F.col("nv"))), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )

@@ -3748,6 +3748,20 @@ def token_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "tok").select("tok", "true_cnt", "cms_est")
 
 
+@query("embedding_pq_topk")
+def embedding_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN through the driver contract: PQ-encode the
+    embeddings (8 subspaces × 64 codes → 8 bytes/vector, 32:1), ADC-scan
+    for a shortlist, exact re-rank to top-5 for a fixed query set. Seeded
+    k-means codebooks → rows-only; recall ≥ 0.8 vs brute force and rerun
+    determinism are pinned in tests/test_dedup_similarity.py. See
+    operators/similarity.py:pq_topk."""
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 @query("embedding_cluster_plot")
 def embedding_cluster_plot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the driver contract (data layer): the chart-ready table
@@ -3884,7 +3898,12 @@ DEMOTED: tuple[str, ...] = (
 
 # Late-registered flagship queries that must sit INSIDE the driver's
 # 50-row window: moved ahead of other late oracle-backed additions
-# (which stay under the in-repo parity gate).
+# (which stay under the in-repo parity gate). The window holds exactly 50
+# distinct query shapes; the oracle-backed queries that deliberately sit
+# just OUTSIDE it (training_shard_stats, token_cms_heavy_hitters,
+# span_dedup_rewrite) run under the identical DuckDB compare in
+# tests/test_oracle_parity.py and the fuzz suites — only the driver slot
+# differs, and every in-window slot covers a shape none of them add.
 PROMOTED: tuple[str, ...] = (
     "ngram_jaccard_near_dups",
     "near_dup_components",
