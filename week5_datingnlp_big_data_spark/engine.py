@@ -191,3 +191,7 @@ class Engine:
     def pq_topk(self, embeddings: DataFrame, query_ids: list[int], **kw) -> DataFrame:
         """Product-quantization ANN: ADC scan over PQ codes + exact re-rank."""
         return _similarity.pq_topk(embeddings, query_ids, **kw)
+
+    def ivf_pq_topk(self, embeddings: DataFrame, query_ids: list[int], **kw) -> DataFrame:
+        """IVF-PQ ANN: cell pruning + ADC code scan + exact re-rank."""
+        return _similarity.ivf_pq_topk(embeddings, query_ids, **kw)

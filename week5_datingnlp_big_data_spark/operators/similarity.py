@@ -581,3 +581,126 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "dist", "rnk")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    num_subspaces: int = 8,
+    codebook_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """IVF-PQ: the full ANN serving layout — IVF cell pruning bounds WHICH
+    vectors are scanned (~N·n_probe/n_cells candidates), PQ codes bound
+    WHAT is scanned (bytes, not floats, via the ADC lookup table), and an
+    exact re-rank of the shortlist fixes the ordering. This composition is
+    the standard billion-vector architecture (Jégou et al. 2011 IVFADC;
+    FAISS's IVFx,PQy): at 100 TB the cell id is a partition column — a
+    probe reads n_probe partitions of byte codes and nothing else.
+
+    Codes quantize raw vectors (IVF-flat-PQ) rather than cell residuals —
+    one shared codebook table instead of per-cell state; the exact re-rank
+    absorbs the modest ADC precision loss. Output:
+    (query_id, neighbor_id, dist, rnk) by exact distance, id tiebreak."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    feat = vecs.withColumn("features", array_to_vector("v"))
+    coarse = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(feat)
+    assigned = coarse.transform(feat).select(id_col, "v", "cell").cache()
+
+    codebooks = pq_train(embeddings, num_subspaces, codebook_size, vec_col, seed)
+    encoded = pq_encode(embeddings, codebooks, num_subspaces, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+
+    centers = [np.asarray(c) for c in coarse.clusterCenters()]
+    q_rows = assigned.filter(F.col(id_col).isin(query_ids)).select(id_col, "v").collect()
+    probe = [
+        (int(r[id_col]), r["v"], [int(i) for i in np.argsort(
+            [float(np.linalg.norm(np.array(r["v"]) - c)) for c in centers]
+        )[:n_probe]])
+        for r in q_rows
+    ]
+    spark = embeddings.sparkSession
+    probe_cells = spark.createDataFrame(
+        [(qid, cell) for qid, _qv, cells in probe for cell in cells],
+        "query_id long, cell int",
+    )
+    queries = spark.createDataFrame(
+        [(qid, qv) for qid, qv, _cells in probe], "query_id long, qv array<double>"
+    )
+
+    dim = len(probe[0][1]) if probe else 0
+    sub_dim = dim // num_subspaces
+    lookup = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("subspace"),
+                        F.slice(F.col("qv"), j * sub_dim + 1, sub_dim).alias("q_sub"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("query_id", "s.subspace", "s.q_sub")
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            "query_id", "subspace", "code",
+            _sub_l2sq(F.col("q_sub"), F.col("centroid")).alias("d2"),
+        )
+    )
+    cand = (
+        encoded.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(lookup), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist.join(
+            vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.sqrt(_sub_l2sq(F.col("qv"), F.col("nv"))), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )

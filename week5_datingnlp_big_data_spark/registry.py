@@ -3762,6 +3762,20 @@ def embedding_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+@query("embedding_ivfpq_topk")
+def embedding_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ through the driver contract: cell pruning bounds which
+    vectors are scanned, PQ codes bound what is scanned, exact re-rank
+    fixes the order — the standard billion-vector serving layout. Seeded
+    estimators → rows-only; recall ≥ 0.6 vs brute force (cell pruning
+    trades recall for the N·n_probe/n_cells scan bound) pinned in
+    tests/test_dedup_similarity.py. See operators/similarity.py:ivf_pq_topk."""
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 @query("embedding_cluster_plot")
 def embedding_cluster_plot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the driver contract (data layer): the chart-ready table
