@@ -321,3 +321,22 @@ def test_dsir_single_tokenize_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_rewrite_single_span_pass(spark, sf_dir):
+    # The span table persists once (InMemoryTableScan) and feeds both the
+    # frequency aggregate and the rebuild; no SMJ/cartesian appears.
+    plan = _plan(spark, sf_dir, "span_dedup_rewrite")
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_single_tokenize_pass(spark, sf_dir):
+    # The token explode persists once; sketch + truth + probe all read the
+    # cached table, and the sketch side joins as a broadcast.
+    plan = _plan(spark, sf_dir, "token_cms_heavy_hitters")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -303,9 +303,9 @@ def lang_distinctive_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 4) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(round(sum(l_quantity), 4) / count(*), 6) AS avg_qty,
+           round(round(sum(l_extendedprice), 4) / count(*), 6) AS avg_price,
+           round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -327,9 +327,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # avg derives from the ROUNDED sum (see events_hourly): inputs
+            # are <=2-dp decimals, so the 4-dp sum is exact and both
+            # engines divide bit-identical numerators — no ulp-boundary
+            # divergence in the 6-dp round (measured on events_hourly at
+            # sf0.1).
+            F.round(F.round(F.sum("l_quantity"), 4) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 4) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -710,21 +715,29 @@ def lang_words_except_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
            round(sum(value), 4) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           round(round(sum(value), 4) / count(*), 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling 1h) — the batch twin of the
-    streaming windowed count (streaming/ package)."""
+    streaming windowed count (streaming/ package).
+
+    avg derives from the ROUNDED sum, not a separate avg() aggregate:
+    round(avg,6) alone diverged cross-engine at sf0.1 when a true mean
+    sat exactly on a 6-dp rounding boundary and partial-aggregation
+    order supplied the deciding ulp (measured: 43.472812 vs 43.472813).
+    Dividing the already-rounded sum gives both engines bit-identical
+    inputs, confining any possible divergence to the sum — which is
+    itself a compared column."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
 
 
