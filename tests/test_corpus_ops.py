@@ -212,3 +212,28 @@ def test_mixture_sample_deterministic_and_rate_bounded(spark, sf_dir):
     c = corpus.mixture_sample(docs, rates, default_rate=0.2, salt="other")
     ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
     assert ids_c != ids_a
+
+
+def test_snapshot_diff_classifies_every_branch(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (5, "delta"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus.snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 5: "added", 4: "unchanged"}
+
+
+def test_snapshot_diff_identical_snapshots_all_unchanged(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = corpus.snapshot_diff(docs, docs)
+    assert diff.filter(F.col("status") != "unchanged").count() == 0
+    assert diff.count() == docs.count()

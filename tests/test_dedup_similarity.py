@@ -446,3 +446,24 @@ def test_ivf_pq_recall_and_determinism(emb):
     assert similarity.knn_recall(exact, approx) >= 0.6
     again = similarity.ivf_pq_topk(emb, qids, k=5, n_cells=8, n_probe=4)
     assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_soft_dedup_weights_sum_to_one_per_hash(spark):
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique a"), (5, "twice"), (6, "twice")],
+        "doc_id long, text string",
+    )
+    w = dedup.soft_dedup_weights(docs)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert rows[1]["n_copies"] == 3 and rows[1]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[4]["n_copies"] == 1 and rows[4]["weight"] == 1.0
+    assert rows[5]["n_copies"] == 2 and rows[5]["weight"] == 0.5
+    # one row per input doc; per-hash weights sum to 1 (within rounding)
+    assert w.count() == 6
+    sums = (
+        w.groupBy("content_hash").agg(F.round(F.sum("weight"), 4).alias("s")).collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)

@@ -139,3 +139,53 @@ def test_cms_merge_is_cell_sum(spark):
         sketches.tokenize_whitespace(a.unionByName(b))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches + cross-group overlap
+# ---------------------------------------------------------------------------
+
+
+def _kmv_pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, key string")
+
+
+def test_kmv_sketch_is_bounded_and_deterministic(spark):
+    rows = [("a", f"w{i}") for i in range(500)] + [("b", f"w{i}") for i in range(100)]
+    sk1 = sketches.kmv_sketch(_kmv_pairs_df(spark, rows), k=64)
+    sizes = {r["source"]: r["n"] for r in sk1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"a": 64, "b": 64}
+    sk2 = sketches.kmv_sketch(_kmv_pairs_df(spark, rows), k=64)
+    assert sorted(map(tuple, sk1.collect())) == sorted(map(tuple, sk2.collect()))
+
+
+def test_kmv_overlap_exact_when_k_covers_union(spark):
+    # |A ∪ B| = 30 < k: the sketch IS the set, the estimate is exact.
+    a = [("a", f"w{i}") for i in range(20)]          # w0..w19
+    b = [("b", f"w{i}") for i in range(10, 30)]      # w10..w29 → |∩|=10, |∪|=30
+    sk = sketches.kmv_sketch(_kmv_pairs_df(spark, a + b), k=64)
+    [row] = sketches.kmv_group_overlap(sk, k=64).collect()
+    assert (row["source_a"], row["source_b"]) == ("a", "b")
+    assert row["n_union_k"] == 30
+    assert row["n_both"] == 10
+    assert row["est_jaccard"] == pytest.approx(10 / 30, abs=1e-6)
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    # 2000-key union at 50% overlap, k=256 → stderr ≈ J(1-J)/sqrt(k) ~ 0.03;
+    # assert a loose ±0.15 band (deterministic data → deterministic result,
+    # the band guards the estimator's correctness, not flakiness).
+    a = [("a", f"w{i}") for i in range(1500)]
+    b = [("b", f"w{i}") for i in range(1000, 2500)]  # |∩|=500, |∪|=2500 → J=0.2
+    sk = sketches.kmv_sketch(_kmv_pairs_df(spark, a + b), k=256)
+    [row] = sketches.kmv_group_overlap(sk, k=256).collect()
+    assert row["est_jaccard"] == pytest.approx(0.2, abs=0.15)
+
+
+def test_kmv_overlap_disjoint_groups_is_zero(spark):
+    a = [("a", f"left{i}") for i in range(300)]
+    b = [("b", f"right{i}") for i in range(300)]
+    sk = sketches.kmv_sketch(_kmv_pairs_df(spark, a + b), k=128)
+    [row] = sketches.kmv_group_overlap(sk, k=128).collect()
+    assert row["n_both"] == 0
+    assert row["est_jaccard"] == 0.0

@@ -410,3 +410,36 @@ def dsir_select(
     top-k (TakeOrderedAndProject at scale), not a full sort."""
     w = dsir_importance_weights(docs, target, text_col, id_col, num_buckets)
     return w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(n_select)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document across two crawls or
+    pipeline runs as ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+    Output: ``(doc_id, status, old_hash, new_hash)``.
+
+    An incremental pipeline reprocesses only ``added``+``changed`` and
+    retracts ``removed`` — at 100 TB the diff is what makes a monthly
+    crawl refresh an incremental job instead of a full rebuild. Content
+    equality is by sha2 of the text, so a re-downloaded identical page is
+    ``unchanged`` no matter how the snapshot was laid out.
+
+    Plan: both sides reduce to (id, hash) at scan — column-pruned to two
+    columns — then ONE full-outer shuffle join on the id. Snapshots
+    written bucketed by id (sinks.write_bucketed) diff with no exchange
+    at all."""
+    content = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    o = old.select(F.col(id_col).alias("doc_id"), content.alias("old_hash"))
+    n = new.select(F.col(id_col).alias("doc_id"), content.alias("new_hash"))
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("doc_id", status.alias("status"), "old_hash", "new_hash")

@@ -29,7 +29,7 @@ Jaccard verification touches only candidate pairs, not the n² cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from week5_datingnlp_big_data_spark.session import spread
@@ -1123,4 +1123,31 @@ def remove_duplicate_spans(
             F.col("n_spans"),
             F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         )
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft dedup: instead of DISCARDING duplicates, down-weight them —
+    every doc gets ``weight = 1/n_copies`` of its exact content hash, so
+    duplicated content contributes one document's worth of probability
+    mass to a sampled training mix (the SlimPajama/D4 "keep but
+    down-sample" alternative to hard removal, which loses the duplicate's
+    distributional signal entirely). Output: ``(doc_id, content_hash,
+    n_copies, weight)`` — one row per input doc, weights per hash sum
+    to exactly 1 (unit-pinned).
+
+    Plan: one count-over-window partitioned by the content hash — a
+    single shuffle on the digest, same key as exact_dedup, with no join
+    back to the corpus. For NEAR-dup down-weighting, feed
+    connected-components cluster ids in place of the hash: the window is
+    identical (see near_dup_keep_best for the cluster path).
+    """
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("n_copies"), 6))
     )

@@ -18,7 +18,7 @@ driver + tolerance tests against exact answers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -206,4 +206,89 @@ def cms_estimate_from_sketch(
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("tok")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def kmv_sketch(
+    pairs: DataFrame,
+    key_col: str = "key",
+    group_col: str = "source",
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002) per group: the k
+    smallest md5-derived hash values over the group's DISTINCT keys, as a
+    k-row table ``(source, key, h)`` per group.
+
+    Unlike HLL, a KMV sketch keeps the sample MEMBERS, so two sketches
+    support set operations: ``kmv_group_overlap`` estimates pairwise
+    Jaccard between groups from their sketches alone — the
+    which-crawls-overlap question a multi-source training mix asks —
+    without ever joining the full key sets. And because the hash is
+    md5-derived (seedless), the sketch is bit-identical in the DuckDB
+    oracle: the driver value-verifies it, which no seeded sampler allows.
+
+    Plan: distinct on (group, key) — one shuffle with map-side partials —
+    then a per-group top-k window. The window ranks only each group's
+    DISTINCT keys (vocabulary-sized, not corpus-sized); ties broken by
+    key so reruns and engines agree. Sketch size is k rows per group —
+    bounded state no matter the corpus size."""
+    hashed = pairs.select(
+        F.col(group_col).alias("source"), F.col(key_col).alias("key")
+    ).distinct().select(
+        "source",
+        "key",
+        F.conv(F.substring(F.md5("key"), 1, 14), 16, 10).cast("long").alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "key")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_group_overlap(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between groups from their KMV sketches:
+    ``(source_a, source_b, n_union_k, n_both, est_jaccard)``.
+
+    Estimator (Beyer et al., SIGMOD 2007): take the k smallest hashes of
+    the UNION of the two sketches (itself a valid KMV sketch of A∪B —
+    closure under union is the whole point of KMV); the fraction of those
+    present in BOTH sketches estimates |A∩B|/|A∪B|. When a union has
+    fewer than k distinct keys the sketch IS the set and the estimate is
+    exact (pinned by a unit test).
+
+    Scale shape: the full-key sets never meet — each pair's work is over
+    ≤ 2k sketch rows, and the pair count is #groups², a catalog-sized
+    quantity (sources in a training mix number in the tens). One
+    groupBy + one window over ≤ 2k rows per pair."""
+    srcs = sketch.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    # Membership rows per pair: a sketch row enters every pair its group
+    # participates in, flagged by which side it came from.
+    a_rows = pairs.join(
+        sketch.withColumnRenamed("source", "src_a"), "src_a"
+    ).select("src_a", "src_b", "key", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b_rows = pairs.join(
+        sketch.withColumnRenamed("source", "src_b"), "src_b"
+    ).select("src_a", "src_b", "key", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        a_rows.unionByName(b_rows)
+        .groupBy("src_a", "src_b", "key", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h", "key")
+    union_k = merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return union_k.groupBy(
+        F.col("src_a").alias("source_a"), F.col("src_b").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_union_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
+        ).alias("est_jaccard"),
     )

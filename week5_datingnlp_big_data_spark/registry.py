@@ -3863,6 +3863,167 @@ def dsir_target_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+
+
+@query(
+    "source_overlap_kmv",
+    f"""
+    WITH toks AS (
+      SELECT source, t.key AS key
+      FROM (SELECT source, {_sql_tokens("text")} AS ws
+            FROM documents WHERE length(text) > 0) d,
+           unnest(d.ws) AS t(key)
+    ),
+    hashed AS (
+      SELECT DISTINCT source, key,
+             ('0x' || substr(md5(key), 1, 14))::BIGINT AS h
+      FROM toks
+    ),
+    sk AS (
+      SELECT source, key, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, key) AS rn
+        FROM hashed) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM sk) a, (SELECT DISTINCT source FROM sk) b
+      WHERE a.source < b.source
+    ),
+    mem AS (
+      SELECT src_a, src_b, key, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.src_a, p.src_b, s.key, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.key, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.source = p.src_b
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    uk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h, key) AS rn
+        FROM mem) WHERE rn <= {_KMV_K}
+    )
+    SELECT src_a AS source_a, src_b AS source_b,
+           count(*)::BIGINT AS n_union_k,
+           sum(in_a * in_b)::BIGINT AS n_both,
+           round(sum(in_a * in_b) * 1.0 / count(*), 6) AS est_jaccard
+    FROM uk GROUP BY 1, 2
+    """,
+)
+def source_overlap_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources, estimated from
+    k-minimum-values sketches (Bar-Yossef et al. 2002 / Beyer et al.
+    2007) — the which-crawls-share-content question answered from k-row
+    sketches per source instead of a full vocabulary join. Seedless md5
+    hashing makes the estimate bit-identical in the oracle, which
+    recomputes the whole estimator. See operators/sketches.py:kmv_sketch
+    for the bounded-state scale shape."""
+    from week5_datingnlp_big_data_spark.operators import sketches
+
+    docs = spread(_t(spark, sf_dir, "documents").filter(F.length("text") > 0))
+    toks = docs.select(
+        "source", F.explode(tokenize(corpus.clean_text("text"))).alias("key")
+    )
+    sk = sketches.kmv_sketch(toks, key_col="key", group_col="source", k=_KMV_K)
+    return sketches.kmv_group_overlap(sk, k=_KMV_K)
+
+
+@query(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, sha256(coalesce(text, '')) AS h FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             sha256(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                                  ELSE text END, '')) AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000, sha256(coalesce(text, ''))
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM d GROUP BY status
+    """,
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl diff: the current corpus vs a deterministically
+    perturbed next snapshot (every 7th doc edited, every 13th removed,
+    every 11th re-added under a new id), classified added/removed/
+    changed/unchanged by corpus.snapshot_diff and rolled up per status.
+    The oracle rebuilds the same two snapshots and the same full-outer
+    hash compare, value-verifying every classification branch."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = docs.filter(did % 13 != 0).withColumn(
+        "text",
+        F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.filter(did % 11 == 0).withColumn("doc_id", did + 1000000000)
+    diff = corpus.snapshot_diff(docs, new.unionByName(added))
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "soft_dedup_weights",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    w AS (
+      SELECT doc_id,
+             sha256(coalesce(text, '')) AS content_hash,
+             count(*) OVER (PARTITION BY sha256(coalesce(text, ''))) AS n_copies
+      FROM corpus
+    )
+    SELECT n_copies, count(*)::BIGINT AS n_docs,
+           count(DISTINCT content_hash)::BIGINT AS n_groups,
+           round(count(*) * 1.0 / n_copies, 6) AS total_weight
+    FROM w GROUP BY n_copies
+    """,
+)
+def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup down-weighting histogram over a corpus with planted
+    exact replicas (every 10th doc duplicated once, every 20th twice —
+    the base table has no byte-identical docs, so the replicas give the
+    1/n weighting real multiplicity buckets to act on). total_weight is
+    derived arithmetically from the counts (n_docs/n_copies), never by
+    summing per-row doubles, so both engines agree to the last bit. See
+    operators/dedup.py:soft_dedup_weights for the per-doc operator."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = docs.unionByName(
+        docs.filter(did % 10 == 0).withColumn("doc_id", did + 1000000000)
+    ).unionByName(docs.filter(did % 20 == 0).withColumn("doc_id", did + 2000000000))
+    sw = dedup.soft_dedup_weights(planted)
+    return sw.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_groups"),
+        F.round(F.count(F.lit(1)) / F.col("n_copies"), 6).alias("total_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
