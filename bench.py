@@ -67,6 +67,10 @@ HEADLINE = [
     "bloom_dedup_incremental",
     "dsir_target_sample",
     "token_cms_heavy_hitters",
+    # round-5 additions
+    "source_overlap_kmv",
+    "corpus_snapshot_diff",
+    "soft_dedup_weights",
 ]
 
 

@@ -261,7 +261,15 @@ def kmv_group_overlap(sketch: DataFrame, k: int = 256) -> DataFrame:
     Scale shape: the full-key sets never meet — each pair's work is over
     ≤ 2k sketch rows, and the pair count is #groups², a catalog-sized
     quantity (sources in a training mix number in the tens). One
-    groupBy + one window over ≤ 2k rows per pair."""
+    groupBy + one window over ≤ 2k rows per pair.
+
+    The sketch feeds FOUR consumers below (both sides of the pair cross
+    join and both membership joins); without a persist barrier Catalyst
+    inlines the whole build — tokenize, distinct, top-k window — once per
+    consumer (measured: 6 full corpus scans in the unpersisted plan).
+    The cached relation is k rows per group, the cheapest thing in the
+    plan to hold."""
+    sketch = sketch.persist()
     srcs = sketch.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("src_a"))

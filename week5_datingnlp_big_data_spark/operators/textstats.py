@@ -212,10 +212,14 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _doc_term_counts_ws(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace-lowered per-doc term counts ``(id, term, c)`` — the
     shared base of the unigram LM and the per-doc score."""
+    from week5_datingnlp_big_data_spark.session import spread
+
     words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
     nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    # spread() before the explode: a single-file parquet scan would run
+    # the split+explode single-threaded ahead of the groupBy shuffle.
     return (
-        nonempty.select(F.col(id_col), F.explode(words).alias("term"))
+        spread(nonempty).select(F.col(id_col), F.explode(words).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -297,12 +301,16 @@ def bigram_logprob_scores(
     vocabulary sizes (same note as the unigram scorer). Docs with fewer
     than 2 words have no bigrams and are excluded, like empty docs in the
     unigram scorer."""
+    from week5_datingnlp_big_data_spark.session import spread
+
     words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
     nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
     # Persist: the tokenized rows feed TWO consumers — the bigram explode
     # and the vocabulary-size aggregate — and the split would otherwise
-    # re-run over the whole corpus for each.
-    base = nonempty.select(F.col(id_col), words.alias("ws")).persist()
+    # re-run over the whole corpus for each. spread() first: the persist
+    # materializes at scan parallelism, which for a single-file scan
+    # would tokenize the whole corpus on one core.
+    base = spread(nonempty).select(F.col(id_col), words.alias("ws")).persist()
     grams = F.when(
         F.size("ws") >= 2,
         F.transform(
