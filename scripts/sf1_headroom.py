@@ -71,6 +71,9 @@ QUERIES = [
     "training_shard_stats", "packed_sequences", "token_budget_mixture",
     "bloom_dedup_incremental", "dsir_target_sample", "embedding_cosine_topk",
     "span_dedup_rewrite", "token_cms_heavy_hitters",
+    # round-5 additions: KMV overlap (window top-k + pair join), snapshot
+    # diff (full-outer join), soft dedup (hash-partition window)
+    "source_overlap_kmv", "corpus_snapshot_diff", "soft_dedup_weights",
 ]
 
 

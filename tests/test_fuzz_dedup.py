@@ -48,6 +48,14 @@ FUZZED_QUERIES = (
     # CMS heavy hitters: the small fuzz vocab forces collisions, pinning
     # the min-of-rows estimate and the (cnt desc, tok) tiebreak
     "token_cms_heavy_hitters",
+    # round-5 surface: KMV overlap (shared fuzz vocab across the src0-2
+    # groups gives high-Jaccard pairs; k exceeds the vocab so the
+    # estimator runs exact), snapshot diff (small ids hit every %7/%11/
+    # %13 branch), soft dedup (fuzz exact duplicates stack with the
+    # planted replicas for multiplicities beyond the base {1,2,3})
+    "source_overlap_kmv",
+    "corpus_snapshot_diff",
+    "soft_dedup_weights",
 )
 
 VOCAB = [
