@@ -195,3 +195,28 @@ class Engine:
     def ivf_pq_topk(self, embeddings: DataFrame, query_ids: list[int], **kw) -> DataFrame:
         """IVF-PQ ANN: cell pruning + ADC code scan + exact re-rank."""
         return _similarity.ivf_pq_topk(embeddings, query_ids, **kw)
+
+    def snapshot_diff(self, old: DataFrame, new: DataFrame, **kw) -> DataFrame:
+        """Classify docs across two snapshots as added/removed/changed/
+        unchanged by content hash (incremental crawl refresh)."""
+        return _corpus.snapshot_diff(old, new, **kw)
+
+    def soft_dedup_weights(self, docs: DataFrame, **kw) -> DataFrame:
+        """Down-weight exact duplicates at 1/multiplicity instead of
+        dropping them (SlimPajama-style soft dedup)."""
+        return _dedup.soft_dedup_weights(docs, **kw)
+
+    def source_overlap(self, docs: DataFrame, k: int = 256, **kw) -> DataFrame:
+        """Pairwise vocabulary-overlap (Jaccard) estimates between sources
+        from k-minimum-values sketches; full vocabularies never joined."""
+        from pyspark.sql import functions as F
+
+        from week5_datingnlp_big_data_spark.functions.text import tokenize
+        from week5_datingnlp_big_data_spark.operators import sketches as _sketches
+        from week5_datingnlp_big_data_spark.session import spread
+
+        toks = spread(docs.filter(F.length("text") > 0)).select(
+            "source", F.explode(tokenize(_corpus.clean_text("text"))).alias("key")
+        )
+        sk = _sketches.kmv_sketch(toks, key_col="key", group_col="source", k=k, **kw)
+        return _sketches.kmv_group_overlap(sk, k=k)
