@@ -340,3 +340,41 @@ def test_cms_single_tokenize_pass(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_sketch_built_once(spark, sf_dir):
+    # The sketch feeds four consumers; without the persist barrier the
+    # tokenize+distinct+window build inlines once per consumer (6 corpus
+    # scans measured). The cached relation must appear, and the pair
+    # matching must stay equi-join (hash h/key), never cartesian over
+    # the sketch rows (the only BNLJ is the bounded #sources² pair list).
+    plan = _plan(spark, sf_dir, "source_overlap_kmv")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join_two_column_scan(spark, sf_dir):
+    # The diff reduces both sides to (id, hash) at scan — the read schema
+    # must prune to doc_id+text — and classifies through ONE full-outer
+    # join.
+    plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
+    import re
+
+    # formatted explain prints each operator twice (tree + details): count
+    # numbered tree nodes only
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_soft_dedup_single_shuffle_before_window(spark, sf_dir):
+    # weight = count-over-window partitioned by the content hash: one
+    # hash-partition Exchange feeds the Window; no join back to the
+    # corpus and no second corpus-keyed shuffle (the final Exchange is
+    # the small histogram aggregate).
+    plan = _plan(spark, sf_dir, "soft_dedup_weights")
+    assert "Window" in plan
+    assert "Join" not in plan
