@@ -266,3 +266,28 @@ def test_lm_quality_buckets_ties_share_bucket(spark):
     )
     out = textstats.lm_quality_buckets(docs).collect()
     assert {r["lm_bucket"] for r in out} == {"head"}
+
+
+def test_normalize_documents_branches(spark):
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café plain"),          # NFC composes to é: 1 char shorter
+            (2, "a\r\nb\rc"),                 # CRLF and CR both become LF
+            (3, "x\x00y\x07z"),               # control chars stripped
+            (4, "a  b\t\tc"),                 # space/tab runs collapse
+            (5, "  padded  "),                # outer trim
+            (6, None),                        # NULL passes through
+            (7, "clean"),                     # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.normalize_documents(docs).collect()}
+    assert got[1]["norm_text"] == "Café plain" and got[1]["n_chars_removed"] == 1
+    assert got[2]["norm_text"] == "a\nb\nc" and got[2]["n_chars_removed"] == 1
+    assert got[3]["norm_text"] == "xyz" and got[3]["n_chars_removed"] == 2
+    assert got[4]["norm_text"] == "a b c"
+    assert got[5]["norm_text"] == "padded"
+    assert got[6]["norm_text"] is None and got[6]["n_chars_removed"] is None
+    assert got[7]["norm_text"] == "clean" and got[7]["n_chars_removed"] == 0

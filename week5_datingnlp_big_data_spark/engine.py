@@ -220,3 +220,8 @@ class Engine:
         )
         sk = _sketches.kmv_sketch(toks, key_col="key", group_col="source", k=k, **kw)
         return _sketches.kmv_group_overlap(sk, k=k)
+
+    def normalize_documents(self, docs: DataFrame, **kw) -> DataFrame:
+        """Unicode cleanup: NFC, CR/LF unification, control strip,
+        whitespace collapse (Arrow-batched; run before hashing/dedup)."""
+        return _textstats.normalize_documents(docs, **kw)

@@ -490,3 +490,53 @@ def lm_quality_buckets(
         .otherwise(F.lit("tail"))
         .alias("lm_bucket"),
     )
+
+
+def normalize_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode text normalization — the cleanup pass every crawl pipeline
+    runs before anything hashes or tokenizes (mojibake-adjacent variants
+    of one page must dedup together): NFC composition, CRLF/CR → LF,
+    control characters stripped (TAB and LF survive), space/tab runs
+    collapsed to one space, outer whitespace trimmed. Output:
+    ``(doc_id, norm_text, n_chars_removed)``.
+
+    Spark ships no NFC built-in, so this is the engine's one
+    text-transform pandas UDF on the hot path — Arrow-batched, only
+    (id, text) crossing the JVM boundary, embarrassingly parallel (no
+    shuffle). The step order and character classes are pinned by the
+    DuckDB oracle twin (``nfc_normalize`` + the same RE2 classes), which
+    value-verifies the whole chain per document — UDF paths rarely get
+    oracle backing; this one does because NFC is a published standard
+    both engines implement identically."""
+    import re
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = re.compile("[ \t]+")
+
+    def one(t):
+        if t is None:
+            return None
+        t = unicodedata.normalize("NFC", t)
+        t = t.replace("\r\n", "\n").replace("\r", "\n")
+        t = ctrl.sub("", t)
+        t = ws.sub(" ", t)
+        return t.strip(" \t\n")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return docs.select(
+        F.col(id_col),
+        F.length(_col(text_col)).alias("_raw_len"),
+        _norm(_col(text_col)).alias("norm_text"),
+    ).select(
+        id_col,
+        "norm_text",
+        (F.col("_raw_len") - F.length("norm_text")).alias("n_chars_removed"),
+    )

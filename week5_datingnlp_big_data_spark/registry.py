@@ -4024,6 +4024,58 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic dirty suffix for the normalization query: a decomposed
+# accent (NFC-composes), a BEL control char (stripped), a double space
+# (collapsed) and a trailing space (trimmed) — every branch of the
+# normalizer fires on every row even though the base corpus is clean
+# ASCII. Mirrored char-for-char in the oracle via chr().
+_DIRTY_SUFFIX = " Café \x07 double  space "
+
+
+@query(
+    "text_normalization_stats",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' ' || chr(7) || ' double  space '
+               AS d
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, length(d) AS raw_len,
+             trim(
+               regexp_replace(
+                 regexp_replace(
+                   replace(replace(nfc_normalize(d), chr(13) || chr(10), chr(10)),
+                           chr(13), chr(10)),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '[ \\t]+', ' ', 'g'),
+               ' ' || chr(9) || chr(10)) AS norm
+      FROM dirty
+    )
+    SELECT doc_id, md5(norm) AS norm_md5,
+           raw_len - length(norm) AS n_chars_removed
+    FROM n
+    """,
+)
+def text_normalization_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (NFC + control strip + whitespace collapse)
+    through the Arrow-batched pandas UDF, value-verified per document:
+    the oracle recomputes the identical chain with DuckDB's
+    ``nfc_normalize`` and RE2, pinning the UDF's semantics — composed
+    accents, CR/LF handling, control classes, collapse and trim — by
+    md5 of the normalized text. See
+    operators/textstats.py:normalize_documents."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = spread(docs).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_DIRTY_SUFFIX)).alias("text")
+    )
+    n = textstats.normalize_documents(dirty)
+    return n.select(
+        "doc_id", F.md5("norm_text").alias("norm_md5"), "n_chars_removed"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
