@@ -9,7 +9,10 @@ import random
 import duckdb
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
+from week5_datingnlp_big_data_spark import registry
 from week5_datingnlp_big_data_spark.operators import corpus, textstats
 
 PII_ALPHABET = (
@@ -111,3 +114,64 @@ def test_pack_sequences_matches_python_reference(spark, seed):
         [(bucket_of(d), d, i, t) for d, i, t in rows], seq_len
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Unicode-normalization cross-engine fuzz
+# ---------------------------------------------------------------------------
+
+# Alphabet: controls (strip/convert branches), ASCII, Latin-1/Extended,
+# combining diacriticals, Greek/Cyrillic/Hebrew/Arabic — capped below
+# U+0800 because Python's unicodedata and DuckDB's utf8proc ship
+# different Unicode versions and diverge on combining marks assigned
+# later (measured: first divergence at U+0899; everything below agrees).
+_NORM_ALPHABET = st.characters(
+    codec="utf-8",
+    min_codepoint=0x00,
+    max_codepoint=0x7FF,
+    exclude_categories=("Cs",),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(_NORM_ALPHABET, max_size=80)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_text_normalization_matches_oracle_on_unicode_fuzz(spark, texts):
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+    rows = [
+        (i, t, "en", "src0", 0 if t is None else len(t))
+        for i, t in enumerate(texts)
+    ]
+    tmp = tempfile.mkdtemp(prefix="norm_fuzz_")
+    try:
+        spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        name = "text_normalization_stats"
+        got = sorted(
+            tuple(r) for r in registry.QUERIES[name](spark, tmp).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(registry.ORACLE[name]).fetchall())
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
