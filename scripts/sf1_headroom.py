@@ -74,6 +74,7 @@ QUERIES = [
     # round-5 additions: KMV overlap (window top-k + pair join), snapshot
     # diff (full-outer join), soft dedup (hash-partition window)
     "source_overlap_kmv", "corpus_snapshot_diff", "soft_dedup_weights",
+    "text_normalization_stats",
 ]
 
 

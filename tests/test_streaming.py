@@ -400,3 +400,71 @@ def test_streaming_minhash_matches_batch(spark, sf_dir, tmp_path):
         for r in dedup.jaccard_near_dups(docs, threshold=0.5).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_snapshot_diff_incremental(spark, tmp_path):
+    """CDC classification across micro-batches: first sight of an id is
+    'added', a re-crawl with identical content is 'unchanged', with new
+    content 'changed'; the final state must equal the latest-hash table
+    over everything ingested (batch-mode reconciliation)."""
+    rows1 = [(i, f"page {i} v1") for i in range(20)]
+    rows2 = (
+        [(i, f"page {i} v1") for i in range(5)]        # unchanged re-crawl
+        + [(i, f"page {i} v2") for i in range(5, 10)]  # changed re-crawl
+        + [(100 + i, f"new page {i}") for i in range(5)]
+    )
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = tmp_path / "_sd" / name
+        df.coalesce(1).write.parquet(str(stage))
+        (tmp_path / "sd").mkdir(parents=True, exist_ok=True)
+        shutil.copy(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "sd" / name)
+        )
+
+    drop(rows1, "b1.parquet")
+    drop(rows2, "b2.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "sd"))
+    )
+    q = sc.streaming_snapshot_diff(
+        stream,
+        out_dir=str(tmp_path / "sd_out"),
+        state_dir=str(tmp_path / "sd_state"),
+        checkpoint_dir=str(tmp_path / "sd_ckpt"),
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "sd_out"))
+    by_batch = {
+        (r.doc_id, r._batch_id): r.status for r in out.collect()
+    }
+    assert all(by_batch[(i, 0)] == "added" for i in range(20))
+    assert all(by_batch[(i, 1)] == "unchanged" for i in range(5))
+    assert all(by_batch[(i, 1)] == "changed" for i in range(5, 10))
+    assert all(by_batch[(100 + i, 1)] == "added" for i in range(5))
+
+    # final state == latest hash per id over the whole ingest
+    latest = sorted(
+        glob.glob(str(tmp_path / "sd_state" / "v*")),
+        key=lambda p: int(p.rsplit("v", 1)[1]),
+    )[-1]
+    state = {
+        r.doc_id: r.content_hash for r in spark.read.parquet(latest).collect()
+    }
+    want_rows = {i: f"page {i} v1" for i in range(20)}
+    want_rows.update({i: f"page {i} v2" for i in range(5, 10)})
+    want_rows.update({100 + i: f"new page {i}" for i in range(5)})
+    expect = {
+        r.doc_id: r.h
+        for r in spark.createDataFrame(
+            list(want_rows.items()), "doc_id long, text string"
+        ).select("doc_id", F.sha2("text", 256).alias("h")).collect()
+    }
+    assert state == expect

@@ -483,3 +483,78 @@ def streaming_minhash_near_dups(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_snapshot_diff(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CDC-style incremental corpus maintenance — the streaming face of
+    ``corpus.snapshot_diff``: each micro-batch carries re-crawled
+    (id, text) rows; classify every row against the (id, content_hash)
+    state accumulated over ALL previous batches (``added`` — id never
+    seen; ``changed`` — hash differs; ``unchanged``), append the
+    classified rows to ``out_dir``, then upsert the batch's hashes into
+    the state. An incremental pipeline reprocesses only added+changed —
+    removals are unobservable in an append-only stream; reconcile them
+    with the batch snapshot_diff over full snapshots.
+
+    The state is one (id, hash) row per document ever seen — the honest
+    CDC state, versioned one subdirectory per batch like the Bloom and
+    MinHash sinks, so crash-replaying a batch overwrites its own version
+    and re-deriving the upsert is idempotent. At scale, write the state
+    bucketed by id (sources/sinks.write_bucketed) and the probe join is
+    exchange-free on the state side."""
+    from pathlib import Path
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        content = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+        batch_h = batch_df.select(
+            F.col(id_col), content.alias("new_hash")
+        ).dropDuplicates([id_col]).persist()
+        try:
+            root = Path(state_dir)
+            versions = sorted(
+                (d for d in root.glob("v*") if d.is_dir()),
+                key=lambda d: int(d.name[1:]),
+            )
+            live = [d for d in versions if int(d.name[1:]) < batch_id]
+            if live:
+                state = spark.read.parquet(str(live[-1]))
+            else:
+                state = spark.createDataFrame([], f"{id_col} long, content_hash string")
+            status = (
+                F.when(F.col("content_hash").isNull(), F.lit("added"))
+                .when(F.col("content_hash") != F.col("new_hash"), F.lit("changed"))
+                .otherwise(F.lit("unchanged"))
+            )
+            (
+                batch_h.join(state, id_col, "left")
+                .select(
+                    id_col,
+                    status.alias("status"),
+                    F.lit(batch_id).alias("_batch_id"),
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            # Upsert: batch rows win over state rows for the same id.
+            merged = state.join(batch_h, id_col, "left_anti").unionByName(
+                batch_h.select(id_col, F.col("new_hash").alias("content_hash"))
+            )
+            merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
+        finally:
+            batch_h.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("snapshot_diff")
+        .outputMode("append")
+        .start()
+    )
