@@ -1,0 +1,119 @@
+"""BM25 ranked retrieval over the long-form DFM (Okapi BM25).
+
+Robertson & Spärck Jones' probabilistic relevance framework (Robertson et
+al., TREC-3 1994) with the Lucene ``+1`` idf variant (non-negative for
+every df, including df > N/2):
+
+  idf(t)     = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+  bm25(d,t)  = idf(t) * count(d,t) * (k1 + 1)
+               / (count(d,t) + k1 * (1 - b + b * dl(d) / avgdl))
+  score(d,Q) = sum over query terms t in Q of bm25(d,t)
+
+Defaults k1 = 1.2, b = 0.75 are the published Okapi constants. This
+complements the reference's TF-IDF surface (Week5_datingNLP.R:215-247,
+operators/tfidf.py): TF-IDF feeds the feature-weighting pipelines, BM25 is
+the ranked *retrieval* side — "find the top-k documents for this query" —
+which a training-data curation stack uses for targeted corpus pulls
+(e.g. retrieving seed-topic documents before DSIR-style resampling).
+
+Scale design (100 TB):
+- ``bm25_weights`` builds the full postings-weight table: dl is a window
+  over doc_id (one hash exchange), df is a |vocab|-sized aggregate joined
+  back with a broadcast, and (N, avgdl) is a ONE-ROW aggregate attached
+  via crossJoin(broadcast(...)) — no driver collect anywhere.
+- ``bm25_topk`` is the inverted-index query path: the term filter is
+  applied to the postings FIRST (predicate on the scan side, so only the
+  query terms' postings are ever joined or scored), df is computed for
+  query terms only, and per-doc lengths arrive from a doc-level aggregate
+  joined on doc_id. The final top-k is orderBy+limit —
+  TakeOrderedAndProject, never a global sort. At cluster scale the dl and
+  df sides would be precomputed once per index build (bm25_weights) and
+  the query path reads only matched postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _corpus_stats(counts: DataFrame) -> DataFrame:
+    """One-row ``(n_docs, avgdl)`` aggregate: avgdl = total tokens / N."""
+    return counts.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("count") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+
+
+def _bm25_expr(k1: float, b: float):
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("count") * F.lit(k1 + 1.0)) / (
+        F.col("count")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return idf.alias("idf"), (idf * tf_part).alias("bm25")
+
+
+def bm25_weights(
+    counts: DataFrame, k1: float = BM25_K1, b: float = BM25_B, persist: bool = True
+) -> DataFrame:
+    """Full BM25 postings table: ``(doc_id, term, count, dl, df, idf, bm25)``.
+
+    ``counts`` is the long-form DFM ``(doc_id, term, count)``
+    (dfm.doc_term_counts). The counts DAG feeds three consumers (dl
+    window, df aggregate, corpus stats) — persist it once, same rationale
+    as tfidf.tf_idf."""
+    if persist:
+        counts = counts.persist()
+    dl = Window.partitionBy("doc_id")
+    with_dl = counts.withColumn("dl", F.sum("count").over(dl))
+    df_ = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf, bm25 = _bm25_expr(k1, b)
+    return (
+        with_dl.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(_corpus_stats(counts)))
+        .select("doc_id", "term", "count", "dl", "df", idf, bm25)
+    )
+
+
+def bm25_topk(
+    counts: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    persist: bool = True,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query: ``(doc_id, n_matched,
+    score)``, score rounded to 6 decimals (cross-engine float discipline),
+    ordered by (score desc, doc_id) with k rows.
+
+    Inverted-index shape: postings are filtered to the query terms BEFORE
+    any join, so the per-term work is |matched postings|, not |corpus|.
+    dl/avgdl/N still describe the FULL corpus (they are length/priors, not
+    query-dependent)."""
+    if persist:
+        counts = counts.persist()
+    q = sorted({t.lower() for t in query_terms})
+    matched = counts.filter(F.col("term").isin(q))
+    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl"))
+    df_ = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    _, bm25 = _bm25_expr(k1, b)
+    scored = (
+        matched.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(_corpus_stats(counts)))
+        .select("doc_id", bm25)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("bm25"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -34,6 +34,7 @@ from week5_datingnlp_big_data_spark.operators import (
     dfm,
     filters,
     freq,
+    ir,
     ml,
     relational,
     shards,
@@ -4074,6 +4075,59 @@ def text_normalization_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "doc_id", F.md5("norm_text").alias("norm_md5"), "n_chars_removed"
     )
+
+
+# Fixed retrieval query for the BM25 oracle: common corpus terms so every
+# scale factor yields matches; sorted + lowercased exactly like the operator.
+_BM25_QUERY_TERMS = ("hash", "join", "scan", "vector")
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      GROUP BY doc_id, t.term
+    ), stats AS (
+      SELECT count(DISTINCT doc_id) AS n_docs,
+             sum("count") * 1.0 / count(DISTINCT doc_id) AS avgdl
+      FROM counts
+    ), dl AS (
+      SELECT doc_id, sum("count") AS dl FROM counts GROUP BY doc_id
+    ), matched AS (
+      SELECT * FROM counts
+      WHERE term IN ({", ".join(f"'{t}'" for t in sorted(_BM25_QUERY_TERMS))})
+    ), df AS (
+      SELECT term, count(*) AS df FROM matched GROUP BY term
+    )
+    SELECT m.doc_id,
+           count(*) AS n_matched,
+           round(sum(
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (m."count" * (1.2 + 1.0))
+             / (m."count" + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl))
+           ), 6) AS score
+    FROM matched m
+    JOIN dl d USING (doc_id)
+    JOIN df f USING (term)
+    CROSS JOIN stats s
+    GROUP BY m.doc_id
+    ORDER BY score DESC, m.doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson et al. TREC-3; Lucene +1
+    idf): top-20 documents for a fixed bag-of-words query over the
+    stop-worded DFM. Inverted-index plan — postings filtered to the query
+    terms before any join, |vocab|- and 1-row sides broadcast, top-k via
+    TakeOrderedAndProject. Complements the reference's TF-IDF feature
+    weights (Week5_datingNLP.R:215-247) with the retrieval-side scorer.
+    See operators/ir.py."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    return ir.bm25_topk(counts, list(_BM25_QUERY_TERMS), k=20)
 
 
 # ---------------------------------------------------------------------------
