@@ -71,6 +71,9 @@ HEADLINE = [
     "source_overlap_kmv",
     "corpus_snapshot_diff",
     "soft_dedup_weights",
+    # round-6 additions
+    "bm25_topk",
+    "quality_ensemble_deciles",
 ]
 
 

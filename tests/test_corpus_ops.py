@@ -237,3 +237,27 @@ def test_snapshot_diff_identical_snapshots_all_unchanged(spark, sf_dir):
     diff = corpus.snapshot_diff(docs, docs)
     assert diff.filter(F.col("status") != "unchanged").count() == 0
     assert diff.count() == docs.count()
+
+
+def test_stratified_fixed_sample_counts_and_determinism(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = corpus.stratified_fixed_sample(df, "grp", 5, salt="s1")
+    got = out.groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in got}
+    # exactly k per full group, min(k, size) for the 1-row group
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    # rk is a 1..k dense prefix within each group
+    rks = {
+        g: sorted(r["rk"] for r in out.filter(F.col("grp") == g).collect())
+        for g in counts
+    }
+    assert rks["g0"] == [1, 2, 3, 4, 5] and rks["tiny"] == [1]
+    # pure function of ids + salt: identical under a different layout
+    again = corpus.stratified_fixed_sample(df.repartition(7), "grp", 5, salt="s1")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a different salt draws a different sample (overwhelmingly likely)
+    other = corpus.stratified_fixed_sample(df, "grp", 5, salt="s2")
+    assert sorted(r["doc_id"] for r in out.collect()) != sorted(
+        r["doc_id"] for r in other.collect()
+    )

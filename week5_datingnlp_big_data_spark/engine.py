@@ -225,3 +225,19 @@ class Engine:
         """Unicode cleanup: NFC, CR/LF unification, control strip,
         whitespace collapse (Arrow-batched; run before hashing/dedup)."""
         return _textstats.normalize_documents(docs, **kw)
+
+    def bm25_search(self, counts: DataFrame, query_terms: list, **kw) -> DataFrame:
+        """Okapi BM25 top-k documents for a bag-of-words query over the
+        long-form DFM (inverted-index plan; see operators/ir.py)."""
+        from week5_datingnlp_big_data_spark.operators import ir as _ir
+
+        return _ir.bm25_topk(counts, query_terms, **kw)
+
+    def quality_ensemble(self, docs: DataFrame, **kw) -> DataFrame:
+        """Blend heuristic quality, repetition, and LM-rarity percentile
+        ranks into one decile-bucketed score (FineWeb-style)."""
+        return _textstats.quality_ensemble(docs, **kw)
+
+    def eval_sample(self, df: DataFrame, group_col: str, k: int, **kw) -> DataFrame:
+        """Deterministic fixed-k per-group sample (eval-set carving)."""
+        return _corpus.stratified_fixed_sample(df, group_col, k, **kw)

@@ -13,7 +13,7 @@ repartition is needed before the downstream ``groupBy``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from week5_datingnlp_big_data_spark.functions.stemmer import stem_tokens
@@ -160,6 +160,36 @@ def chunk_documents(
         F.array_join(F.slice("w", F.col("start") + 1, chunk_tokens), " ").alias(
             "chunk_text"
         ),
+    )
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "eval",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly ``min(k, group
+    size)`` rows per group, chosen by ``md5(salt:id)`` order — the
+    eval-set carving primitive ("30 held-out docs per language"), where
+    rate-based sampling (``mixture_sample``) can't guarantee the exact
+    per-group count a benchmark needs. A pure function of ids + salt:
+    identical across runs, engines, partition layouts, and cluster sizes.
+
+    Adds ``rk`` (1-based within-group rank under the hash order).
+
+    Scale shape: ONE hash shuffle on the group column, then a per-group
+    rank window — rows of a group are co-partitioned, so no global sort.
+    A pathological mega-group makes its partition sort k-independent
+    work; when groups can be planet-sized, pre-filter with
+    ``mixture_sample`` at a rate that overshoots k, then rank the
+    survivors."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )
 
 

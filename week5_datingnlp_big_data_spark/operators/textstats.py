@@ -492,6 +492,73 @@ def lm_quality_buckets(
     )
 
 
+def quality_ensemble(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-signal quality ensemble (the FineWeb/DataComp-style blend):
+    orient three independent per-doc signals — heuristic quality score
+    (higher = better), duplicate-word fraction (higher = worse), unigram
+    LM rarity (higher = worse, CCNet tail) — as corpus percentile ranks,
+    average them, and bucket into deciles. Single-signal filters each
+    have blind spots (a repetitive page can score well on length/punct
+    heuristics); production curation stacks rank on a blend.
+
+    Scale shape: percentile ranks are deliberately NOT a global
+    ``percent_rank`` window (single-partition sort at corpus
+    cardinality). Each signal is rounded to 6 dp, so its distinct-value
+    table is bounded by the signal's value space (ratios ≤ 10^6+1 values,
+    LM scores ≤ ~10^7) regardless of corpus size; one ordered window over
+    THAT table yields exact strictly-less counts, and
+    pr = less/(n-1) — bit-identical to percent_rank — joins back on the
+    value column (AQE broadcasts the small side). Ties share a rank, so
+    the assignment is deterministic with no tiebreak column.
+
+    Returns ``(doc_id, quality, dup_word_frac, mean_neg_logprob, q_pr,
+    rep_pr, lm_pr, ensemble, decile)`` — prs/ensemble rounded to 6,
+    decile = least(floor(ensemble*10), 9) over non-empty documents.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(
+        docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0),
+        text_col,
+    ).select(id_col, "quality")
+    rep = repetition_scores(docs, text_col, id_col).select(id_col, "dup_word_frac")
+    lm = unigram_logprob_scores(docs, text_col, id_col).select(
+        id_col, "mean_neg_logprob"
+    )
+    joined = q.join(rep, id_col).join(lm, id_col).persist()
+    n = joined.count()
+
+    def pr_table(col: str, out: str) -> DataFrame:
+        dist = joined.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        less = F.sum("_c").over(Window.orderBy(col)) - F.col("_c")
+        pr = (
+            (less / F.lit(float(n - 1))) if n > 1 else F.lit(0.0)
+        )
+        return dist.select(F.col(col), pr.alias(out))
+
+    ranked = (
+        joined.join(pr_table("quality", "_q_pr"), "quality")
+        .join(pr_table("dup_word_frac", "_rep_pr"), "dup_word_frac")
+        .join(pr_table("mean_neg_logprob", "_lm_pr"), "mean_neg_logprob")
+    )
+    ensemble = (
+        F.col("_q_pr") + (1 - F.col("_rep_pr")) + (1 - F.col("_lm_pr"))
+    ) / F.lit(3.0)
+    return ranked.select(
+        id_col,
+        "quality",
+        "dup_word_frac",
+        "mean_neg_logprob",
+        F.round("_q_pr", 6).alias("q_pr"),
+        F.round("_rep_pr", 6).alias("rep_pr"),
+        F.round("_lm_pr", 6).alias("lm_pr"),
+        F.round(ensemble, 6).alias("ensemble"),
+        F.least(F.floor(ensemble * 10), F.lit(9).cast("long")).alias("decile"),
+    )
+
+
 def normalize_documents(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4130,6 +4130,96 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir.bm25_topk(counts, list(_BM25_QUERY_TERMS), k=20)
 
 
+@query(
+    "quality_ensemble_deciles",
+    """
+    WITH ne AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ), feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM ne
+    ), q AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least(round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6) / 0.6, 1.0) * 0.3
+               + least(round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6) / 0.05, 1.0) * 0.2
+               + (CASE WHEN round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6) <= 0.2
+                  THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM feat
+    ), ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM ne
+    ), rep AS (
+      SELECT doc_id, round(1 - count(DISTINCT x) * 1.0 / count(*), 6) AS dup_word_frac
+      FROM ws, unnest(w) AS u(x) GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, unnest(w) AS term FROM ws
+    ), dt AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+    ), lmt AS (
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lmt
+    ), lm AS (
+      SELECT doc_id, round(-sum(c * log10(cnt / total)) / sum(c), 6) AS mean_neg_logprob
+      FROM dt JOIN lmt USING (term), tot GROUP BY doc_id
+    ), pr AS (
+      SELECT doc_id, quality, dup_word_frac, mean_neg_logprob,
+             percent_rank() OVER (ORDER BY quality) AS q_pr,
+             percent_rank() OVER (ORDER BY dup_word_frac) AS rep_pr,
+             percent_rank() OVER (ORDER BY mean_neg_logprob) AS lm_pr
+      FROM q JOIN rep USING (doc_id) JOIN lm USING (doc_id)
+    )
+    SELECT doc_id, quality, dup_word_frac, mean_neg_logprob,
+           round(q_pr, 6) AS q_pr, round(rep_pr, 6) AS rep_pr,
+           round(lm_pr, 6) AS lm_pr,
+           round((q_pr + (1 - rep_pr) + (1 - lm_pr)) / 3.0, 6) AS ensemble,
+           least(CAST(floor(((q_pr + (1 - rep_pr) + (1 - lm_pr)) / 3.0) * 10) AS BIGINT),
+                 CAST(9 AS BIGINT)) AS decile
+    FROM pr
+    """,
+)
+def quality_ensemble_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble: heuristic quality, duplicate-word
+    fraction, and unigram-LM rarity oriented as percentile ranks, blended
+    and bucketed into deciles. The oracle recomputes all three signals
+    AND ``percent_rank`` per signal — the Spark side derives the identical
+    ranks from bounded type-level histograms, never a corpus-cardinality
+    sort window. See operators/textstats.py:quality_ensemble."""
+    return textstats.quality_ensemble(spread(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "eval_set_sample",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('eval:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 30
+    """,
+)
+def eval_set_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly 30 docs per
+    language by md5(salt:id) order — the eval-set carving primitive
+    where rate-based mixture_sample can't pin the per-group count. One
+    hash shuffle on the group column, rank window within co-partitioned
+    groups. See operators/corpus.py:stratified_fixed_sample."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = corpus.stratified_fixed_sample(docs, "lang", 30, salt="eval")
+    return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
