@@ -74,6 +74,7 @@ HEADLINE = [
     # round-6 additions
     "bm25_topk",
     "quality_ensemble_deciles",
+    "events_trailing_hour",
 ]
 
 

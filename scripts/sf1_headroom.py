@@ -75,6 +75,11 @@ QUERIES = [
     # diff (full-outer join), soft dedup (hash-partition window)
     "source_overlap_kmv", "corpus_snapshot_diff", "soft_dedup_weights",
     "text_normalization_stats",
+    # round-6 additions: BM25 retrieval (inverted-index query path),
+    # multi-signal ensemble (3 signal pipelines + histogram rank joins),
+    # fixed-k per-group sampling (group-partitioned rank window)
+    "bm25_topk", "quality_ensemble_deciles", "eval_set_sample",
+    "events_trailing_hour", "near_dup_components_star",
 ]
 
 

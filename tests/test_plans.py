@@ -163,7 +163,7 @@ def test_tokenize_chain_evaluated_once(spark, sf_dir):
     # fill evaluates it once; those are exempt from the ==1 textual count.
     for name in ("wordcount_top100", "doc_term_counts",
                  "lang_distinctive_words", "lang_words_except_all",
-                 "vocab_lexical_top100"):
+                 "vocab_lexical_top100", "bm25_topk"):
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = plan.count("regexp_extract_all")

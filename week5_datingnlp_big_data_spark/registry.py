@@ -4220,6 +4220,85 @@ def eval_set_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
 
 
+@query(
+    "events_trailing_hour",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_events_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range sliding window (RANGE BETWEEN INTERVAL): per event, the
+    count and value-sum of the same user's events in the trailing hour —
+    the rolling-feature shape (fraud velocity, rate limiting) that
+    row-count frames can't express because event spacing is irregular.
+    Spark has no interval frames, so the frame is a rangeBetween over
+    unix_micros(ts) — microsecond precision, identical inclusive bounds.
+    Values are summed as integer cents (per-row round ×100), keeping the
+    sliding aggregation exact under any accumulation order — a sliding
+    double sum differs in the last ulp between segment-tree and running
+    implementations. One hash shuffle on user_id; frame state is bounded
+    by one user-hour of events."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(cents).over(w).alias("sum_cents_1h"),
+    )
+
+
+@query(
+    "near_dup_components_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component,
+           (node = min(comp)) AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
+def near_dup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-component variant of ``near_dup_components``: the SAME
+    MinHash-verified pairs collapsed by alternating large-star/small-star
+    contraction (Kiveris et al. SoCC 2014, O(log² n) rounds at any
+    component diameter, vs O(diameter) for plain propagation). Identical
+    output contract and oracle — what this row buys is an end-to-end
+    value check of the algorithm the engine swaps in when a crawl's
+    boilerplate chains make components deep. See
+    operators/dedup.py:connected_components_star."""
+    pairs = dedup.jaccard_near_dups(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    comp = dedup.connected_components_star(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
