@@ -56,6 +56,14 @@ FUZZED_QUERIES = (
     "source_overlap_kmv",
     "corpus_snapshot_diff",
     "soft_dedup_weights",
+    # round-6 surface: BM25 retrieval (VOCAB includes two of the fixed
+    # query terms so the posting filter is non-vacuous), the multi-signal
+    # ensemble (percentile ties across mutated copies stress the
+    # histogram-rank/percent_rank equivalence), and fixed-k sampling
+    # (groups smaller than k exercise the min(k, size) path)
+    "bm25_topk",
+    "quality_ensemble_deciles",
+    "eval_set_sample",
 )
 
 VOCAB = [
@@ -64,6 +72,9 @@ VOCAB = [
     "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
     "victor", "whiskey", "xray", "yankee", "zulu", "dogs", "cats",
     "likes", "hiking", "coffee", "music",
+    # two of bm25_topk's fixed query terms, so its retrieval fuzz is
+    # non-vacuous (matched postings exist in most drawn corpora)
+    "hash", "scan",
 ]
 
 

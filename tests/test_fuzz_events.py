@@ -247,3 +247,36 @@ def test_events_sessionize_fuzz(sides):
         FROM numbered GROUP BY user_id, session_seq
         """,
     )
+
+
+def test_events_trailing_hour_fuzz(sides):
+    # Time-range sliding frame across the hostile instants: exact-tie
+    # clusters (all ties enter each other's frame), pre-epoch negatives,
+    # DST-adjacent micros, NULL user partitions, NULL values (skipped by
+    # sum on both engines). Sums as integer cents so sliding-aggregation
+    # accumulation order cannot split the last ulp.
+    sdf, con = sides
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    got = sdf.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(cents).over(w).alias("sum_cents_1h"),
+    )
+    _compare(
+        got,
+        con,
+        """SELECT event_id, user_id, ts,
+                  count(*) OVER w AS n_events_1h,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                    AS sum_cents_1h
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+    )
