@@ -467,3 +467,115 @@ def test_soft_dedup_weights_sum_to_one_per_hash(spark):
         w.groupBy("content_hash").agg(F.round(F.sum("weight"), 4).alias("s")).collect()
     )
     assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr sliding duplicate-span detection (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"      # 8 words
+    rows = [
+        # docs 1+2 share an 8-word run embedded in different contexts
+        (1, f"intro one two three {shared} outro x y z"),
+        (2, f"{shared} completely different tail here now"),
+        # doc 3: the same 8-word run repeated WITHIN one document
+        (3, f"{shared} some middle filler words {shared}"),
+        # doc 4: clean, no duplicated 8-gram anywhere
+        (4, "unique words only in this document nothing repeats at all"),
+        # doc 5: two disjoint shared runs with doc 6 -> two maximal spans
+        (5, "one two three four five six seven eight GAPWORD "
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (6, "one two three four five six seven eight OTHERGAP "
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_substr_spans_cross_doc(substr_docs):
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_spans(substr_docs, min_len=8).collect()}
+    # docs 1 and 2 each flag exactly the shared 8-word run
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["n_dup_tokens"] == 8
+        assert out[d]["max_span_len"] == 8
+    # clean doc yields NO row at all
+    assert 4 not in out
+
+
+def test_exact_substr_spans_within_doc_repeat_counts(substr_docs):
+    # ExactSubstr rule: occurrence count > 1 anywhere, so doc 3's internal
+    # repeat flags BOTH copies (unlike span_dup_fractions' cross-doc rule)
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_spans(substr_docs, min_len=8).collect()}
+    assert out[3]["n_dup_spans"] == 2
+    assert out[3]["n_dup_tokens"] == 16
+
+
+def test_exact_substr_spans_two_maximal_spans(substr_docs):
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_spans(substr_docs, min_len=8).collect()}
+    # docs 5/6: 8 words + distinct gap word + 8 words -> two maximal spans,
+    # each exactly 8 tokens (the gap word breaks every straddling gram)
+    for d in (5, 6):
+        assert out[d]["n_dup_spans"] == 2
+        assert out[d]["n_dup_tokens"] == 16
+        assert out[d]["max_span_len"] == 8
+
+
+def test_exact_substr_spans_island_merge(spark):
+    # 12-word run shared by two docs -> 5 overlapping duplicated 8-grams
+    # merge into ONE maximal 12-token span, not 5 separate ones
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [(1, f"{run} unique-tail-one aa bb"), (2, f"zz yy {run} other-tail")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_spans(docs, min_len=8).collect()}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["n_dup_tokens"] == 12
+        assert out[d]["max_span_len"] == 12
+
+
+def test_exact_substr_rewrite_removes_spans(substr_docs):
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_rewrite(substr_docs, min_len=8).collect()}
+    # every doc passes through
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # doc 1 keeps its unique prefix/suffix, loses the shared run
+    assert out[1]["text_clean"] == "intro one two three outro x y z"
+    assert out[1]["n_dup_tokens"] == 8
+    # doc 3 keeps only the middle filler
+    assert out[3]["text_clean"] == "some middle filler words"
+    assert out[3]["n_dup_tokens"] == 16
+    # clean doc passes through verbatim (whitespace-normalized)
+    assert out[4]["text_clean"] == out[4]["text_clean"].strip()
+    assert out[4]["n_dup_tokens"] == 0
+    assert out[4]["text_clean"].split() == \
+        "unique words only in this document nothing repeats at all".split()
+
+
+def test_exact_substr_rewrite_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substr_rewrite(docs, min_len=8).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["text_clean"] == ""
+        assert out[d]["n_dup_tokens"] == 0
+
+
+def test_exact_substr_spans_agree_with_rewrite(substr_docs):
+    spans = {r["doc_id"]: r["n_dup_tokens"] for r in
+             dedup.exact_substr_spans(substr_docs, min_len=8).collect()}
+    rewrite = {r["doc_id"]: r["n_dup_tokens"] for r in
+               dedup.exact_substr_rewrite(substr_docs, min_len=8).collect()
+               if r["n_dup_tokens"] > 0}
+    assert spans == rewrite

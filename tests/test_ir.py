@@ -89,3 +89,61 @@ def test_bm25_ranking_invariants(spark):
 def test_bm25_topk_plan_is_take_ordered(spark, counts):
     plan = ir.bm25_topk(counts, ["a"], k=5, persist=False)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF retrieval + reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_formula_golden(spark, counts):
+    # score(d, {a,c}) = Σ (count/dl) * log10(N/df); N=3, df(a)=2, df(c)=2
+    top = {
+        r.doc_id: r
+        for r in ir.tfidf_topk(counts, ["a", "c"], k=10, persist=False).collect()
+    }
+    dl = {1: 3, 2: 2, 3: 2}
+    want = {
+        1: (2 / 3) * math.log10(3 / 2),
+        2: (1 / 2) * math.log10(3 / 2) + (1 / 2) * math.log10(3 / 2),
+        3: (1 / 2) * math.log10(3 / 2),
+    }
+    for d, r in top.items():
+        assert r.score == pytest.approx(round(want[d], 6), abs=2e-6)
+    # doc 2 matches both terms → ranked first
+    assert top[2].n_matched == 2
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], ["doc_id", "score"]
+    )
+    b = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8), (10, 0.7)], ["doc_id", "score"]
+    )
+    out = {r.doc_id: r for r in ir.rrf_fuse({"A": a, "B": b}, rrf_k=60, top=10).collect()}
+    # ranks: A -> 10:1, 20:2, 30:3 ; B -> 20:1, 40:2, 10:3
+    assert out[10].rrf_score == pytest.approx(round(1 / 61 + 1 / 63, 6), abs=1e-9)
+    assert out[20].rrf_score == pytest.approx(round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert out[30].rrf_score == pytest.approx(round(1 / 63, 6), abs=1e-9)
+    assert out[40].rrf_score == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    assert out[10].n_systems == 2 and out[30].n_systems == 1
+    assert out[20].best_rank == 1
+    # doc in both systems outranks single-system docs here
+    order = [r.doc_id for r in
+             ir.rrf_fuse({"A": a, "B": b}, rrf_k=60, top=10).collect()]
+    assert order[0] == 20 and order[1] == 10
+
+
+def test_rrf_fuse_tie_break_deterministic(spark):
+    # identical scores → rank assigned by doc_id ascending, both systems
+    a = spark.createDataFrame([(2, 1.0), (1, 1.0)], ["doc_id", "score"])
+    b = spark.createDataFrame([(1, 7.0), (2, 7.0)], ["doc_id", "score"])
+    out = {r.doc_id: r for r in ir.rrf_fuse({"A": a, "B": b}).collect()}
+    assert out[1].rrf_score == pytest.approx(round(2 / 61, 6), abs=1e-9)
+    assert out[2].rrf_score == pytest.approx(round(2 / 62, 6), abs=1e-9)
+
+
+def test_rrf_fuse_respects_top_limit(spark):
+    a = spark.createDataFrame([(i, float(100 - i)) for i in range(30)], ["doc_id", "score"])
+    assert ir.rrf_fuse({"A": a}, top=7).count() == 7

@@ -241,3 +241,32 @@ class Engine:
     def eval_sample(self, df: DataFrame, group_col: str, k: int, **kw) -> DataFrame:
         """Deterministic fixed-k per-group sample (eval-set carving)."""
         return _corpus.stratified_fixed_sample(df, group_col, k, **kw)
+
+    def exact_substr_spans(self, docs: DataFrame, **kw) -> DataFrame:
+        """ExactSubstr audit (Lee et al. 2021): maximal duplicated
+        ≥min_len-word regions from stride-1 sliding grams."""
+        return _dedup.exact_substr_spans(docs, **kw)
+
+    def exact_substr_rewrite(self, docs: DataFrame, **kw) -> DataFrame:
+        """Destructive ExactSubstr dedup: rewrite docs with every maximal
+        duplicated region removed (suffix-array rule, relational plan)."""
+        return _dedup.exact_substr_rewrite(docs, **kw)
+
+    def hybrid_search(
+        self, counts: DataFrame, query_terms: list, k: int = 20, **kw
+    ) -> DataFrame:
+        """Hybrid retrieval: BM25 ⊕ TF-IDF rankings fused by reciprocal
+        rank fusion (rrf_k=60)."""
+        from week5_datingnlp_big_data_spark.operators import ir as _ir
+
+        counts = counts.persist()
+        return _ir.rrf_fuse(
+            {
+                "bm25": _ir.bm25_topk(counts, query_terms, k=50, persist=False)
+                .select("doc_id", "score"),
+                "tfidf": _ir.tfidf_topk(counts, query_terms, k=50, persist=False)
+                .select("doc_id", "score"),
+            },
+            top=k,
+            **kw,
+        )

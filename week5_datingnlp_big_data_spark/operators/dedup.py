@@ -494,32 +494,34 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(
-    docs: DataFrame,
-    text_col: str = "text",
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    sig_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block the 64-bit fingerprint into
-    ``num_blocks`` 16-bit pieces; by pigeonhole, any pair within
-    ``max_hamming < num_blocks`` agrees on ≥1 block → join per block, then
-    verify Hamming ≤ max_hamming. Same ban-the-cross-join trick as LSH."""
-    sig = simhash64(docs, text_col, id_col)
+    """Generic Hamming-ball pair join for any ≤64-bit fingerprint column:
+    block the fingerprint into ``num_blocks`` pieces; by pigeonhole, any
+    pair within ``max_hamming < num_blocks`` agrees on ≥1 block → join per
+    block, then verify Hamming ≤ max_hamming. Same ban-the-cross-join
+    trick as LSH. Shared by SimHash (text) and dHash (image) near-dup.
+
+    Output: ``(id_a, id_b, hamming)`` with id_a < id_b."""
     width = 64 // num_blocks
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("block_idx"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
+                F.shiftrightunsigned(F.col(sig_col), i * width)
                 .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
                 .alias("block_key"),
             )
             for i in range(num_blocks)
         ]
     )
-    blocked = sig.select(id_col, "simhash", F.explode(blocks).alias("blk")).select(
-        id_col, "simhash", "blk.block_idx", "blk.block_key"
+    blocked = sig.select(id_col, sig_col, F.explode(blocks).alias("blk")).select(
+        id_col, sig_col, "blk.block_idx", "blk.block_key"
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
@@ -532,10 +534,25 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming64(F.col(f"a.{sig_col}"), F.col(f"b.{sig_col}")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: the generic Hamming pigeonhole join over
+    ``simhash64`` fingerprints (see ``hamming_near_dup_pairs``)."""
+    sig = simhash64(docs, text_col, id_col)
+    return hamming_near_dup_pairs(
+        sig, "simhash", id_col=id_col, max_hamming=max_hamming, num_blocks=num_blocks
     )
 
 
@@ -1150,4 +1167,213 @@ def soft_dedup_weights(
         docs.select(F.col(id_col), h.alias("content_hash"))
         .withColumn("n_copies", F.count(F.lit(1)).over(w))
         .withColumn("weight", F.round(F.lit(1.0) / F.col("n_copies"), 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style sliding duplicate-span detection (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _sliding_gram_table(
+    docs: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """Stride-1 word ``min_len``-gram hash table: one narrow
+    ``(doc_id, n_words, pos, gram_hash)`` row per word position (docs
+    shorter than ``min_len`` words yield no rows). The overlapping-window
+    counterpart of ``span_dup_fractions``' blocked spans — position ``i``
+    covers words ``[i, i + min_len)``."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = (
+        spread(docs)
+        .filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        .select(F.col(id_col), words.alias("ws"))
+        .select(id_col, "ws", F.size("ws").alias("n_words"))
+    )
+    n_grams = F.col("n_words") - min_len + 1
+    return base.select(
+        id_col,
+        "n_words",
+        F.posexplode(
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, min_len))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram_hash"),
+    )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """ExactSubstr duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every substring of ≥ 50 tokens that occurs verbatim more than once in
+    the corpus — their implementation is a single-machine suffix array;
+    this is the distributed relational equivalent). A word position is
+    duplicated iff the stride-1 ``min_len``-gram starting there occurs
+    > 1 times ANYWHERE in the corpus (unlike the C4-style
+    ``span_dup_fractions``, within-document repeats count — ExactSubstr's
+    rule is occurrence count, not document count). Overlapping/adjacent
+    duplicated windows are merged into MAXIMAL spans via gaps-and-islands,
+    exactly reproducing the suffix-array property that every reported
+    span is a maximal duplicated region of ≥ ``min_len`` words.
+
+    Output: one row per document that contains at least one duplicated
+    span — ``(doc_id, n_words, n_dup_spans, n_dup_tokens, max_span_len,
+    dup_token_frac)``.
+
+    Scale shape (100 TB): the gram table is one narrow (id, int, md5) row
+    per word position — corpus token volume, never materialized wider.
+    It feeds BOTH the frequency aggregate and the join-back, so it is
+    persisted (the measured double-tokenize hazard). Frequency is a
+    map-side-combined groupBy on the uniform md5 key; the duplicated-gram
+    dictionary joins back BY HASH KEY — never broadcast (at crawl scale it
+    is itself huge; AQE picks the strategy). Island merging is two
+    windows partitioned by doc_id — per-doc state only, one hash
+    exchange. No step is quadratic; no driver collect."""
+    grams = _sliding_gram_table(docs, text_col, id_col, min_len).persist()
+    dup_hashes = (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("gram_hash")
+    )
+    dup_pos = grams.join(dup_hashes, "gram_hash").select(id_col, "n_words", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    )
+    islands = (
+        dup_pos.withColumn("_new", new_island)
+        .withColumn(
+            "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "island")
+        .agg(
+            F.any_value("n_words").alias("n_words"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len).alias("span_end"),
+        )
+    )
+    span_len = F.col("span_end") - F.col("span_start")
+    return islands.groupBy(id_col).agg(
+        F.any_value("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(span_len).alias("n_dup_tokens"),
+        F.max(span_len).cast("bigint").alias("max_span_len"),
+        F.round(F.sum(span_len) / F.any_value("n_words"), 6).alias("dup_token_frac"),
+    )
+
+
+def exact_substr_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """Destructive ExactSubstr dedup: REWRITE each document with every
+    maximal duplicated span (as found by ``exact_substr_spans`` — same
+    stride-1 grams, same occurrence-count rule, same island merge)
+    removed. Lee et al. 2021's cleaning action proper; the span table is
+    the audit signal. Every document passes through (docs with no
+    duplicated span keep their words verbatim, whitespace-normalized —
+    the rewrite is word-level, matching ``remove_duplicate_spans``).
+
+    Output: ``(doc_id, text_clean, n_words, n_dup_tokens)``.
+
+    Scale shape: islands per doc are collected into a bounded per-doc
+    array (≤ n_words/min_len entries) and the kept text is rebuilt with
+    higher-order functions — filter over the word-index sequence with an
+    exists() probe against the island array, O(n_words × n_islands) per
+    doc, JVM-side. One extra join back to the corpus on doc_id; the gram
+    side is identical to the span operator."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.when(
+                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0, words
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ws"),
+        )
+        .persist()
+    )
+    grams = _sliding_gram_table(
+        base.select(
+            id_col, F.concat_ws(" ", F.col("ws")).alias(text_col)
+        ),
+        text_col,
+        id_col,
+        min_len,
+    ).persist()
+    dup_hashes = (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("gram_hash")
+    )
+    dup_pos = grams.join(dup_hashes, "gram_hash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup_pos.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + min_len).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("spans"), lambda sp: (sp["s"] <= j) & (j < sp["e"])
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("ws") - 1),
+        lambda j: ~covered(j),
+    )
+    return (
+        base.join(islands, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("spans").isNull(), F.concat_ws(" ", F.col("ws"))
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(kept, lambda j: F.element_at(F.col("ws"), j + 1)),
+                )
+            )
+            .alias("text_clean"),
+            F.size("ws").cast("bigint").alias("n_words"),
+            F.coalesce(
+                F.aggregate(
+                    F.col("spans"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, sp: acc + (sp["e"] - sp["s"]),
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("n_dup_tokens"),
+        )
     )

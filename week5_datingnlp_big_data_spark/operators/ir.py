@@ -117,3 +117,86 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def tfidf_topk(
+    counts: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    persist: bool = True,
+) -> DataFrame:
+    """Top-k documents by summed TF-IDF weight over the query terms:
+    ``(doc_id, n_matched, score)``, score rounded to 6 decimals, ordered
+    (score desc, doc_id). The lexical second system for hybrid fusion —
+    same inverted-index shape as ``bm25_topk`` (postings filtered to the
+    query terms first, per-doc totals from a doc-level aggregate, |Q|- and
+    1-row sides broadcast, TakeOrderedAndProject top-k). TF-IDF semantics
+    are the engine's own (reference EP-2): tf = count/doc_total,
+    idf = log10(N/df)."""
+    if persist:
+        counts = counts.persist()
+    q = sorted({t.lower() for t in query_terms})
+    matched = counts.filter(F.col("term").isin(q))
+    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl"))
+    df_ = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = counts.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (F.col("count") / F.col("dl")) * F.log10(F.col("n_docs") / F.col("df"))
+    scored = (
+        matched.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum(w), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fuse(
+    systems: dict[str, DataFrame],
+    rrf_k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    merge the ranked lists of several retrieval systems by
+    ``score(d) = Σ_systems 1 / (rrf_k + rank_s(d))`` — the standard
+    hybrid-retrieval combiner (e.g. BM25 ⊕ dense ANN) that needs no score
+    calibration because only ranks enter. ``systems`` maps a system name
+    to its ``(doc_id, score)`` result; ranks are assigned per system by
+    (score desc, doc_id) — deterministic under ties. rrf_k = 60 is the
+    published default.
+
+    Output: ``(doc_id, n_systems, rrf_score, best_rank)`` ordered
+    (rrf_score desc, doc_id), ``top`` rows.
+
+    Scale shape: inputs are already top-k lists (bounded), so the union
+    is tiny regardless of corpus size; the per-system rank window
+    partitions on the system label over ≤ k rows each. All heavy lifting
+    stays in the upstream retrieval plans."""
+    from functools import reduce
+
+    labeled = [
+        df.select(
+            F.lit(name).alias("system"),
+            F.col("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        for name, df in systems.items()
+    ]
+    u = reduce(DataFrame.unionByName, labeled)
+    w = Window.partitionBy("system").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = u.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_systems"),
+            F.round(F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))), 6).alias(
+                "rrf_score"
+            ),
+            F.min("rank").cast("bigint").alias("best_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(top)
+    )

@@ -3696,6 +3696,118 @@ def span_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "exact_substr_spans",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), g AS (
+      SELECT doc_id, len(w) AS n_words, CAST(i AS INT) AS pos,
+             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
+      FROM ws, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(*) > 1
+    ), dp AS (
+      SELECT doc_id, n_words, pos FROM g JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, n_words, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, n_words, pos,
+               max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dp)
+    ), sp AS (
+      SELECT doc_id, any_value(n_words) AS n_words, island,
+             min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(any_value(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
+           CAST(max(e - s) AS BIGINT) AS max_span_len,
+           round(sum(e - s) * 1.0 / any_value(n_words), 6) AS dup_token_frac
+    FROM sp GROUP BY doc_id
+    """,
+)
+def exact_substr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection (Lee et al. 2021): per-doc
+    maximal duplicated regions from stride-1 8-word grams with occurrence
+    count > 1 ANYWHERE in the corpus (within-doc repeats count — the
+    suffix-array rule, unlike span_dedup_fractions' cross-doc blocked
+    spans), merged gaps-and-islands style. The oracle re-runs the whole
+    pipeline — sliding grams, frequency, island windows — in SQL. See
+    operators/dedup.py:exact_substr_spans for the scale shape."""
+    return dedup.exact_substr_spans(_t(spark, sf_dir, "documents"), min_len=8)
+
+
+@query(
+    "exact_substr_rewrite",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) > 0
+                  THEN regexp_split_to_array(trim(text), '\\s+')
+                  ELSE [] END AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(ws[i + 1 : i + 8], ' ')) AS h
+      FROM d, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(*) > 1
+    ), dp AS (
+      SELECT doc_id, pos FROM g JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dp)
+    ), sp AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    ), words AS (
+      SELECT doc_id, CAST(j AS INT) AS j, ws[j + 1] AS word
+      FROM d, unnest(range(0, len(ws))) AS t(j)
+    ), cov AS (
+      SELECT w.doc_id, w.j, w.word,
+             max(CASE WHEN sp.s IS NOT NULL THEN 1 ELSE 0 END) AS covered
+      FROM words w LEFT JOIN sp
+        ON sp.doc_id = w.doc_id AND w.j >= sp.s AND w.j < sp.e
+      GROUP BY w.doc_id, w.j, w.word
+    ), kept AS (
+      SELECT doc_id,
+             coalesce(string_agg(word, ' ' ORDER BY j) FILTER (WHERE covered = 0),
+                      '') AS text_clean,
+             CAST(sum(covered) AS BIGINT) AS n_dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(kept.text_clean, '') AS text_clean,
+           CAST(len(d.ws) AS BIGINT) AS n_words,
+           coalesce(kept.n_dup_tokens, 0) AS n_dup_tokens
+    FROM d LEFT JOIN kept USING (doc_id)
+    """,
+)
+def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive ExactSubstr dedup (Lee et al. 2021's cleaning action):
+    every maximal duplicated ≥8-word region removed, full rewritten text
+    value-verified against the oracle's independent interval-join
+    reconstruction. The audit twin is `exact_substr_spans`; see
+    operators/dedup.py:exact_substr_rewrite for the bounded per-doc
+    island-array rebuild."""
+    return dedup.exact_substr_rewrite(_t(spark, sf_dir, "documents"), min_len=8)
+
+
 _CMS_DEPTH, _CMS_WIDTH = 4, 256
 
 
@@ -4128,6 +4240,84 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/ir.py."""
     counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
     return ir.bm25_topk(counts, list(_BM25_QUERY_TERMS), k=20)
+
+
+@query(
+    "hybrid_rrf_topk",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM (SELECT * FROM documents WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      GROUP BY doc_id, t.term
+    ), stats AS (
+      SELECT count(DISTINCT doc_id) AS n_docs,
+             sum("count") * 1.0 / count(DISTINCT doc_id) AS avgdl
+      FROM counts
+    ), dl AS (
+      SELECT doc_id, sum("count") AS dl FROM counts GROUP BY doc_id
+    ), matched AS (
+      SELECT * FROM counts
+      WHERE term IN ({", ".join(f"'{t}'" for t in sorted(_BM25_QUERY_TERMS))})
+    ), df AS (
+      SELECT term, count(*) AS df FROM matched GROUP BY term
+    ), bm AS (
+      SELECT m.doc_id,
+             round(sum(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (m."count" * (1.2 + 1.0))
+               / (m."count" + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM matched m
+      JOIN dl d USING (doc_id)
+      JOIN df f USING (term)
+      CROSS JOIN stats s
+      GROUP BY m.doc_id
+      ORDER BY score DESC, m.doc_id ASC
+      LIMIT 50
+    ), tfq AS (
+      SELECT m.doc_id,
+             round(sum((m."count" * 1.0 / d.dl)
+                       * log10(s.n_docs * 1.0 / f.df)), 6) AS score
+      FROM matched m
+      JOIN dl d USING (doc_id)
+      JOIN df f USING (term)
+      CROSS JOIN stats s
+      GROUP BY m.doc_id
+      ORDER BY score DESC, m.doc_id ASC
+      LIMIT 50
+    ), ranked AS (
+      SELECT 'bm25' AS system, doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM bm
+      UNION ALL
+      SELECT 'tfidf' AS system, doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM tfq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_systems,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+           CAST(min(rank) AS BIGINT) AS best_rank
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al. SIGIR
+    2009, rrf_k = 60): BM25 and summed-TF-IDF top-50 lists for the same
+    bag-of-words query, fused by 1/(60+rank) and re-ranked — the standard
+    lexical⊕second-system combiner a retrieval-augmented curation stack
+    uses. Both input rankings and the fusion are recomputed end-to-end by
+    the oracle. See operators/ir.py:rrf_fuse (rank windows over bounded
+    top-k lists only)."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir)).persist()
+    terms = list(_BM25_QUERY_TERMS)
+    bm = ir.bm25_topk(counts, terms, k=50, persist=False).select("doc_id", "score")
+    lex = ir.tfidf_topk(counts, terms, k=50, persist=False).select("doc_id", "score")
+    return ir.rrf_fuse({"bm25": bm, "tfidf": lex})
 
 
 @query(
