@@ -234,3 +234,83 @@ def test_frame_sampling_real_gate_raises_on_compressed(spark):
     with pytest.raises(Exception) as exc_info:
         mm.sample_frames(bad, use_real_codec=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "YUV4MPEG2" in str(exc_info.value)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + Hamming near-dup
+# ---------------------------------------------------------------------------
+
+
+def _image_media(spark, rows):
+    """rows: [(media_id, np_image)] -> media frame with BMP payloads."""
+    from week5_datingnlp_big_data_spark.functions import imagecodec
+
+    data = [
+        (mid, "image", imagecodec.encode_bmp(img),
+         {"mime": "image/bmp", "width": img.shape[1], "height": img.shape[0],
+          "sample_rate": None, "duration_ms": None})
+        for mid, img in rows
+    ]
+    return spark.createDataFrame(data, mm.MEDIA_SCHEMA)
+
+
+def _gradient_image(w=64, h=48, shift=0):
+    import numpy as np
+
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 128, h)
+    img = (x[None, :] + y[:, None] + shift) % 256
+    return np.stack([img] * 3, axis=2).astype(np.uint8)
+
+
+def test_phash_real_identical_images_hamming_zero(spark):
+    import numpy as np
+
+    img = _gradient_image()
+    media = _image_media(spark, [(1, img), (2, img.copy()), (3, 255 - img)])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.image_near_dups(media, max_hamming=3,
+                                         use_real_codec=True).collect()}
+    assert pairs == {(1, 2): 0}  # inverted image is far away
+
+
+def test_phash_real_perturbed_image_is_near(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = _gradient_image()
+    noisy = img.astype(np.int16) + rng.integers(-2, 3, size=img.shape)
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    media = _image_media(spark, [(1, img), (2, noisy)])
+    hashes = {r.media_id: r.phash
+              for r in mm.image_phash(media, use_real_codec=True).collect()}
+    ham = bin(hashes[1] ^ hashes[2]).count("1")
+    assert ham <= 3  # ±2 noise on a strong gradient barely moves block means
+    pairs = mm.image_near_dups(media, max_hamming=3, use_real_codec=True).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_phash_fake_path_deterministic_and_positive(spark):
+    media = mm.make_fake_media(spark, n=9)
+    a = {r.media_id: r.phash for r in mm.image_phash(media).collect()}
+    b = {r.media_id: r.phash for r in mm.image_phash(media).collect()}
+    assert a == b and len(a) == 9
+    assert all(0 <= h < 2 ** 63 for h in a.values())
+
+
+def test_phash_fake_equal_payloads_collide(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"same-bytes", None), (2, "image", b"same-bytes", None),
+         (3, "image", b"other-bytes", None)],
+        mm.MEDIA_SCHEMA,
+    )
+    h = {r.media_id: r.phash for r in mm.image_phash(media).collect()}
+    assert h[1] == h[2] != h[3]
+
+
+def test_phash_real_gate_raises_on_undecodable(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"\x89PNG not really", None)], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|external codec|decodable"):
+        mm.image_phash(media, use_real_codec=True).collect()

@@ -252,6 +252,13 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def image_near_dups(self, media: DataFrame, **kw) -> DataFrame:
+        """Perceptual image near-dup pairs: dHash fingerprints + Hamming
+        pigeonhole blocking (use_real_codec=True for BMP/PPM decode)."""
+        from week5_datingnlp_big_data_spark.operators import multimodal as _mm
+
+        return _mm.image_near_dups(media, **kw)
+
     def hybrid_search(
         self, counts: DataFrame, query_terms: list, k: int = 20, **kw
     ) -> DataFrame:

@@ -373,3 +373,114 @@ def make_fake_media(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFram
             }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + Hamming near-dup
+# ---------------------------------------------------------------------------
+
+# dHash tile: 8 rows × 9 cols of grayscale block means; each row yields 8
+# adjacent-column comparisons → 64 bits. Bit 63 (last comparison of the
+# last row) is DROPPED so the fingerprint stays positive in a signed
+# BIGINT both engines shift identically (same rationale as
+# dedup.BLOOM_BITS_PER_WORD = 63). Mirrored in the registry oracle SQL —
+# change together.
+PHASH_TILE_ROWS, PHASH_TILE_COLS = 8, 9
+PHASH_BITS = 63
+
+
+def _fake_gray_tile(payload: bytes) -> np.ndarray:
+    """Deterministic SQL-twinnable pseudo-decode for the plumbing path:
+    tile byte at flat index i is byte (i % 16) of
+    md5(hex(md5(payload)) + ':' + str(i // 16)) — five chained md5 calls
+    per payload, reproducible in ANSI SQL, so the whole dHash pipeline is
+    value-verifiable cross-engine even without a codec."""
+    base = hashlib.md5(payload).hexdigest()
+    flat = b"".join(
+        hashlib.md5(f"{base}:{j}".encode()).digest()
+        for j in range((PHASH_TILE_ROWS * PHASH_TILE_COLS + 15) // 16)
+    )
+    return (
+        np.frombuffer(flat[: PHASH_TILE_ROWS * PHASH_TILE_COLS], dtype=np.uint8)
+        .reshape(PHASH_TILE_ROWS, PHASH_TILE_COLS)
+        .astype(np.float64)
+    )
+
+
+def _real_gray_tile(kind: str, payload: bytes) -> np.ndarray:
+    """Real perceptual tile: decode (BMP/PPM), grayscale by channel mean,
+    block-mean downsample to 8×9 — the classic dHash front end."""
+    from week5_datingnlp_big_data_spark.functions import imagecodec
+
+    if kind != "image" or not imagecodec.sniff_format(payload):
+        raise NotImplementedError(
+            "real perceptual hash needs a decodable image payload "
+            "(uncompressed BMP/PPM in-container; plug PIL in on a cluster)"
+        )
+    img = imagecodec.decode_image(payload).astype(np.float64)
+    gray = img.mean(axis=2)
+    h, w = gray.shape
+    r_edges = np.linspace(0, h, PHASH_TILE_ROWS + 1).astype(int)
+    c_edges = np.linspace(0, w, PHASH_TILE_COLS + 1).astype(int)
+    tile = np.empty((PHASH_TILE_ROWS, PHASH_TILE_COLS))
+    for r in range(PHASH_TILE_ROWS):
+        r0, r1 = r_edges[r], max(r_edges[r + 1], r_edges[r] + 1)
+        for c in range(PHASH_TILE_COLS):
+            c0, c1 = c_edges[c], max(c_edges[c + 1], c_edges[c] + 1)
+            tile[r, c] = gray[r0:r1, c0:c1].mean()
+    return tile
+
+
+def _dhash63(tile: np.ndarray) -> int:
+    """Difference hash over the 8×9 tile: bit k (k = r*8 + c, k < 63) set
+    iff tile[r, c] < tile[r, c+1]."""
+    bits = 0
+    for k in range(PHASH_BITS):
+        r, c = divmod(k, PHASH_TILE_ROWS)
+        if tile[r, c] < tile[r, c + 1]:
+            bits |= 1 << k
+    return bits
+
+
+def image_phash(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Per-image 63-bit dHash fingerprint: ``(media_id, phash)``.
+
+    Arrow-batched mapInPandas, blobs dropped on output. With
+    ``use_real_codec`` the tile comes from actually decoded pixels
+    (BMP/PPM); the default fake tile is md5-derived and SQL-twinnable, so
+    the plumbing is oracle-verifiable. Perceptually similar images (crop
+    noise, re-encode, slight edits) land within a small Hamming distance —
+    the image-side analog of SimHash for text."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                p = p if p is not None else b""
+                tile = _real_gray_tile(k, p) if use_real_codec else _fake_gray_tile(p)
+                hashes.append(_dhash63(tile))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        op, "media_id long, phash long"
+    )
+
+
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 3, use_real_codec: bool = False
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash fingerprints through the
+    generic Hamming pigeonhole join (``dedup.hamming_near_dup_pairs`` —
+    block the 63 bits into 16-bit keys, join on block equality, verify
+    popcount ≤ max_hamming). Never an n² cross join; the hash table is
+    one narrow (id, long) row per image regardless of payload size."""
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    return dedup.hamming_near_dup_pairs(
+        image_phash(media, use_real_codec=use_real_codec),
+        "phash",
+        id_col="media_id",
+        max_hamming=max_hamming,
+    )

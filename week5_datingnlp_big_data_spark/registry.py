@@ -1863,6 +1863,83 @@ def media_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_phash_near_dups",
+    """
+    WITH p AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, md5(coalesce(text, '')) FROM documents
+      WHERE doc_id < 25
+    ), g AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             ('0x' || substr(md5(hx || ':' || CAST(i // 16 AS INT)),
+                             (i % 16) * 2 + 1, 2))::INT AS v
+      FROM p, unnest(range(72)) t(i)
+    ), bits AS (
+      SELECT g1.doc_id, CAST(ks.k AS INT) AS k,
+             CASE WHEN g1.v < g2.v THEN 1 ELSE 0 END AS b
+      FROM (SELECT unnest(range(63)) AS k) ks, g g1, g g2
+      WHERE g1.i = (ks.k // 8) * 9 + (ks.k % 8)
+        AND g2.doc_id = g1.doc_id
+        AND g2.i = (ks.k // 8) * 9 + (ks.k % 8) + 1
+    ), blocks AS (
+      SELECT doc_id, k // 16 AS block_idx,
+             sum(b::BIGINT << (k % 16))::BIGINT AS block_key
+      FROM bits GROUP BY doc_id, k // 16
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.block_idx = b.block_idx AND a.block_key = b.block_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(ba.block_key, bb.block_key)))::BIGINT AS hamming
+      FROM cands c
+      JOIN blocks ba ON ba.doc_id = c.id_a
+      JOIN blocks bb ON bb.doc_id = c.id_b AND bb.block_idx = ba.block_idx
+      GROUP BY c.id_a, c.id_b
+    ) WHERE hamming <= 3
+    """,
+)
+def media_phash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (dHash ≤ 3 of 63 bits) through the
+    driver contract: document bytes as opaque image payloads, the
+    SQL-twinnable fake tile (five chained md5s → 8×9 grayscale), dHash
+    adjacent-column comparisons, and the generic Hamming pigeonhole join.
+    The oracle rebuilds the tile bytes, every dHash bit, the 16-bit block
+    keys, the candidate join, and the popcount verification — so the
+    whole Arrow-batched perceptual-hash pipeline is value-verified
+    end-to-end. The corpus has no byte-identical payloads, so 25 replica
+    payloads are planted (doc_id + 1e6, mirrored in the oracle) to give
+    the gate a non-empty pair set. Real-codec tiles (BMP/PPM block
+    means) ride the same plan; tests/test_multimodal.py pins them on
+    planted perturbed-image pairs. See
+    operators/multimodal.py:image_phash."""
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    media = base.unionByName(
+        base.filter(F.col("media_id") < 25).withColumn(
+            "media_id", F.col("media_id") + 1000000
+        )
+    )
+    return (
+        mm.image_near_dups(media, max_hamming=3)
+        .select(
+            F.col("id_a"),
+            F.col("id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
 @query("media_audio_stats")
 def media_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec through the driver contract: each document's
