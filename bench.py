@@ -75,6 +75,10 @@ HEADLINE = [
     "bm25_topk",
     "quality_ensemble_deciles",
     "events_trailing_hour",
+    # round-7 additions
+    "exact_substr_spans",
+    "hybrid_rrf_topk",
+    "media_phash_near_dups",
 ]
 
 

@@ -1310,13 +1310,22 @@ def exact_substr_rewrite(
         )
         .persist()
     )
-    grams = _sliding_gram_table(
-        base.select(
-            id_col, F.concat_ws(" ", F.col("ws")).alias(text_col)
-        ),
-        text_col,
+    # Grams directly from the word array (no re-join/re-split round trip);
+    # positions index into base.ws exactly as in _sliding_gram_table.
+    n_grams = F.size("ws") - min_len + 1
+    grams = base.select(
         id_col,
-        min_len,
+        F.posexplode(
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("ws"), i + 1, min_len))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram_hash"),
     ).persist()
     dup_hashes = (
         grams.groupBy("gram_hash")

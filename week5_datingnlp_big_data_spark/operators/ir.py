@@ -97,18 +97,26 @@ def bm25_topk(
     Inverted-index shape: postings are filtered to the query terms BEFORE
     any join, so the per-term work is |matched postings|, not |corpus|.
     dl/avgdl/N still describe the FULL corpus (they are length/priors, not
-    query-dependent)."""
+    query-dependent) — but both come from ONE pass: (n_docs, avgdl) is a
+    one-row rollup of the doc-length table (avgdl = Σdl / N ≡
+    Σcount / countDistinct(doc_id), integer sums, bit-identical), so the
+    postings table is scanned once for lengths instead of twice
+    (lengths + a separate distinct-count pass)."""
     if persist:
         counts = counts.persist()
     q = sorted({t.lower() for t in query_terms})
     matched = counts.filter(F.col("term").isin(q))
-    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl"))
+    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
     df_ = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     _, bm25 = _bm25_expr(k1, b)
     scored = (
         matched.join(dl, "doc_id")
         .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(_corpus_stats(counts)))
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", bm25)
         .groupBy("doc_id")
         .agg(
@@ -137,9 +145,11 @@ def tfidf_topk(
         counts = counts.persist()
     q = sorted({t.lower() for t in query_terms})
     matched = counts.filter(F.col("term").isin(q))
-    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl"))
+    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
     df_ = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = counts.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # N from the doc-length table (one pass over postings, not a second
+    # distinct-count scan — same trick as bm25_topk)
+    n_docs = dl.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (F.col("count") / F.col("dl")) * F.log10(F.col("n_docs") / F.col("df"))
     scored = (
         matched.join(dl, "doc_id")
