@@ -80,6 +80,12 @@ QUERIES = [
     # fixed-k per-group sampling (group-partitioned rank window)
     "bm25_topk", "quality_ensemble_deciles", "eval_set_sample",
     "events_trailing_hour", "near_dup_components_star",
+    # round-7 additions: ExactSubstr sliding spans (token-volume gram
+    # explode + island windows — the heaviest new shape), destructive
+    # rewrite, RRF fusion (two retrieval arms over one postings build),
+    # perceptual-hash pairs (Hamming block self-join)
+    "exact_substr_spans", "exact_substr_rewrite", "hybrid_rrf_topk",
+    "media_phash_near_dups",
 ]
 
 

@@ -64,6 +64,18 @@ FUZZED_QUERIES = (
     "bm25_topk",
     "quality_ensemble_deciles",
     "eval_set_sample",
+    # round-7 surface: ExactSubstr sliding spans (mutated copies leave
+    # shared ≥8-word runs → island merging fires on partial overlaps;
+    # exact dups exercise whole-doc spans and the within-doc rule),
+    # destructive rewrite (oracle reconstructs the rewritten text via an
+    # independent interval join), RRF hybrid fusion (rank-tie handling
+    # across two systems on tiny score spaces), and perceptual-hash pairs
+    # (exact dups collide bit-for-bit; the md5 tile arithmetic is pinned
+    # cross-engine)
+    "exact_substr_spans",
+    "exact_substr_rewrite",
+    "hybrid_rrf_topk",
+    "media_phash_near_dups",
 )
 
 VOCAB = [

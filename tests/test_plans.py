@@ -378,3 +378,31 @@ def test_soft_dedup_single_shuffle_before_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "soft_dedup_weights")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_exact_substr_single_gram_pass(spark, sf_dir):
+    # The sliding-gram table feeds the frequency aggregate AND the
+    # join-back; the persist barrier must keep ONE gram-explode subtree.
+    import re
+
+    for name in ("exact_substr_spans", "exact_substr_rewrite"):
+        plan = _plan(spark, sf_dir, name)
+        gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+        assert len(gen_ids) <= 1, (name, gen_ids)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hybrid_rrf_take_ordered_no_global_sort(spark, sf_dir):
+    # Both retrieval arms and the fused output must end in
+    # TakeOrderedAndProject — never a global Sort over the corpus.
+    plan = _plan(spark, sf_dir, "hybrid_rrf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_phash_pairs_equi_join_no_cartesian(spark, sf_dir):
+    # The Hamming pigeonhole join must stay an equi-join on
+    # (block_idx, block_key) — never a cartesian/BNLJ pair expansion.
+    plan = _plan(spark, sf_dir, "media_phash_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
