@@ -291,3 +291,48 @@ def test_normalize_documents_branches(spark):
     assert got[5]["norm_text"] == "padded"
     assert got[6]["norm_text"] is None and got[6]["n_chars_removed"] is None
     assert got[7]["norm_text"] == "clean" and got[7]["n_chars_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus LM scoring (CCNet proper: train on reference, score others)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_lm_hand_computed(spark):
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(10, "a c")], "doc_id long, text string")
+    out = textstats.unigram_logprob_cross(train, score).collect()
+    assert len(out) == 1
+    r = out[0]
+    # LM: cnt(a)=2, cnt(b)=1, total=3, V=2; denom = 3 + 0.4*(2+1) = 4.2
+    p_a = (2 + 0.4) / 4.2
+    p_c = 0.4 / 4.2           # OOV bucket
+    want = -(math.log10(p_a) + math.log10(p_c)) / 2
+    assert r.n_tokens == 2
+    assert r.oov_frac == pytest.approx(0.5, abs=1e-9)
+    assert r.mean_neg_logprob == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_cross_lm_oov_scores_higher_than_in_domain(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "zzz qqq www vvv")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.unigram_logprob_cross(train, score).collect()}
+    assert out[10].oov_frac == 0.0
+    assert out[11].oov_frac == 1.0
+    assert out[11].mean_neg_logprob > out[10].mean_neg_logprob
+
+
+def test_cross_lm_all_docs_scored_even_if_fully_oov(spark):
+    train = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, ""), (12, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.unigram_logprob_cross(train, score).collect()}
+    assert set(out) == {10}  # empty/null score docs drop like the unigram scorer
+    assert out[10].oov_frac == 1.0

@@ -252,6 +252,13 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def cross_lm_scores(
+        self, train_docs: DataFrame, score_docs: DataFrame, **kw
+    ) -> DataFrame:
+        """CCNet-style cross-corpus LM scoring: unigram LM fit on
+        train_docs, score_docs scored with add-α OOV smoothing."""
+        return _textstats.unigram_logprob_cross(train_docs, score_docs, **kw)
+
     def image_near_dups(self, media: DataFrame, **kw) -> DataFrame:
         """Perceptual image near-dup pairs: dHash fingerprints + Hamming
         pigeonhole blocking (use_real_codec=True for BMP/PPM decode)."""

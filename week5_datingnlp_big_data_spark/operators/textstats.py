@@ -280,6 +280,60 @@ def unigram_logprob_scores(
     )
 
 
+def unigram_logprob_cross(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Cross-corpus LM scoring — the CCNet recipe PROPER (Wenzek et al.
+    2020 train their LM on Wikipedia and score CommonCrawl with it;
+    ``unigram_logprob_scores`` is the single-corpus simplification): fit
+    the unigram LM on ``train_docs``, score ``score_docs`` against it.
+    Out-of-vocabulary terms get add-α mass via one shared unknown bucket:
+    p(w) = (cnt_train(w) + α) / (total_train + α·(V_train + 1)), so every
+    unseen type scores α/(total + α(V+1)). Returns per scored doc
+    ``(doc_id, n_tokens, oov_frac, mean_neg_logprob)`` — oov_frac (the
+    fraction of tokens unseen in training) is itself a standard
+    domain-mismatch signal.
+
+    Scale shape: the train side collapses to a vocab-sized (term, cnt)
+    table in one tokenize pass; its (total, V) is a one-row rollup OF THAT
+    TABLE (no second pass). The scored side joins the LM per distinct
+    (doc, term) pair — LEFT join so OOV terms survive with NULL counts —
+    with the vocab-sized LM broadcast (AQE lifts it to a shuffle join at
+    extreme vocabulary sizes). Neither corpus is ever scanned twice, and
+    nothing is collected at the driver."""
+    lm = (
+        _doc_term_counts_ws(train_docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("c").alias("cnt"))
+        .persist()
+    )
+    stats = lm.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    score_terms = _doc_term_counts_ws(score_docs, text_col, id_col)
+    logp = F.log10(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+        / (F.col("total") + F.lit(alpha) * (F.col("v") + 1))
+    )
+    oov = F.when(F.col("cnt").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        score_terms.join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(oov) / F.sum("c"), 6).alias("oov_frac"),
+            F.round(-F.sum(F.col("c") * logp) / F.sum("c"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
 def bigram_logprob_scores(
     docs: DataFrame,
     text_col: str = "text",

@@ -3159,6 +3159,51 @@ def doc_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob_scores(spread(_t(spark, sf_dir, "documents")))
 
 
+@query(
+    "cross_lm_scores",
+    """
+    WITH tr AS (
+      SELECT t.term
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+            WHERE lang = 'en' AND length(trim(coalesce(text, ''))) > 0) t(term)
+    ), lm AS (
+      SELECT term, count(*) AS cnt FROM tr GROUP BY term
+    ), st AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS v FROM lm
+    ), sc AS (
+      SELECT doc_id, t.term, count(*) AS c
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+            WHERE lang <> 'en' AND length(trim(coalesce(text, ''))) > 0) t(doc_id, term)
+      GROUP BY doc_id, t.term
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN lm.cnt IS NULL THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+             AS oov_frac,
+           round(-sum(c * log10((coalesce(lm.cnt, 0) + 0.4)
+                                / (st.total + 0.4 * (st.v + 1)))) / sum(c), 6)
+             AS mean_neg_logprob
+    FROM sc LEFT JOIN lm USING (term), st
+    GROUP BY doc_id
+    """,
+)
+def cross_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LM scoring, the CCNet recipe proper (Wenzek et al.
+    2020: LM trained on a reference corpus, candidates scored against
+    it): the English slice is the training corpus, every non-English doc
+    is scored with add-α OOV smoothing over one shared unknown bucket.
+    oov_frac doubles as the domain-mismatch signal. The oracle refits the
+    LM and rescores from scratch. See
+    operators/textstats.py:unigram_logprob_cross."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.unigram_logprob_cross(
+        spread(docs.filter(F.col("lang") == "en")),
+        spread(docs.filter(F.col("lang") != "en")),
+    )
+
+
 @query("embedding_semantic_dedup")
 def embedding_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-bucketed within-cluster cosine near-dup pairs
