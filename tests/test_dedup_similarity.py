@@ -579,3 +579,55 @@ def test_exact_substr_spans_agree_with_rewrite(substr_docs):
                dedup.exact_substr_rewrite(substr_docs, min_len=8).collect()
                if r["n_dup_tokens"] > 0}
     assert spans == rewrite
+
+
+# ---------------------------------------------------------------------------
+# Global line-level dedup with keep-first semantics (CCNet/SlimPajama)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared boilerplate line\nunique two"),
+            (2, "shared boilerplate line\nother content"),
+            (3, "more text\nShared   Boilerplate Line"),  # normalized dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup_rewrite(docs).collect()}
+    # doc 1 holds the canonical copy (min doc_id, min idx)
+    assert out[1].text_clean == "unique one\nshared boilerplate line\nunique two"
+    assert out[1].n_removed == 0
+    # later copies removed, including the differently-whitespaced variant
+    assert out[2].text_clean == "other content"
+    assert out[2].n_removed == 1
+    assert out[3].text_clean == "more text"
+    assert out[3].n_removed == 1
+
+
+def test_line_dedup_blank_lines_always_kept(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup_rewrite(docs).collect()}
+    assert out[1].text_clean == "a\n\nb" and out[1].n_removed == 0
+    assert out[2].text_clean == "c\n\nd" and out[2].n_removed == 0
+
+
+def test_line_dedup_within_doc_repeat_keeps_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "same line\nmiddle\nsame line")], "doc_id long, text string"
+    )
+    out = dedup.line_dedup_rewrite(docs).collect()[0]
+    assert out.text_clean == "same line\nmiddle"
+    assert out.n_removed == 1
+
+
+def test_line_dedup_null_and_empty_pass_through(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup_rewrite(docs).collect()}
+    for d in (1, 2):
+        assert out[d].text_clean == "" and out[d].n_removed == 0

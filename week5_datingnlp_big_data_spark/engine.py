@@ -252,6 +252,11 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def line_dedup(self, docs: DataFrame, **kw) -> DataFrame:
+        """CCNet/SlimPajama line-level global dedup: duplicated
+        normalized lines keep one canonical copy (keep-first)."""
+        return _dedup.line_dedup_rewrite(docs, **kw)
+
     def cross_lm_scores(
         self, train_docs: DataFrame, score_docs: DataFrame, **kw
     ) -> DataFrame:

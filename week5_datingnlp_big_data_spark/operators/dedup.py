@@ -1386,3 +1386,69 @@ def exact_substr_rewrite(
             ).alias("n_dup_tokens"),
         )
     )
+
+
+def line_dedup_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global line-level dedup with keep-first semantics — the CCNet
+    paragraph-hash rule (Wenzek et al. 2020 §3.1 drop duplicated
+    paragraphs by hash; SlimPajama applies the same at line level):
+    every line whose NORMALIZED form (lowercase, whitespace collapsed,
+    trimmed) occurs more than once in the corpus keeps exactly ONE
+    occurrence — the deterministic first by (doc_id, line_idx) — and every
+    other copy is removed. This differs from the engine's other dedup
+    rewrites: ``remove_duplicate_spans`` / ``exact_substr_rewrite`` drop
+    ALL copies of duplicated content; here the canonical copy survives,
+    so no information is lost corpus-wide. Blank/whitespace-only lines
+    are structure, not content — always kept, never deduped.
+
+    Output: one row per input doc —
+    ``(doc_id, text_clean, n_lines, n_removed)`` with text_clean the kept
+    ORIGINAL lines (normalization only keys the dedup) joined by '\\n'.
+
+    Scale shape: one posexplode to (doc, idx, line, md5(norm)) rows; the
+    keeper election is a single min-struct window over the hash key (one
+    hash shuffle, near-uniform md5 distribution — the Zipf head of
+    duplicated boilerplate lands on distinct digests, not one hot key);
+    reassembly is one per-doc rollup ordered by idx. No join against a
+    collected dictionary, no second corpus pass, no driver state."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    exploded = (
+        spread(docs)
+        .select(F.col(id_col), F.posexplode(lines).alias("idx", "line"))
+        .withColumn(
+            "norm",
+            F.trim(F.regexp_replace(F.lower(F.col("line")), "\\s+", " ")),
+        )
+        .withColumn("h", F.md5("norm"))
+    )
+    w = Window.partitionBy("h")
+    first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
+    flagged = exploded.withColumn(
+        "_keep",
+        (F.col("norm") == "")
+        | (
+            (first[id_col] == F.col(id_col)) & (first["idx"] == F.col("idx"))
+        ),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("idx", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+    )

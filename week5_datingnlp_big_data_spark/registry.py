@@ -3868,6 +3868,62 @@ def exact_substr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "line_dedup_rewrite",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             concat_ws(chr(10), text,
+                       'shared footer ' || CAST(doc_id % 7 AS INT),
+                       upper(text)) AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM m
+    ), l AS (
+      SELECT doc_id, CAST(i AS INT) AS idx, ls[i + 1] AS line,
+             trim(regexp_replace(lower(ls[i + 1]), '\\s+', ' ', 'g')) AS norm
+      FROM d, unnest(range(len(ls))) t(i)
+    ), k AS (
+      SELECT doc_id, idx, line, norm,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn
+      FROM l
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY idx)
+                      FILTER (WHERE norm = '' OR rn = 1), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN norm = '' OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed
+    FROM k GROUP BY doc_id
+    """,
+)
+def line_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line-level dedup with keep-first semantics (CCNet paragraph
+    hashes / SlimPajama line dedup): duplicated normalized lines keep
+    exactly one canonical occurrence, blank lines always survive. The
+    corpus ships single-line documents, so the query derives a
+    deterministic multi-line corpus (original text + one of 7 shared
+    boilerplate footers + the upper-cased text as a case-variant repeat —
+    mirrored in the oracle): footers dedup cross-document, the case
+    variant dedups within-document through the normalizer. The oracle
+    re-elects keepers with a row_number window over the same normalized
+    key and reassembles every document. See
+    operators/dedup.py:line_dedup_rewrite for the one-shuffle shape."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("shared footer "), (F.col("doc_id") % 7).cast("int")
+            ),
+            F.upper("text"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup_rewrite(docs)
+
+
+@query(
     "exact_substr_rewrite",
     """
     WITH d AS (
