@@ -85,7 +85,7 @@ QUERIES = [
     # rewrite, RRF fusion (two retrieval arms over one postings build),
     # perceptual-hash pairs (Hamming block self-join)
     "exact_substr_spans", "exact_substr_rewrite", "hybrid_rrf_topk",
-    "media_phash_near_dups",
+    "media_phash_near_dups", "line_dedup_rewrite", "cross_lm_scores",
 ]
 
 

@@ -76,6 +76,12 @@ FUZZED_QUERIES = (
     "exact_substr_rewrite",
     "hybrid_rrf_topk",
     "media_phash_near_dups",
+    # keep-first line dedup (the query's derived multi-line corpus makes
+    # mutated copies share footer/case-variant lines) and cross-corpus LM
+    # scoring (en-slice LM over fr-slice docs; OOV branch fires whenever
+    # a fr doc draws vocab absent from the en slice)
+    "line_dedup_rewrite",
+    "cross_lm_scores",
 )
 
 VOCAB = [
