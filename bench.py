@@ -79,6 +79,8 @@ HEADLINE = [
     "exact_substr_spans",
     "hybrid_rrf_topk",
     "media_phash_near_dups",
+    "line_dedup_rewrite",
+    "cross_lm_scores",
 ]
 
 

@@ -72,3 +72,42 @@ def test_near_dup_keep_best_prefers_quality_over_min_id(spark):
     assert out[2]["keep"] and not out[1]["keep"]
     assert out[1]["component"] == out[2]["component"] == 1
     assert out[2]["quality"] > out[1]["quality"]
+
+
+def test_prepare_corpus_v2_funnel_monotone(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.plans import datapipe
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    r = datapipe.prepare_corpus_v2(load_table(spark, sf_dir, "documents"))
+    assert r.n_input >= r.n_after_gopher >= r.n_after_dedup_min_len
+    assert r.n_after_dedup_min_len > 0
+    assert r.kept_tokens >= 10 * r.n_after_dedup_min_len  # min_kept_words
+    # clean frame matches the funnel tail and never exceeds raw length
+    rows = r.clean.collect()
+    assert len(rows) == r.n_after_dedup_min_len
+    assert all(x.kept_words >= 10 for x in rows)
+
+
+def test_prepare_corpus_v2_dedup_shrinks_planted_dups(spark):
+    from week5_datingnlp_big_data_spark.plans import datapipe
+
+    # 60-word docs that pass Gopher; two share a verbatim 30-word block
+    common = " ".join(
+        "the quick brown fox and that dog have run with great speed".split()
+    )
+    filler1 = " ".join(f"alpha{i} of the word" for i in range(12))  # 48 words
+    filler2 = " ".join(f"beta{i} to be here" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} {filler1}"),
+            (2, f"{common} {filler2}"),
+            (3, f"short junk"),  # fails Gopher word-count rule
+        ],
+        "doc_id long, text string",
+    )
+    r = datapipe.prepare_corpus_v2(docs)
+    assert r.n_input == 3 and r.n_after_gopher == 2
+    kept = {x.doc_id: x.kept_words for x in r.clean.collect()}
+    # both docs lose the duplicated common block (within-corpus dup)
+    n_common = len(common.split())
+    assert all(v <= 60 - n_common + 8 for v in kept.values())

@@ -252,6 +252,13 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def prepare_training_corpus_v2(self, docs: DataFrame, **kw):
+        """Round-7 cascade: Gopher rules → ExactSubstr span removal →
+        min-surviving-length cut; returns the funnel + clean frame."""
+        from week5_datingnlp_big_data_spark.plans import datapipe as _dp
+
+        return _dp.prepare_corpus_v2(docs, **kw)
+
     def line_dedup(self, docs: DataFrame, **kw) -> DataFrame:
         """CCNet/SlimPajama line-level global dedup: duplicated
         normalized lines keep one canonical copy (keep-first)."""

@@ -164,3 +164,88 @@ def near_dup_keep_best(
             (F.col(id_col) == F.col("_best_id")).alias("keep"),
         )
     )
+
+
+@dataclass
+class DataPipeV2Result:
+    clean: DataFrame            # survivors with kept_words after substr dedup
+    n_input: int
+    n_after_gopher: int
+    n_after_dedup_min_len: int
+    kept_tokens: int
+
+
+def prepare_corpus_v2(
+    docs: DataFrame,
+    *,
+    substr_min_len: int = 8,
+    min_kept_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataPipeV2Result:
+    """Second-generation prep cascade, composing the round-7 operators:
+
+        raw documents
+          → Gopher document-quality rules   (Rae et al. 2021, scan-speed)
+          → ExactSubstr duplicate-span removal (Lee et al. 2021) with a
+            C4-style minimum-length cut on what SURVIVES dedup
+          → surviving-token budget
+
+    Ordering is cost-ordered like v1 (prepare_corpus): the per-row Gopher
+    conjunction shrinks the corpus at scan speed BEFORE the shuffling
+    sliding-gram dedup runs, so the gram explode — the expensive stage —
+    only sees quality documents. The minimum-length cut re-checks length
+    AFTER span removal (a doc that was mostly boilerplate dies here even
+    though its raw length passed Gopher), which is the C4 ordering.
+
+    The survivors frame is persisted once and feeds both the span join
+    and the funnel counts; span stats join back LEFT so span-free docs
+    keep their full token count. Funnel scalars are single JVM-side
+    aggregates (bounded driver values, same contract as prepare_corpus).
+    """
+    from week5_datingnlp_big_data_spark.operators import filters
+
+    n_input = docs.count()
+    keep_ids = (
+        filters.gopher_quality_flags(docs, text_col, id_col)
+        .filter(F.col("keep"))
+        .select(id_col)
+    )
+    surv = docs.join(keep_ids, id_col).persist()
+    n_gopher = surv.count()
+
+    spans = dedup.exact_substr_spans(
+        surv, text_col=text_col, id_col=id_col, min_len=substr_min_len
+    ).select(id_col, "n_dup_tokens")
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = surv.select(
+        F.col(id_col),
+        F.when(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0,
+            F.size(words),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    clean = (
+        base.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.col("n_words") - F.coalesce(F.col("n_dup_tokens"), F.lit(0))).alias(
+                "kept_words"
+            ),
+        )
+        .filter(F.col("kept_words") >= min_kept_words)
+        .persist()
+    )
+    row = clean.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("kept_words").alias("toks")
+    ).collect()[0]
+    return DataPipeV2Result(
+        clean=clean,
+        n_input=n_input,
+        n_after_gopher=n_gopher,
+        n_after_dedup_min_len=row["n"],
+        kept_tokens=int(row["toks"] or 0),
+    )

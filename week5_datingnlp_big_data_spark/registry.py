@@ -2636,6 +2636,117 @@ def prep_cascade_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage string, n long")
 
 
+@query(
+    "prep_cascade_v2",
+    """
+    WITH b AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                         w -> length(w) > 0) AS words,
+             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                        x -> trim(x)),
+                         x -> length(x) > 0) AS lines
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN round(list_sum(list_transform(words, w -> length(w)))
+                             * 1.0 / len(words), 6)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0
+                  THEN round(((len(string_split(t, '#')) - 1)
+                              + (len(regexp_split_to_array(t, '\\.\\.\\.')) - 1)
+                              + (len(string_split(t, '…')) - 1))
+                             * 1.0 / len(words), 6)
+                  ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(lines) > 0
+                  THEN round(len(list_filter(lines,
+                         l -> regexp_matches(l, '^[•‣◦*-]'))) * 1.0 / len(lines), 6)
+                  ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(lines) > 0
+                  THEN round(len(list_filter(lines,
+                         l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) * 1.0 / len(lines), 6)
+                  ELSE 0.0 END AS ellipsis_line_frac,
+             CASE WHEN len(words) > 0
+                  THEN round(len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words), 6)
+                  ELSE 0.0 END AS alpha_word_frac,
+             CAST(len(list_filter(list_transform(words, w -> lower(w)),
+                    w -> w IN ('the','be','to','of','and','that','have','with')))
+                  AS INT) AS stop_hits
+      FROM b
+    ), g AS (
+      SELECT doc_id FROM f
+      WHERE (n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2
+    ), surv AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+    ), ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM surv WHERE length(trim(coalesce(text, ''))) > 0
+    ), gr AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
+      FROM ws, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)
+    ), dup AS (
+      SELECT h FROM gr GROUP BY h HAVING count(*) > 1
+    ), dp AS (
+      SELECT doc_id, pos FROM gr JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dp)
+    ), per AS (
+      SELECT doc_id, sum(e - s) AS dup_tokens FROM (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        FROM isl GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    ), kept AS (
+      SELECT s.doc_id,
+             CASE WHEN length(trim(coalesce(s.text, ''))) > 0
+                  THEN len(regexp_split_to_array(trim(s.text), '\\s+'))
+                  ELSE 0 END
+             - coalesce(per.dup_tokens, 0) AS kept_words
+      FROM surv s LEFT JOIN per USING (doc_id)
+    ), final AS (
+      SELECT * FROM kept WHERE kept_words >= 10
+    )
+    SELECT 'input' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n
+    UNION ALL SELECT 'gopher', (SELECT count(*) FROM g)::BIGINT
+    UNION ALL SELECT 'dedup_min_len', (SELECT count(*) FROM final)::BIGINT
+    UNION ALL SELECT 'kept_tokens', (SELECT coalesce(sum(kept_words), 0) FROM final)::BIGINT
+    """,
+)
+def prep_cascade_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation prep cascade: Gopher doc-quality rules →
+    ExactSubstr duplicate-span removal → C4-style minimum surviving
+    length, with the surviving-token budget as the final funnel row. The
+    oracle re-runs every stage — all 7 Gopher rules, the sliding-gram
+    island merge, the post-dedup length cut — in SQL. See
+    plans/datapipe.py:prepare_corpus_v2 (cost-ordered: scan-speed filter
+    shrinks the corpus before the shuffling gram explode)."""
+    from week5_datingnlp_big_data_spark.plans import datapipe
+
+    r = datapipe.prepare_corpus_v2(_t(spark, sf_dir, "documents"))
+    rows = [
+        ("input", r.n_input),
+        ("gopher", r.n_after_gopher),
+        ("dedup_min_len", r.n_after_dedup_min_len),
+        ("kept_tokens", r.kept_tokens),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H tail: the five query shapes (Q2/Q9/Q11/Q21/Q22) the registry did
 # not yet cover. The dataset has no partsupp table and no receipt/commit
@@ -4725,6 +4836,11 @@ DEMOTED: tuple[str, ...] = (
     "q19_disjunctive_revenue",    # OR-of-AND predicate join; q13/q16 predicate shapes stay in-window
     "q5_local_supplier_volume",   # region-star volume agg; q8 (same join tree + share calc) + q9 stay
     "q3_shipping_priority",       # join+group+top-k; q18 (same shape + HAVING) keeps the slot
+    # round-7 swaps: each demoted query's shape is strictly contained in
+    # the promoted replacement (which adds a new algorithm family on top)
+    "media_decode_stats",         # fake-codec decode plumbing ⊂ media_phash_near_dups (same Arrow path + dHash + Hamming join)
+    "exact_dedup",                # sha2 groupBy verified inside prep_cascade_funnel's oracle; exact_substr_spans adds the sliding-gram family
+    "quality_scores",             # heuristic scan stats; gopher/c4/lm-bucket quality slots stay in-window, line_dedup_rewrite adds keep-first dedup
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -4753,6 +4869,10 @@ PROMOTED: tuple[str, ...] = (
     "gopher_quality_flags",
     "bloom_dedup_incremental",
     "dsir_target_sample",
+    # round-7 flagships (window slots freed by the matching demotions)
+    "exact_substr_spans",
+    "line_dedup_rewrite",
+    "media_phash_near_dups",
 )
 
 
