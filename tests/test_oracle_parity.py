@@ -56,5 +56,7 @@ def test_driver_window_holds_flagships():
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
         "lm_quality_buckets", "span_dedup_fractions", "pii_redaction_stats",
         "bloom_dedup_incremental", "dsir_target_sample",
+        # round-7 flagships
+        "exact_substr_spans", "line_dedup_rewrite", "media_phash_near_dups",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

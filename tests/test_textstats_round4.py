@@ -336,3 +336,18 @@ def test_cross_lm_all_docs_scored_even_if_fully_oov(spark):
     out = {r.doc_id: r for r in textstats.unigram_logprob_cross(train, score).collect()}
     assert set(out) == {10}  # empty/null score docs drop like the unigram scorer
     assert out[10].oov_frac == 1.0
+
+
+def test_normalize_documents_strips_nul_before_nfc(spark):
+    # NUL is a C-string terminator in libutf8proc-style NFC
+    # implementations (the oracle's nfc_normalize truncates at it); the
+    # normalizer strips it pre-NFC so the chain is engine-independent.
+    docs = spark.createDataFrame(
+        [(1, "ab\x00cd"), (2, "\x00"), (3, "e\x00́f")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.normalize_documents(docs).collect()}
+    assert got[1].norm_text == "abcd" and got[1].n_chars_removed == 1
+    assert got[2].norm_text == "" and got[2].n_chars_removed == 1
+    # with NUL gone pre-NFC, the combining acute composes onto 'e'
+    assert got[3].norm_text == "éf"

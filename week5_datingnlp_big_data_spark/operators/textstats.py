@@ -642,6 +642,12 @@ def normalize_documents(
     def one(t):
         if t is None:
             return None
+        # NUL is stripped BEFORE NFC (it is removed by the control class
+        # anyway, but C-library NFC implementations — including the
+        # oracle's nfc_normalize — treat it as a string terminator, so
+        # running NFC on NUL-bearing text is undefined cross-engine; the
+        # pre-strip makes the chain well-defined everywhere).
+        t = t.replace("\x00", "")
         t = unicodedata.normalize("NFC", t)
         t = t.replace("\r\n", "\n").replace("\r", "\n")
         t = ctrl.sub("", t)

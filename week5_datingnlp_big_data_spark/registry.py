@@ -4448,7 +4448,8 @@ _DIRTY_SUFFIX = " Café \x07 double  space "
              trim(
                regexp_replace(
                  regexp_replace(
-                   replace(replace(nfc_normalize(d), chr(13) || chr(10), chr(10)),
+                   replace(replace(nfc_normalize(replace(d, chr(0), '')),
+                                   chr(13) || chr(10), chr(10)),
                            chr(13), chr(10)),
                    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
                  '[ \\t]+', ' ', 'g'),
@@ -4836,11 +4837,12 @@ DEMOTED: tuple[str, ...] = (
     "q19_disjunctive_revenue",    # OR-of-AND predicate join; q13/q16 predicate shapes stay in-window
     "q5_local_supplier_volume",   # region-star volume agg; q8 (same join tree + share calc) + q9 stay
     "q3_shipping_priority",       # join+group+top-k; q18 (same shape + HAVING) keeps the slot
-    # round-7 swaps: each demoted query's shape is strictly contained in
-    # the promoted replacement (which adds a new algorithm family on top)
+    # round-7 swaps: each demoted query's coverage is carried by an
+    # in-window sibling; the freed slots go to the round-7 flagships
     "media_decode_stats",         # fake-codec decode plumbing ⊂ media_phash_near_dups (same Arrow path + dHash + Hamming join)
-    "exact_dedup",                # sha2 groupBy verified inside prep_cascade_funnel's oracle; exact_substr_spans adds the sliding-gram family
-    "quality_scores",             # heuristic scan stats; gopher/c4/lm-bucket quality slots stay in-window, line_dedup_rewrite adds keep-first dedup
+    "q13_customer_order_distribution",  # outer-join count distribution; q16 (group counts + NOT-IN) and q18 (join+group+HAVING) stay
+    "lang_proportions",           # label marginals ⊂ lang_id_confusion's cell counts; A4 also unit-pinned
+    "simhash_near_dups",          # hamming_near_dup_pairs machinery now driver-verified via media_phash_near_dups (same generic block join); simhash stays parity+fuzz gated
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
