@@ -1,0 +1,64 @@
+"""Plan-audit utility (plans/audit.py): hazard detection on known-good and
+known-bad plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.plans.audit import audit_plan
+
+
+def test_audit_flags_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    out = audit_plan(a.crossJoin(b))
+    assert out["cartesian"] or out["broadcast_nested_loop"]
+    assert out["warnings"]
+
+
+def test_audit_clean_on_equi_join_topk(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy(F.desc("rev"))
+        .limit(5)
+    )
+    out = audit_plan(df)
+    assert not out["cartesian"] and not out["broadcast_nested_loop"]
+    assert out["take_ordered"]
+    assert out["n_broadcast_joins"] >= 1
+    assert out["warnings"] == []
+
+
+def test_audit_pushdown_and_pruning_visible(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    out = audit_plan(df)
+    assert any("l_quantity" in p for p in out["pushed_filters"])
+    assert all(s.count(",") <= 2 for s in out["read_schemas"])  # pruned scan
+
+
+def test_audit_exchange_budget(spark):
+    df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    ok = audit_plan(df, max_exchanges=1)
+    assert ok["n_exchanges"] <= 1 and ok["warnings"] == []
+    strict = audit_plan(df.repartition(7).groupBy("k").count(), max_exchanges=1)
+    assert any("exceeds the declared budget" in w for w in strict["warnings"])
+
+
+def test_audit_registered_flagships_are_clean(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    for name in ("wordcount_top100", "minhash_near_dups", "bm25_topk",
+                 "exact_substr_spans", "media_phash_near_dups"):
+        out = audit_plan(QUERIES[name](spark, sf_dir))
+        assert not out["cartesian"], name
+        hard = [w for w in out["warnings"] if "Cartesian" in w]
+        assert hard == [], (name, out["warnings"])

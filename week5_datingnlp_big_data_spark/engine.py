@@ -252,6 +252,27 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def ingest_text(self, path: str, **kw) -> DataFrame:
+        """Read a directory of .txt/.txt.gz files into the documents
+        shape with deterministic position-hashed ids."""
+        from week5_datingnlp_big_data_spark.sources import ingest as _ingest
+
+        return _ingest.ingest_text_dir(self.spark, path, **kw)
+
+    def ingest_jsonl(self, path: str, schema, **kw) -> DataFrame:
+        """Read .jsonl/.jsonl.gz with an explicit schema; corrupt lines
+        quarantined to a _corrupt column, never silently dropped."""
+        from week5_datingnlp_big_data_spark.sources import ingest as _ingest
+
+        return _ingest.ingest_jsonl_dir(self.spark, path, schema, **kw)
+
+    def audit_plan(self, df: DataFrame, **kw) -> dict:
+        """Structured physical-plan audit (cartesian/BNLJ hazards,
+        exchange budget, pushdown/pruning, codegen coverage)."""
+        from week5_datingnlp_big_data_spark.plans.audit import audit_plan as _audit
+
+        return _audit(df, **kw)
+
     def prepare_training_corpus_v2(self, docs: DataFrame, **kw):
         """Round-7 cascade: Gopher rules → ExactSubstr span removal →
         min-surviving-length cut; returns the funnel + clean frame."""
