@@ -81,6 +81,7 @@ HEADLINE = [
     "media_phash_near_dups",
     "line_dedup_rewrite",
     "cross_lm_scores",
+    "events_range_attribution",
 ]
 
 

@@ -144,3 +144,89 @@ def test_write_training_shards_layout(spark, tmp_path):
             assert expect[doc_id][0] == k
             seen += 1
     assert seen == 200
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join (point-in-interval)
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    import datetime as dt
+
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    # points every 13 hours; intervals of varying length incl. empty
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=13 * i), i % 3) for i in range(40)],
+        "lid long, pt timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(hours=7 * j),
+             base + dt.timedelta(hours=7 * j + (j % 5) * 10), j % 3)
+            for j in range(30)
+        ],
+        "rid long, s timestamp, e timestamp, k long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in relational.range_join_point_in_interval(
+            left, right, key="k", left_point="pt", right_start="s",
+            right_end="e", bucket_micros=3_600_000_000 * 24,
+        ).collect()
+    )
+    r2 = right.withColumnRenamed("k", "k_r")
+    naive = left.join(
+        r2, (left.k == r2.k_r) & (r2.s <= left.pt) & (left.pt < r2.e)
+    )
+    want = sorted((r.lid, r.rid) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
+def test_range_join_bucket_width_invariance(spark):
+    import datetime as dt
+
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    base = dt.datetime(2024, 6, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i * 5), 0) for i in range(20)],
+        "lid long, pt timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [(j, base + dt.timedelta(hours=j * 9),
+          base + dt.timedelta(hours=j * 9 + 24), 0) for j in range(10)],
+        "rid long, s timestamp, e timestamp, k long",
+    )
+    results = []
+    for w in (3_600_000_000, 86_400_000_000, 7 * 86_400_000_000):
+        results.append(sorted(
+            (r.lid, r.rid)
+            for r in relational.range_join_point_in_interval(
+                left, right, key="k", left_point="pt",
+                right_start="s", right_end="e", bucket_micros=w,
+            ).collect()
+        ))
+    assert results[0] == results[1] == results[2]
+
+
+def test_range_join_boundary_semantics(spark):
+    import datetime as dt
+
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    left = spark.createDataFrame(
+        [(1, t0, 0), (2, t1, 0)], "lid long, pt timestamp, k long"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, t1, 0)], "rid long, s timestamp, e timestamp, k long"
+    )
+    got = {r.lid for r in relational.range_join_point_in_interval(
+        left, right, key="k", left_point="pt",
+        right_start="s", right_end="e", bucket_micros=86_400_000_000,
+    ).collect()}
+    assert got == {1}  # start inclusive, end exclusive

@@ -252,6 +252,15 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def range_join(
+        self, left: DataFrame, right: DataFrame, **kw
+    ) -> DataFrame:
+        """Point-in-interval range join via time-axis bucketization (the
+        equi-join reduction; see relational.range_join_point_in_interval)."""
+        from week5_datingnlp_big_data_spark.operators import relational as _rel
+
+        return _rel.range_join_point_in_interval(left, right, **kw)
+
     def ingest_text(self, path: str, **kw) -> DataFrame:
         """Read a directory of .txt/.txt.gz files into the documents
         shape with deterministic position-hashed ids."""

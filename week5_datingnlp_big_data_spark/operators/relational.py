@@ -158,3 +158,68 @@ def top_k_per_group(
         df.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def range_join_point_in_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_micros: int,
+) -> DataFrame:
+    """Range join — every (left, right) pair on the same ``key`` where
+    ``right_start <= left_point < right_end`` — via BUCKETIZATION, the
+    equi-join reduction Spark lacks natively (a naive theta join plans as
+    a per-key cross product; Catalyst has no interval-join strategy, so
+    at crawl scale the inner loop explodes on hot keys).
+
+    Trick: points and intervals are mapped onto fixed ``bucket_micros``
+    buckets of the epoch-microsecond axis. A point falls in EXACTLY ONE
+    bucket; an interval explodes to every bucket it overlaps. The join is
+    then a plain equi join on (key, bucket) plus the residual range
+    predicate — and because the point's bucket is unique, each qualifying
+    pair meets exactly once: NO distinct pass needed.
+
+    Sizing: explode factor per right row ≈ interval_len / bucket_micros
+    (+1); join selectivity within a bucket falls as buckets shrink. Set
+    ``bucket_micros`` to the TYPICAL interval length — intervals then
+    explode to ~2 buckets while unrelated points stay separated. All
+    columns of both inputs are preserved; callers ensure distinct names.
+
+    Timestamps are compared in integer epoch microseconds (DATE columns
+    cast to midnight timestamps first), the same integer discipline as
+    events_trailing_hour — float seconds would drift cross-engine."""
+    lp = F.unix_micros(F.col(left_point).cast("timestamp"))
+    rs = F.unix_micros(F.col(right_start).cast("timestamp"))
+    re_ = F.unix_micros(F.col(right_end).cast("timestamp"))
+    lb = left.withColumn("_pb", F.floor(lp / bucket_micros))
+    rb = right.withColumn("_sb", F.floor(rs / bucket_micros)).withColumn(
+        # end is EXCLUSIVE: an interval ending exactly on a bucket
+        # boundary does not reach into that bucket
+        "_eb",
+        F.floor((re_ - 1) / bucket_micros),
+    )
+    rb = rb.withColumn(
+        "_b",
+        F.explode(
+            # guard: empty/negative intervals get no buckets (Spark's
+            # sequence(a, b) runs DESCENDING when b < a — without the
+            # guard an empty interval would fabricate buckets)
+            F.when(
+                F.col("_eb") >= F.col("_sb"),
+                F.sequence(F.col("_sb"), F.col("_eb")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    ).drop("_sb", "_eb")
+    joined = lb.join(
+        rb,
+        (lb[key] == rb[key]) & (F.col("_pb") == F.col("_b")),
+    ).drop(rb[key]).drop("_pb", "_b")
+    return joined.filter(
+        (F.unix_micros(F.col(right_start).cast("timestamp"))
+         <= F.unix_micros(F.col(left_point).cast("timestamp")))
+        & (F.unix_micros(F.col(left_point).cast("timestamp"))
+           < F.unix_micros(F.col(right_end).cast("timestamp")))
+    )

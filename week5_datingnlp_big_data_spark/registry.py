@@ -1207,6 +1207,51 @@ def events_asof_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_attribution",
+    """
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS micros_after
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND p.ts < s.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_range_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): every purchase inside the 1-hour
+    attribution window opened by the same user's signup events — ALL
+    qualifying pairs, where the as-of join keeps only the latest. Spark
+    has no native interval-join strategy (a theta join plans as a per-key
+    cross product), so the operator reduces it to an equi join by
+    bucketizing the time axis: each interval explodes to ≤ 2 one-hour
+    buckets, each point lands in exactly one, so pairs meet exactly once
+    and no distinct pass is needed. The oracle is DuckDB's native theta
+    range join. See
+    operators/relational.py:range_join_point_in_interval."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    out = relational.range_join_point_in_interval(
+        purchases, signups, key="user_id", left_point="p_ts",
+        right_start="win_start", right_end="win_end",
+        bucket_micros=3_600 * 1_000_000,
+    )
+    return out.select(
+        "purchase_id",
+        "signup_id",
+        (F.unix_micros("p_ts") - F.unix_micros("win_start")).alias("micros_after"),
+    )
+
+
+@query(
     "acctbal_rollup",
     """
     SELECT coalesce(n_name, 'ALL') AS n_name,
