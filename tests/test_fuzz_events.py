@@ -280,3 +280,38 @@ def test_events_trailing_hour_fuzz(sides):
            WINDOW w AS (PARTITION BY user_id ORDER BY ts
                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
     )
+
+
+def test_events_range_attribution_fuzz(sides):
+    # Bucketized point-in-interval range join vs DuckDB's native theta
+    # range join, over the hostile timestamp pool (pre-epoch negatives
+    # exercise floor-division bucketing below zero; exact ties exercise
+    # the inclusive-start/exclusive-end boundary).
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    sdf, con = sides
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    signups = sdf.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    out = relational.range_join_point_in_interval(
+        purchases, signups, key="user_id", left_point="p_ts",
+        right_start="win_start", right_end="win_end",
+        bucket_micros=3_600 * 1_000_000,
+    ).select(
+        "purchase_id", "signup_id",
+        (F.unix_micros("p_ts") - F.unix_micros("win_start")).alias("micros_after"),
+    )
+    _compare(out, con, """
+        SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+               CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS micros_after
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id
+         AND s.ts <= p.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+    """)
