@@ -106,3 +106,47 @@ def test_partitioned_dirs_exist_per_key(spark, sf_dir, tmp_path):
         if d.startswith("o_orderstatus=")
     }
     assert dirs == statuses
+
+
+# ---------------------------------------------------------------------------
+# Sorted-run layout (zone-map / min-max row-group pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_write_sorted_produces_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from week5_datingnlp_big_data_spark.sources.sinks import write_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_sorted")
+    write_sorted(orders, out, ["o_totalprice"], n_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = md.schema.names.index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3          # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2            # files hold DISJOINT key ranges
+
+
+def test_write_sorted_read_back_prunes_and_matches(spark, sf_dir, tmp_path):
+    from week5_datingnlp_big_data_spark.sources.sinks import write_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_sorted2")
+    write_sorted(orders, out, ["o_totalprice"], n_files=4)
+    rd = spark.read.parquet(out).filter(F.col("o_totalprice") > 400000)
+    want = orders.filter(F.col("o_totalprice") > 400000).count()
+    assert rd.count() == want
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "o_totalprice" in plan and "PushedFilters" in plan

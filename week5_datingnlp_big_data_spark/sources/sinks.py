@@ -16,6 +16,7 @@ is written by one task (avoids the many-small-files explosion).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -143,3 +144,34 @@ def write_plot_data(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     chart) — bulk exports go through write_csv/write_parquet, which keep
     full parallelism."""
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Zone-map-friendly layout: range-partition on ``sort_cols`` then
+    sort within each partition before writing. Parquet stores per-row-
+    group min/max statistics; with data globally range-clustered, a
+    point/range predicate on the sort column prunes whole FILES and row
+    groups at planning/scan time — the third layout lever next to
+    partition pruning (write_parquet(partition_by=...)) and bucketing
+    (write_bucketed): partitioning prunes by directory on LOW-cardinality
+    keys, sorting prunes by statistics on HIGH-cardinality keys where a
+    directory per value is impossible.
+
+    ``repartitionByRange`` samples the key distribution, so output files
+    hold DISJOINT key ranges (not just locally-sorted rows) — maximal
+    stat selectivity. One range exchange; the per-file sort is spill-safe
+    ExternalSort. At 100 TB pick ``n_files`` so each file lands near the
+    row-group/HDFS-block sweet spot (~128 MB-1 GB)."""
+    parts = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *parts)
+        if n_files
+        else df.repartitionByRange(*parts)
+    )
+    out.sortWithinPartitions(*parts).write.mode(mode).parquet(path)
