@@ -351,3 +351,28 @@ def test_normalize_documents_strips_nul_before_nfc(spark):
     assert got[2].norm_text == "" and got[2].n_chars_removed == 1
     # with NUL gone pre-NFC, the combining acute composes onto 'e'
     assert got[3].norm_text == "éf"
+
+
+def test_pq_index_save_load_roundtrip_same_results(spark, sf_dir, tmp_path):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    cb = similarity.pq_train(emb, num_subspaces=4, codebook_size=8)
+    codes = similarity.pq_encode(emb, cb, num_subspaces=4)
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.pq_topk(
+            emb, qids, k=5, num_subspaces=4, codebook_size=8, index=(cb, codes)
+        ).collect()
+    )
+    path = str(tmp_path / "pq_index")
+    similarity.save_pq_index(path, cb, codes)
+    loaded = similarity.load_pq_index(spark, path)
+    reloaded = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.pq_topk(
+            emb, qids, k=5, num_subspaces=4, codebook_size=8, index=loaded
+        ).collect()
+    )
+    assert inline == reloaded and len(inline) == 15

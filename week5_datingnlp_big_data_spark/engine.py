@@ -252,6 +252,14 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def save_pq_index(self, path: str, codebooks: DataFrame, codes: DataFrame) -> None:
+        """Persist a PQ ANN index (codebooks + codes) as parquet tables."""
+        _similarity.save_pq_index(path, codebooks, codes)
+
+    def load_pq_index(self, path: str):
+        """Load a saved PQ index → (codebooks, codes) for pq_topk(index=...)."""
+        return _similarity.load_pq_index(self.spark, path)
+
     def range_join(
         self, left: DataFrame, right: DataFrame, **kw
     ) -> DataFrame:

@@ -496,6 +496,7 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     rerank_factor: int = 8,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) with
     exact re-ranking: the corpus lives as PQ codes; each query precomputes
@@ -513,9 +514,18 @@ def pq_topk(
     the join; the explode is m narrow rows per candidate; the exact stage
     joins only |Q|·k·rerank_factor ids back to the vector table. Exactly
     the IVF-ADC serving layout (this op is the PQ leg; compose with
-    ivf_topk's cell pruning for both)."""
-    codebooks = pq_train(embeddings, num_subspaces, codebook_size, vec_col, seed)
-    encoded = pq_encode(embeddings, codebooks, num_subspaces, id_col, vec_col)
+    ivf_topk's cell pruning for both).
+
+    ``index``: a prebuilt ``(codebooks, codes)`` pair — e.g. from
+    ``load_pq_index`` — skips the train+encode build entirely: the
+    build-once / query-many serving split (at 100 TB the index build is a
+    batch job; queries hit only the saved code and codebook tables plus
+    the shortlist's true vectors)."""
+    if index is not None:
+        codebooks, encoded = index
+    else:
+        codebooks = pq_train(embeddings, num_subspaces, codebook_size, vec_col, seed)
+        encoded = pq_encode(embeddings, codebooks, num_subspaces, id_col, vec_col)
     dim_row = embeddings.select(
         F.size(F.col(vec_col).cast("array<double>")).alias("d")
     ).first()
@@ -703,4 +713,23 @@ def ivf_pq_topk(
         exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "dist", "rnk")
+    )
+
+
+def save_pq_index(path: str, codebooks: DataFrame, codes: DataFrame) -> None:
+    """Persist a PQ index as two parquet tables: ``<path>/codebooks``
+    (m×k* centroid rows) and ``<path>/codes`` (one narrow codes row per
+    vector). Plain columnar tables — engine-agnostic state, re-loadable
+    by any Spark session (or DuckDB) with no pickled estimator objects;
+    the codebook side stays a bounded broadcast on reload."""
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a saved PQ index → ``(codebooks, codes)``, ready to pass as
+    ``pq_topk(..., index=...)`` for the build-once / query-many split."""
+    return (
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
     )
