@@ -1815,6 +1815,78 @@ def winnow_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_stat_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             avg(l_extendedprice) AS m1,
+             avg(l_extendedprice * l_extendedprice) AS p2,
+             avg(l_extendedprice * l_extendedprice * l_extendedprice) AS p3,
+             avg(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS p4,
+             stddev_samp(l_extendedprice) AS sd,
+             covar_samp(l_quantity, l_extendedprice) AS cov,
+             corr(l_quantity, l_extendedprice) AS corr_
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(m1, 4) AS mean_price,
+           round(sd, 4) AS sd_price,
+           round(cov, 4) AS cov_qty_price,
+           round(corr_, 6) AS corr_qty_price,
+           round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
+                 / pow(p2 - m1 * m1, 1.5), 6) AS skew_price,
+           round((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
+                 / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_price
+    FROM m
+    """,
+)
+def lineitem_stat_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per return flag: sample stddev,
+    covariance, Pearson correlation, skewness, and excess kurtosis — the
+    profiling surface a feature-engineering pass runs before modeling.
+    All single-pass mergeable aggregates with map-side partial
+    aggregation; one hash shuffle on the 3-value group key. Spark's
+    skewness/kurtosis use population formulas while DuckDB's are
+    sample-bias-corrected — NOT interchangeable — so both sides derive
+    the population moments from raw power sums with the identical
+    arithmetic (avg(x^k) then the standardized-moment identities)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("m1"),
+        F.avg(x * x).alias("p2"),
+        F.avg(x * x * x).alias("p3"),
+        F.avg(x * x * x * x).alias("p4"),
+        F.stddev_samp(x).alias("sd"),
+        F.covar_samp(F.col("l_quantity"), x).alias("cov"),
+        F.corr(F.col("l_quantity"), x).alias("corr_"),
+    )
+    m1, p2, p3, p4 = F.col("m1"), F.col("p2"), F.col("p3"), F.col("p4")
+    var = p2 - m1 * m1
+    return m.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(m1, 4).alias("mean_price"),
+        F.round("sd", 4).alias("sd_price"),
+        F.round("cov", 4).alias("cov_qty_price"),
+        F.round("corr_", 6).alias("corr_qty_price"),
+        F.round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skew_price"
+        ),
+        F.round(
+            (p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("kurt_price"),
+    )
+
+
+@query(
     "orders_price_percentiles",
     """
     SELECT o_orderpriority,
