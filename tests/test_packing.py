@@ -101,3 +101,51 @@ def test_token_budget_full_corpus_when_budget_huge(docs):
     out = corpus.token_budget_mixture(docs, budget_tokens=10**9, temperature=0.5)
     assert out.count() == docs.count()
     assert out.select("keep_rate").distinct().collect()[0]["keep_rate"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Shard delivery manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_detects_drop_and_duplicate(spark):
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(200)],
+        "doc_id long, text string",
+    )
+    base = {r.shard: r for r in shards.shard_manifest(docs, 8).collect()}
+    # dropping a row changes its shard's checksum AND count
+    dropped = {r.shard: r for r in
+               shards.shard_manifest(docs.filter("doc_id <> 7"), 8).collect()}
+    sh = next(s for s in base if base[s].n_rows != dropped.get(s, base[s]).n_rows
+              or base[s].content_xor != dropped.get(s, base[s]).content_xor)
+    assert dropped[sh].content_xor != base[sh].content_xor
+    # one extra copy xors the digest a second time -> it CANCELS out of
+    # the fold, so the checksum changes (and the count changes too)
+    extra = spark.createDataFrame(
+        [(7, "doc number 7 words here")], "doc_id long, text string")
+    duped = {r.shard: r for r in shards.shard_manifest(docs.union(extra), 8).collect()}
+    changed = [s for s in base if duped[s].n_rows != base[s].n_rows]
+    assert len(changed) == 1
+    assert duped[changed[0]].content_xor != base[changed[0]].content_xor
+    # the xor blind spot: TWO extra copies cancel each other, reverting
+    # the checksum — the row count is what catches it (why the manifest
+    # carries both)
+    duped2 = {r.shard: r for r in shards.shard_manifest(
+        docs.union(extra).union(extra), 8).collect()}
+    assert duped2[changed[0]].content_xor == base[changed[0]].content_xor
+    assert duped2[changed[0]].n_rows == base[changed[0]].n_rows + 2
+
+
+def test_shard_manifest_order_insensitive(spark):
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, shards.shard_manifest(docs, 4).collect()))
+    b = sorted(map(tuple, shards.shard_manifest(
+        docs.orderBy(F.desc("doc_id")).repartition(13), 4).collect()))
+    assert a == b

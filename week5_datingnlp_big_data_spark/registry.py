@@ -3941,6 +3941,38 @@ def training_shard_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.shard_stats(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+@query(
+    "shard_manifest",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  ::BIGINT % 8 AS INT) AS shard,
+             CASE WHEN length(trim(coalesce(text, ''))) > 0
+                  THEN len(regexp_split_to_array(trim(text), '\\s+'))
+                  ELSE 0 END AS toks,
+             ('0x' || substr(sha256(coalesce(text, '')), 1, 15))::BIGINT AS d
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           CAST(bit_xor(d) AS BIGINT) AS content_xor
+    FROM s GROUP BY shard
+    """,
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-integrity manifest for the 8-shard training export: per
+    shard, row count, token total, id range, and the order-insensitive
+    xor-fold of per-row sha2 content digests — a consumer re-derives the
+    same manifest from delivered files to detect drops, duplicates, or
+    cross-shard misplacement. The oracle recomputes every checksum from
+    scratch. See operators/shards.py:shard_manifest (one hash shuffle,
+    the writer's own exchange)."""
+    return shards.shard_manifest(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 _BLOOM_WORDS = 30       # deliberately undersized at test SF so the FP path
 _BLOOM_HASHES = 7       # is exercised (see bloom_dedup_incremental_q)
 _BLOOM_BITS = _BLOOM_WORDS * dedup.BLOOM_BITS_PER_WORD
