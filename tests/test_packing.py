@@ -149,3 +149,19 @@ def test_shard_manifest_order_insensitive(spark):
     b = sorted(map(tuple, shards.shard_manifest(
         docs.orderBy(F.desc("doc_id")).repartition(13), 4).collect()))
     assert a == b
+
+
+def test_shard_manifest_merge_equals_whole(spark):
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    docs = spark.createDataFrame(
+        [(i, f"slice doc {i} content") for i in range(300)],
+        "doc_id long, text string",
+    )
+    whole = sorted(map(tuple, shards.shard_manifest(docs, 8).collect()))
+    merged = sorted(map(tuple, shards.shard_manifest_merge(
+        shards.shard_manifest(docs.filter("doc_id < 100"), 8),
+        shards.shard_manifest(docs.filter("doc_id >= 100 AND doc_id < 200"), 8),
+        shards.shard_manifest(docs.filter("doc_id >= 200"), 8),
+    ).collect()))
+    assert merged == whole

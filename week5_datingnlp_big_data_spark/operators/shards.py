@@ -144,3 +144,23 @@ def shard_manifest(
             F.bit_xor("_d").alias("content_xor"),
         )
     )
+
+
+def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
+    """Combine the manifests of disjoint corpus SLICES into the manifest
+    of their union — every field is mergeable by construction (counts and
+    token totals sum, id ranges min/max, xor checksums xor), so a
+    delivery split across N export jobs needs no joint pass over the
+    data: merge the N manifests and compare against the consumer's
+    re-derivation. The same property makes the manifest maintainable
+    incrementally under appends (xor in each new batch's fold)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, manifests)
+    return u.groupBy("shard").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+        F.bit_xor("content_xor").alias("content_xor"),
+    )

@@ -4992,6 +4992,12 @@ DEMOTED: tuple[str, ...] = (
     "q13_customer_order_distribution",  # outer-join count distribution; q16 (group counts + NOT-IN) and q18 (join+group+HAVING) stay
     "lang_proportions",           # label marginals ⊂ lang_id_confusion's cell counts; A4 also unit-pinned
     "simhash_near_dups",          # hamming_near_dup_pairs machinery now driver-verified via media_phash_near_dups (same generic block join); simhash stays parity+fuzz gated
+    # late round-7 additions that register early in the file: the window
+    # is full, so they sit with the other out-of-window oracle-backed
+    # queries (identical DuckDB compare in test_oracle_parity + fuzz)
+    "lineitem_stat_moments",
+    "shard_manifest",
+    "prep_cascade_v2",            # cascade family holds its window slot via prep_cascade_funnel
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
