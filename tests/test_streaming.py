@@ -468,3 +468,58 @@ def test_streaming_snapshot_diff_incremental(spark, tmp_path):
         ).select("doc_id", F.sha2("text", 256).alias("h")).collect()
     }
     assert state == expect
+
+
+def test_streaming_shard_manifest_equals_batch(spark, tmp_path):
+    """Incrementally-merged manifest over 3 micro-batches must equal the
+    batch manifest of the full corpus — the mergeability contract that
+    lets a consumer verify a streaming export like a batch one."""
+    import glob as g
+    import shutil
+
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    batches = [
+        [(i, f"wave one doc {i} text") for i in range(50)],
+        [(100 + i, f"wave two doc {i} other text") for i in range(40)],
+        [(200 + i, f"wave three {i}") for i in range(30)],
+    ]
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = tmp_path / "_mf" / name
+        df.coalesce(1).write.parquet(str(stage))
+        (tmp_path / "mf").mkdir(parents=True, exist_ok=True)
+        shutil.copy(
+            g.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "mf" / name)
+        )
+
+    for i, rows in enumerate(batches):
+        drop(rows, f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mf"))
+    )
+    q = sc.streaming_shard_manifest(
+        stream,
+        state_dir=str(tmp_path / "mf_state"),
+        checkpoint_dir=str(tmp_path / "mf_ckpt"),
+        n_shards=4,
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    import pathlib
+
+    versions = sorted(
+        pathlib.Path(tmp_path / "mf_state").glob("v*"),
+        key=lambda d: int(d.name[1:]),
+    )
+    final = sorted(map(tuple, spark.read.parquet(str(versions[-1])).collect()))
+    all_rows = [r for b in batches for r in b]
+    whole = sorted(map(tuple, shards.shard_manifest(
+        spark.createDataFrame(all_rows, "doc_id long, text string"), 4
+    ).collect()))
+    assert final == whole

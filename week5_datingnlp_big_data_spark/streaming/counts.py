@@ -558,3 +558,54 @@ def streaming_snapshot_diff(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_shard_manifest(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incrementally-maintained delivery manifest: each micro-batch's
+    per-shard manifest (operators/shards.py:shard_manifest) is merged —
+    counts sum, id ranges min/max, content checksums XOR — into the
+    manifest accumulated over all previous batches. Every field is
+    mergeable, so the state is one tiny n_shards-row parquet table and no
+    batch ever rescans earlier data; the final state equals the batch
+    manifest of the full corpus (unit-pinned), so a consumer can verify a
+    streaming export exactly as it would a batch one.
+
+    Versioned one subdirectory per batch id with replay protection
+    (state at or beyond a replayed batch's id is ignored before
+    re-merging), the same restart-safety contract as
+    streaming_bloom_dedup."""
+    from pathlib import Path
+
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = Path(state_dir)
+        versions = sorted(
+            (d for d in root.glob("v*") if d.is_dir()),
+            key=lambda d: int(d.name[1:]),
+        )
+        live = [d for d in versions if int(d.name[1:]) < batch_id]
+        batch_manifest = shards.shard_manifest(
+            batch_df, n_shards, id_col=id_col, text_col=text_col
+        )
+        if live:
+            prev = spark.read.parquet(str(live[-1]))
+            merged = shards.shard_manifest_merge(prev, batch_manifest)
+        else:
+            merged = batch_manifest
+        merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
