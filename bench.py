@@ -82,6 +82,7 @@ HEADLINE = [
     "line_dedup_rewrite",
     "cross_lm_scores",
     "events_range_attribution",
+    "leakage_safe_split",
 ]
 
 

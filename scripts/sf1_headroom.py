@@ -87,7 +87,7 @@ QUERIES = [
     "exact_substr_spans", "exact_substr_rewrite", "hybrid_rrf_topk",
     "media_phash_near_dups", "line_dedup_rewrite", "cross_lm_scores",
     "events_range_attribution", "prep_cascade_v2", "lineitem_stat_moments",
-    "shard_manifest",
+    "shard_manifest", "leakage_safe_split",
 ]
 
 

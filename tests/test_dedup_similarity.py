@@ -631,3 +631,29 @@ def test_line_dedup_null_and_empty_pass_through(spark):
     out = {r.doc_id: r for r in dedup.line_dedup_rewrite(docs).collect()}
     for d in (1, 2):
         assert out[d].text_clean == "" and out[d].n_removed == 0
+
+
+def test_leakage_safe_split_no_straddling_pairs(dup_docs):
+    out = {r.doc_id: r for r in dedup.leakage_safe_split(dup_docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}          # every doc assigned
+    # near-dups share a group and therefore a split side
+    pairs = dedup.jaccard_near_dups(dup_docs, threshold=0.5).collect()
+    assert pairs  # the fixture plants near-dups
+    for p in pairs:
+        assert out[p.id_a].group_id == out[p.id_b].group_id
+        assert out[p.id_a].split == out[p.id_b].split
+
+
+def test_leakage_safe_split_deterministic_and_both_sides(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with words w{i} x{i*7} y{i*13}")
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup.leakage_safe_split(docs).collect()))
+    b = sorted(map(tuple, dedup.leakage_safe_split(docs).collect()))
+    assert a == b
+    splits = {s for (_, _, s) in a}
+    assert splits == {"train", "test"}
+    n_test = sum(1 for (_, _, s) in a if s == "test")
+    assert 0.03 < n_test / 300 < 0.25              # ~1/10 bucket rule

@@ -82,6 +82,9 @@ FUZZED_QUERIES = (
     # a fr doc draws vocab absent from the en slice)
     "line_dedup_rewrite",
     "cross_lm_scores",
+    # component-keyed split: mutated copies share groups across the fuzz
+    # corpus, so the no-straddle property is exercised on real clusters
+    "leakage_safe_split",
 )
 
 VOCAB = [

@@ -252,6 +252,11 @@ class Engine:
         duplicated region removed (suffix-array rule, relational plan)."""
         return _dedup.exact_substr_rewrite(docs, **kw)
 
+    def leakage_safe_split(self, docs: DataFrame, **kw) -> DataFrame:
+        """Near-dup-aware train/test split: hash the near-dup component,
+        not the doc id, so no near-duplicate straddles the boundary."""
+        return _dedup.leakage_safe_split(docs, **kw)
+
     def save_pq_index(self, path: str, codebooks: DataFrame, codes: DataFrame) -> None:
         """Persist a PQ ANN index (codebooks + codes) as parquet tables."""
         _similarity.save_pq_index(path, codebooks, codes)

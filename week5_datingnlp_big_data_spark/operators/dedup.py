@@ -1452,3 +1452,57 @@ def line_dedup_rewrite(
             F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_fraction_buckets: int = 10,
+    threshold: float = 0.5,
+    seed: str = "split",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Near-dup-aware train/test split: assign each document to a split
+    by hashing its near-dup COMPONENT (not its own id), so no two
+    near-duplicates ever straddle the boundary — the standard guard
+    against eval leakage (Lee et al. 2021 measure exactly this
+    train/test contamination; a doc-id hash split leaks every near-dup
+    cluster that lands on both sides). Docs in no near-dup pair form
+    singleton groups keyed by their own id.
+
+    Split rule: test iff ``md5(seed:group) % buckets == 0`` → a
+    deterministic ~1/buckets test fraction, engine/run/layout invariant
+    (same discipline as corpus.mixture_sample). Output: one row per doc —
+    ``(doc_id, group_id, split)`` with split ∈ {'train', 'test'}.
+
+    Scale shape: the component labeling is the existing
+    MinHash→connected-components path (banded LSH, never n²); the split
+    itself is one left join of the corpus against the component table
+    (pair-participating docs only — usually a small fraction) plus a
+    scan-speed hash. No collect, no extra shuffle beyond the components'."""
+    comp = near_dup_components(
+        docs, text_col, id_col, threshold, **near_dup_kwargs
+    ).select(F.col(id_col), "component")
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), group.cast("string"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long")
+        % test_fraction_buckets
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            group.alias("group_id"),
+            F.when(bucket == 0, F.lit("test")).otherwise(F.lit("train")).alias(
+                "split"
+            ),
+        )
+    )

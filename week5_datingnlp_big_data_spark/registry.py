@@ -2665,6 +2665,44 @@ def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+    ),
+    g AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)),
+                                     1, 14))::BIGINT % 10 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM g
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: the split hash keys on the
+    near-dup COMPONENT (singletons on their own id), so no near-duplicate
+    pair ever straddles the boundary — the eval-leakage guard Lee et al.
+    2021 motivate. The oracle re-runs the MinHash pair generation, the
+    recursive-CTE components, and the md5 bucket rule end-to-end. See
+    operators/dedup.py:leakage_safe_split."""
+    return dedup.leakage_safe_split(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _sql_lang_pred(source: str) -> str:
     """Per-doc predicted language over any doc-shaped source (mirrors
     textstats.lang_id / the lang_id_confusion oracle)."""
@@ -4998,6 +5036,7 @@ DEMOTED: tuple[str, ...] = (
     "lineitem_stat_moments",
     "shard_manifest",
     "prep_cascade_v2",            # cascade family holds its window slot via prep_cascade_funnel
+    "leakage_safe_split",         # components family holds its slot via near_dup_components
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
