@@ -83,6 +83,10 @@ HEADLINE = [
     "cross_lm_scores",
     "events_range_attribution",
     "leakage_safe_split",
+    # round-8 additions
+    "decontaminated_corpus",
+    "doc_char_entropy",
+    "luhn_ccn_stats",
 ]
 
 

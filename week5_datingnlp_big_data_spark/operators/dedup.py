@@ -832,6 +832,44 @@ def ngram_overlap_flags(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_overlap_grams: int = 0,
+) -> DataFrame:
+    """Destructive eval-set decontamination: the rewrite companion of
+    ``ngram_overlap_flags`` — REMOVE every corpus document sharing more
+    than ``max_overlap_grams`` distinct word ``n``-grams with any
+    benchmark document (GPT-3's appendix-C rule applied as a cut rather
+    than a report; max_overlap_grams=0 is the strict "any collision
+    drops the doc" setting, raise it to tolerate incidental short-gram
+    collisions on long documents).
+
+    Output: the SURVIVING corpus as ``(doc_id, text_md5)`` — the content
+    digest makes the result value-verifiable without shipping text.
+
+    Scale shape: the flag side is the existing gram-collision join
+    (benchmark grams distinct'd, no forced broadcast — AQE broadcasts a
+    real eval set at runtime); the cut is one left-anti join on the id
+    key. The corpus is scanned twice (gram explode + output projection)
+    — both scan-speed; a persist barrier would cost more than the second
+    columnar scan at any scale."""
+    flags = ngram_overlap_flags(docs, benchmark, text_col, id_col, n)
+    contaminated = flags.filter(
+        F.col("overlap_grams") > max_overlap_grams
+    ).select(id_col)
+    return (
+        docs.join(contaminated, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
 def span_dup_fractions(
     docs: DataFrame,
     text_col: str = "text",

@@ -667,3 +667,98 @@ def normalize_documents(
         "norm_text",
         (F.col("_raw_len") - F.length("norm_text")).alias("n_chars_removed"),
     )
+
+
+# Candidate credit-card pattern: 13-19 digits with optional single
+# space/dash separators between digits. Written to the Java-regex ∩ RE2
+# subset (no lookaround) so the SAME string runs in Spark and the DuckDB
+# oracle; \b is ASCII-word-boundary in both dialects. The pattern alone
+# over-matches (any long digit run with separators) — Luhn validation
+# below is what makes the signal usable: card numbers pass the mod-10
+# checksum, random ids fail it 90% of the time.
+CCN_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid(c: Column) -> Column:
+    """Luhn mod-10 checksum over the digits of ``c`` (ISO/IEC 7812):
+    from the RIGHT, double every second digit (subtracting 9 when the
+    double exceeds 9) and require the total ≡ 0 (mod 10). Pure
+    higher-order-function arithmetic — no UDF, runs inside codegen, and
+    the identical integer recurrence is expressible in the oracle's SQL
+    dialect, so validation is cross-engine exact (no floats anywhere)."""
+    digits = F.filter(
+        F.split(F.regexp_replace(c, "[^0-9]", ""), ""), lambda d: d != ""
+    )
+    length = F.size(digits)
+    contrib = F.transform(
+        digits,
+        # 0-based index i → 1-based position from the right r = length-i;
+        # double when r is even ⇔ (length - i) % 2 == 0.
+        lambda d, i: F.when(
+            ((length - i) % 2) == 0,
+            d.cast("int") * 2
+            - F.when(d.cast("int") > 4, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return (total % 10) == 0
+
+
+def ccn_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc credit-card-number detection with checksum validation:
+    ``(doc_id, n_ccn_candidates, n_ccn_valid)`` where candidates match
+    CCN_PATTERN and valid ones additionally pass the Luhn check — the
+    standard two-stage PII detector (regex recall, checksum precision)
+    that a bare pattern scrubber (``pii_counts``) cannot express.
+
+    Scale shape: regexp_extract_all + nested HOF arithmetic per row —
+    scan-speed, shuffle-free, no UDF; at 100 TB this is a free rider on
+    any existing corpus pass."""
+    cands = F.regexp_extract_all(
+        F.coalesce(_col(text_col), F.lit("")), F.lit(CCN_PATTERN), F.lit(0)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).alias("n_ccn_candidates"),
+        F.size(F.filter(cands, luhn_valid)).alias("n_ccn_valid"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc character-level Shannon entropy (bits/char) — the cheap
+    "is this text or garbage" signal complementing the zlib
+    ``compression_ratios`` UDF: binary junk and repeated-key mashing sit
+    at the entropy extremes while natural language clusters ~3.5-4.5
+    bits. Unlike the zlib signal this one is pure built-ins, so it is
+    oracle-verifiable and stays inside whole-stage codegen.
+
+    Output: ``(doc_id, n_chars, n_distinct_chars, char_entropy_bits)``
+    for non-empty docs; entropy rounded to 6 dp (the fold runs over the
+    SORTED distinct characters so both engines sum the identical term
+    sequence — float reproducibility discipline, same as the bench's
+    rounded-mean rule).
+
+    Scale shape: O(distinct_chars × len) HOF work per row (alphabet
+    sizes are small constants), shuffle-free scan-speed projection."""
+    chars = F.filter(F.split(_col(text_col), ""), lambda ch: ch != "")
+    n = F.size(chars)
+    dist = F.array_sort(F.array_distinct(chars))
+    terms = F.transform(
+        dist,
+        lambda ch: (F.size(F.filter(chars, lambda x: x == ch)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n),
+    )
+    ent = -F.aggregate(terms, F.lit(0.0), lambda a, t: a + t)
+    return (
+        docs.filter(F.length(F.coalesce(_col(text_col), F.lit(""))) > 0)
+        .select(
+            F.col(id_col),
+            n.alias("n_chars"),
+            F.size(dist).alias("n_distinct_chars"),
+            F.round(ent, 6).alias("char_entropy_bits"),
+        )
+    )

@@ -4966,6 +4966,122 @@ def near_dup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-8 additions. Registered after the window-curated set, so they
+# sit OUTSIDE the driver's 50-row window with the other late
+# oracle-backed queries — identical DuckDB compare runs in
+# tests/test_oracle_parity.py and the sf0.1 parity sweep.
+
+
+@query(
+    "decontaminated_corpus",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SQL_SHINGLES_5} AS grams
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), exploded AS (
+      SELECT doc_id, source, g.gram FROM sh, unnest(grams) AS g(gram)
+    ), bench AS (
+      SELECT DISTINCT gram FROM exploded WHERE source = 'src0'
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM exploded JOIN bench USING (gram)
+      WHERE source <> 'src0'
+    )
+    SELECT doc_id, md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminated_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive companion of ``benchmark_ngram_overlap``: the corpus
+    with every doc sharing a word 5-gram with the 'src0' benchmark slice
+    REMOVED (strict max_overlap_grams=0), survivors content-verified by
+    md5. See operators/dedup.py:decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@query(
+    "luhn_ccn_stats",
+    f"""
+    WITH cand AS (
+      SELECT doc_id,
+             regexp_extract_all(
+               coalesce(text, '') || ' ' || lpad(CAST(doc_id AS VARCHAR), 15, '0'),
+               '{textstats.CCN_PATTERN}') AS cs
+      FROM documents
+    ), digs AS (
+      SELECT doc_id, len(cs) AS n_ccn_candidates,
+             list_transform(cs, c -> regexp_replace(c, '[^0-9]', '', 'g')) AS ds
+      FROM cand
+    )
+    SELECT doc_id, n_ccn_candidates,
+           len(list_filter(ds, s ->
+             list_sum(list_transform(range(1, length(s) + 1),
+               i -> CASE WHEN (length(s) - i) % 2 = 1
+                    THEN CAST(s[i] AS INT) * 2
+                         - CASE WHEN CAST(s[i] AS INT) > 4 THEN 9 ELSE 0 END
+                    ELSE CAST(s[i] AS INT) END)) % 10 = 0
+           )) AS n_ccn_valid
+    FROM digs
+    """,
+)
+def luhn_ccn_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage credit-card PII detection: regex candidates (13-19
+    digits, optional space/dash separators) checked against the Luhn
+    mod-10 checksum — the precision stage a bare pattern scrubber lacks.
+    Integer-only HOF arithmetic, cross-engine exact. The synthetic corpus
+    carries no natural 13+-digit runs, so the query plants one
+    deterministic zero-padded doc_id per row (the normalizer-oracle
+    discipline: a planted suffix fires the branch on every row) — Luhn
+    validity then varies with the id, giving the value hash real signal.
+    See operators/textstats.py:ccn_stats."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            F.lpad(F.col("doc_id").cast("string"), 15, "0"),
+        ),
+    )
+    return textstats.ccn_stats(planted)
+
+
+@query(
+    "doc_char_entropy",
+    """
+    WITH cs AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1), i -> text[i]) AS chars
+      FROM documents WHERE length(coalesce(text, '')) > 0
+    ), d AS (
+      SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dist
+      FROM cs
+    )
+    SELECT doc_id,
+           len(chars) AS n_chars,
+           len(dist) AS n_distinct_chars,
+           round(-list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE), list_transform(dist, ch ->
+                (len(list_filter(chars, x -> x = ch)) / len(chars))
+                * log2(len(list_filter(chars, x -> x = ch)) / len(chars)))),
+              (a, b) -> a + b), 6) AS char_entropy_bits
+    FROM d
+    """,
+)
+def doc_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc (bits/char) — the
+    oracle-verifiable garbage-text signal next to the zlib UDF. The fold
+    runs over SORTED distinct characters in both engines so the float
+    sum is order-identical. See operators/textstats.py:char_entropy."""
+    return textstats.char_entropy(spread(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
