@@ -87,6 +87,12 @@ HEADLINE = [
     "decontaminated_corpus",
     "doc_char_entropy",
     "luhn_ccn_stats",
+    # round-9 additions
+    "funnel_conversion",
+    "cohort_retention",
+    "events_gapfill_locf",
+    "vocab_typo_pairs",
+    "session_concurrency",
 ]
 
 

@@ -1,0 +1,274 @@
+"""Round-9 operators: ordered funnel, weekly cohort retention, gap-filled
+time buckets with LOCF, SymSpell edit-distance-1 typo pairs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from week5_datingnlp_big_data_spark.operators import fuzzy, relational
+
+SCHEMA = "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, dt.datetime(2024, 1, d, h), et, float(v))
+            for i, (u, d, h, et, v) in enumerate(rows)
+        ],
+        SCHEMA,
+    )
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 0, "signup", 0), (1, 1, 1, "view", 0), (1, 1, 2, "purchase", 0),
+        # user 2: purchase BEFORE signup, then view — converts to view only
+        (2, 1, 0, "purchase", 0), (2, 1, 1, "signup", 0), (2, 1, 2, "view", 0),
+        # user 3: never signs up — invisible to every step
+        (3, 1, 0, "view", 0), (3, 1, 1, "purchase", 0),
+        # user 4: signup only
+        (4, 1, 5, "signup", 0),
+    ]
+    out = {
+        r["step"]: r
+        for r in relational.funnel_conversion(
+            _ev(spark, rows), steps=("signup", "view", "purchase")
+        ).collect()
+    }
+    assert out["signup"]["n_users"] == 3
+    assert out["view"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["signup"]["conv_from_prev"] == 1.0
+    assert out["view"]["conv_from_prev"] == round(2 / 3, 6)
+    assert out["purchase"]["conv_from_prev"] == 0.5
+    assert out["purchase"]["conv_from_first"] == round(1 / 3, 6)
+    assert out["signup"]["conv_from_first"] == 1.0
+
+
+def test_funnel_strict_inequality_same_ts(spark):
+    # A view at the EXACT signup timestamp does not convert (strict >).
+    rows = [(1, 1, 0, "signup", 0), (1, 1, 0, "view", 0)]
+    out = {
+        r["step"]: r["n_users"]
+        for r in relational.funnel_conversion(
+            _ev(spark, rows), steps=("signup", "view")
+        ).collect()
+    }
+    assert out == {"signup": 1, "view": 0}
+
+
+def test_funnel_empty_upstream_gives_zero_rates(spark):
+    # Rates are TOTAL: an empty upstream stage converts at 0.0 — never
+    # NULL, which would poison sorted-tuple value compares downstream.
+    rows = [(1, 1, 0, "view", 0)]
+    out = {
+        r["step"]: r
+        for r in relational.funnel_conversion(
+            _ev(spark, rows), steps=("signup", "view")
+        ).collect()
+    }
+    assert out["signup"]["n_users"] == 0
+    assert out["signup"]["conv_from_first"] == 0.0
+    assert out["view"]["conv_from_prev"] == 0.0
+
+
+# ----------------------------------------------------------------- cohort
+
+
+def test_cohort_retention_matrix(spark):
+    # 2024-01-01 is a Monday: days 1-7 are week 0, 8-14 week 1, 15-21 week 2.
+    rows = [
+        # cohort week0: users 1,2 start in week 0
+        (1, 1, 0, "click", 0), (1, 8, 0, "click", 0), (1, 15, 0, "click", 0),
+        (2, 2, 0, "click", 0), (2, 16, 0, "click", 0),
+        # cohort week1: user 3
+        (3, 9, 0, "click", 0), (3, 15, 0, "click", 0),
+    ]
+    got = {
+        (r["cohort_week"].day, r["week_offset"]): (r["n_active"], r["retention"])
+        for r in relational.cohort_retention(_ev(spark, rows)).collect()
+    }
+    # cohort of Jan 1: size 2; week1 has only user 1; week2 has both.
+    assert got[(1, 0)] == (2, 1.0)
+    assert got[(1, 1)] == (1, 0.5)
+    assert got[(1, 2)] == (2, 1.0)
+    # cohort of Jan 8: size 1, retained in its week 1.
+    assert got[(8, 0)] == (1, 1.0)
+    assert got[(8, 1)] == (1, 1.0)
+    assert len(got) == 5
+
+
+def test_cohort_multiple_events_count_once(spark):
+    rows = [(1, 1, 0, "click", 0), (1, 1, 5, "view", 0), (1, 2, 0, "click", 0)]
+    got = relational.cohort_retention(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    assert (got[0]["week_offset"], got[0]["n_active"]) == (0, 1)
+
+
+# ---------------------------------------------------------------- gapfill
+
+
+def test_gapfill_locf_fills_missing_hours(spark):
+    rows = [
+        (1, 1, 0, "click", 10.0),
+        (1, 1, 1, "click", 20.5),
+        # hour 2 missing
+        (1, 1, 3, "click", 7.25),
+    ]
+    out = {
+        r["hour"].hour: r
+        for r in relational.time_bucket_gapfill(_ev(spark, rows)).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    gap = out[2]
+    assert gap["n_events"] == 0
+    assert gap["sum_value"] is None
+    assert gap["filled_value"] == 20.5
+    assert gap["is_gap"] is True
+    real = out[3]
+    assert (real["n_events"], real["sum_value"], real["is_gap"]) == (1, 7.25, False)
+    assert out[0]["filled_value"] == 10.0
+
+
+def test_gapfill_axis_is_per_group(spark):
+    # group 'b' spans a different window than 'a'; axes must not leak.
+    rows = [
+        (1, 1, 0, "a", 1.0), (1, 1, 2, "a", 1.0),
+        (2, 1, 5, "b", 1.0),
+    ]
+    out = relational.time_bucket_gapfill(_ev(spark, rows)).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["event_type"], []).append(r["hour"].hour)
+    assert sorted(by_group["a"]) == [0, 1, 2]
+    assert by_group["b"] == [5]
+
+
+# ------------------------------------------------------------ typo pairs
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, "word string, n bigint")
+
+
+def test_typo_pairs_substitution_insertion_deletion(spark):
+    rows = [
+        ("hello", 100), ("hullo", 3),    # substitution
+        ("world", 80), ("worlds", 2),    # insertion
+        ("there", 60), ("tere", 1),      # deletion
+        ("apple", 50), ("grape", 40),    # distance > 1: never a pair
+    ]
+    got = {
+        (r["typo"], r["canon"]): (r["typo_n"], r["canon_n"])
+        for r in fuzzy.edit1_typo_pairs(_wf(spark, rows)).collect()
+    }
+    assert got == {
+        ("hullo", "hello"): (3, 100),
+        ("worlds", "world"): (2, 80),
+        ("tere", "there"): (1, 60),
+    }
+
+
+def test_typo_pairs_frequency_gate(spark):
+    rows = [
+        ("might", 50), ("night", 40),   # both frequent: legitimate neighbors
+        ("might2", 0), ("spark", 8), ("spurk", 3),  # ratio 8/3 < 4: kept out
+    ]
+    out = fuzzy.edit1_typo_pairs(_wf(spark, [r for r in rows if r[1] > 0]))
+    assert out.collect() == []
+
+
+def test_typo_pairs_min_length_floor(spark):
+    # 3-char words are below the default min_len=4 — dense buckets and
+    # mostly-legitimate neighbors, excluded wholesale.
+    rows = [("cat", 100), ("cot", 1)]
+    assert fuzzy.edit1_typo_pairs(_wf(spark, rows)).collect() == []
+
+
+def test_typo_pairs_exact_distance1_recall(spark):
+    # Blocking is exact for distance 1: every (w, w-with-one-edit) pair
+    # must surface regardless of where the edit lands.
+    base = "spelling"
+    variants = [
+        "spellings",      # append
+        "spellin",        # delete last
+        "spellinc",       # substitute last
+        "zpelling",       # substitute first
+        "sppelling",      # insert middle
+    ]
+    rows = [(base, 1000)] + [(v, 1) for v in variants]
+    got = {r["typo"] for r in fuzzy.edit1_typo_pairs(_wf(spark, rows)).collect()}
+    assert got == set(variants)
+
+
+# ------------------------------------------------------- sweep-line
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, h1, m1), dt.datetime(2024, 1, 1, h2, m2))
+            for h1, m1, h2, m2 in rows
+        ],
+        "session_start timestamp, session_end timestamp",
+    )
+
+
+def test_concurrency_overlap_counting(spark):
+    rows = [
+        (0, 0, 0, 30),   # A: 00:00-00:30
+        (0, 10, 0, 50),  # B: 00:10-00:50 (overlaps A)
+        (0, 20, 1, 10),  # C: 00:20-01:10 (overlaps A+B, spans into hour 1)
+        (2, 0, 2, 5),    # D: isolated in hour 2
+    ]
+    got = {
+        r["hour"].hour: r["max_concurrent"]
+        for r in relational.interval_concurrency(_iv(spark, rows)).collect()
+    }
+    assert got[0] == 3          # A+B+C all open at 00:20-00:30
+    assert got[1] == 0          # only C's close boundary lives in hour 1
+    assert got[2] == 1
+
+
+def test_concurrency_touching_endpoints_overlap(spark):
+    # end is INCLUSIVE: an interval ending at t and one starting at t overlap.
+    rows = [(0, 0, 0, 30), (0, 30, 0, 45)]
+    got = {
+        r["hour"].hour: r["max_concurrent"]
+        for r in relational.interval_concurrency(_iv(spark, rows)).collect()
+    }
+    assert got[0] == 2
+
+
+def test_concurrency_matches_naive_global_walk(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        s = rng.randrange(0, 6 * 60)
+        e = s + rng.randrange(0, 90)
+        rows.append((s // 60, s % 60, e // 60, e % 60))
+    got = {
+        r["hour"]: r["max_concurrent"]
+        for r in relational.interval_concurrency(_iv(spark, rows)).collect()
+    }
+    # naive single-stream reference walk
+    bounds = []
+    for h1, m1, h2, m2 in rows:
+        bounds.append((dt.datetime(2024, 1, 1, h1, m1), 1))
+        bounds.append(
+            (dt.datetime(2024, 1, 1, h2, m2) + dt.timedelta(microseconds=1), -1)
+        )
+    bounds.sort(key=lambda x: (x[0], -x[1]))
+    run, best = 0, {}
+    for ts, d in bounds:
+        run += d
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        best[hour] = max(best.get(hour, run), run)
+    assert got == best

@@ -145,6 +145,247 @@ def asof_join_two_tables(
     )
 
 
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each step sequence position i, count
+    users whose earliest step-i event STRICTLY FOLLOWS their committed
+    step-(i-1) timestamp (the classic product-analytics funnel; order
+    matters, a purchase before the signup does not convert).
+
+    Output: one row per step —
+    ``(step_idx, step, n_users, conv_from_prev, conv_from_first)`` with
+    conversion ratios as 6-dp-rounded doubles. The rate columns are
+    TOTAL (never NULL): an empty upstream stage converts at 0.0, and
+    step 1's from-prev is defined as its from-first rate — a nullable
+    rate would make the driver's sorted-tuple value compare mix NULL
+    markers with floats whenever counts tie across steps.
+
+    Scale shape: the per-user step timestamps are chained full-partition
+    window minima over ONE hash exchange on ``user_col`` (Catalyst stacks
+    the Window operators on the shared partitioning); the final rollup is
+    a single 1-row aggregate exploded to len(steps) rows. No joins, no
+    per-step corpus rescans."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    w = Window.partitionBy(user_col)
+    out = events.select(user_col, ts_col, type_col)
+    for i, step in enumerate(steps):
+        hit = F.col(type_col) == step
+        if i > 0:
+            hit = hit & (F.col(ts_col) > F.col(f"_s{i - 1}"))
+        out = out.withColumn(
+            f"_s{i}", F.min(F.when(hit, F.col(ts_col))).over(w)
+        )
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(f"_s{i}").alias(f"_s{i}") for i in range(len(steps))]
+    )
+    totals = per_user.agg(
+        *[F.count(f"_s{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+
+    def _rate(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.round(F.col(num).cast("double") / F.col(den), 6),
+        ).otherwise(F.lit(0.0))
+
+    rows = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                        _rate(f"n{i}", f"n{max(i - 1, 0)}").alias(
+                            "conv_from_prev"
+                        ),
+                        _rate(f"n{i}", "n0").alias("conv_from_first"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the ISO week
+    (Monday-truncated) of their FIRST event; each later active week
+    contributes to that cohort's retention at ``week_offset`` weeks.
+
+    Output: ``(cohort_week, week_offset, n_active, retention)`` where
+    retention = n_active / cohort size (the offset-0 count — every user
+    is active in their own first week by construction), 6-dp rounded.
+
+    Scale shape: (user, week) activity is de-duplicated FIRST (groupBy —
+    map-side partial), the cohort week rides a per-user window min on the
+    same key family, and cohort size is a window max over the final
+    small (cohort × offset) grid — never a self-join or corpus rescan.
+    Week arithmetic stays integral: both engines truncate to Monday, so
+    the day-diff is exactly divisible by 7."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    active = events.groupBy(F.col(user_col), wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_user = Window.partitionBy(user_col)
+    tagged = active.withColumn("cohort_week", F.min("wk").over(w_user))
+    grid = tagged.groupBy("cohort_week",
+        F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w_cohort = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+        w_cohort
+    )
+    return grid.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / size, 6).alias("retention"),
+    )
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled hourly rollup with last-observation-carried-forward
+    (the Timescale ``time_bucket_gapfill`` + ``locf`` shape): aggregate
+    per (group, hour), then densify each group's time axis between ITS
+    OWN min and max hour, filling missing buckets with n_events = 0 and
+    carrying the last seen hourly sum forward.
+
+    Output: ``(group, hour, n_events, sum_value, filled_value, is_gap)``
+    — ``sum_value`` is NULL on fabricated rows, ``filled_value`` is the
+    LOCF series (never NULL: each group's axis starts at an observed
+    hour), ``is_gap`` marks fabricated rows.
+
+    Scale shape: the dense axis is generated DISTRIBUTED — per-group
+    min/max + ``sequence()`` explode — never a driver-side calendar
+    collect; the explode factor is bounded by each group's own span.
+    LOCF is one last(ignorenulls) window per group. Sums are 4-dp
+    pre-rounded so the carried value is bit-identical cross-engine."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    agg = events.groupBy(F.col(group_col), hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
+    axis = (
+        agg.groupBy(group_col)
+        .agg(F.min("hour").alias("_mn"), F.max("hour").alias("_mx"))
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    filled = axis.join(agg, [group_col, "hour"], "left")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        group_col,
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Sweep-line concurrency: for every hour containing an interval
+    boundary, the maximum number of simultaneously-open intervals
+    (inclusive [start, end] — a zero-length interval still counts as
+    open at its instant). The classic +1/−1 boundary walk.
+
+    Output: ``(hour, max_concurrent)``.
+
+    Scale shape: the naive formulation is a running sum over ONE global
+    ordering — a single-partition window that serializes the whole
+    boundary stream through one task. This version uses the two-level
+    prefix-sum decomposition instead: boundaries cumsum WITHIN their
+    hour bucket (parallel, one hash exchange), per-hour delta totals
+    cumsum on the tiny hour axis (single-partition window over ≤ a few
+    thousand rows — 8,760 per year), and the hour offsets broadcast back.
+    run(b) = offset(hour(b)) + within-hour prefix — identical to the
+    global walk, executed at full parallelism.
+
+    Determinism: boundaries order by (ts, delta DESC) so a start at the
+    exact instant an interval ends counts as overlapping; tied equal
+    deltas permute only within a run of identical increments, which
+    leaves every prefix-sum value — and hence the hourly max — unchanged."""
+    # One pass over the (possibly expensive) interval source: explode each
+    # interval to its two boundaries inline instead of a union of two
+    # selects — a union would evaluate the upstream plan twice.
+    b = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.timestamp_micros(
+                        F.unix_micros(F.col(end_col)) + 1
+                    ).alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_b")
+    ).select(
+        F.col("_b.ts").alias("ts"),
+        F.col("_b.delta").alias("delta"),
+        F.date_trunc("hour", F.col("_b.ts")).alias("hour"),
+    )
+    # The boundary frame feeds BOTH the within-hour cumsum and the hour
+    # offsets — persist so the upstream (e.g. a sessionize window) runs
+    # once. Two slim columns per boundary: negligible storage.
+    b = b.persist()
+    w_in = (
+        Window.partitionBy("hour")
+        .orderBy(F.col("ts"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("run_in", F.sum("delta").over(w_in))
+    w_hours = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("hour")
+        .agg(F.sum("delta").alias("_hd"))
+        .select(
+            "hour",
+            F.coalesce(F.sum("_hd").over(w_hours), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "hour")
+        .groupBy("hour")
+        .agg(F.max(F.col("run_in") + F.col("_off")).alias("max_concurrent"))
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

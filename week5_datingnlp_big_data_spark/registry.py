@@ -34,6 +34,7 @@ from week5_datingnlp_big_data_spark.operators import (
     dfm,
     filters,
     freq,
+    fuzzy,
     ir,
     ml,
     relational,
@@ -5080,6 +5081,220 @@ def doc_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over SORTED distinct characters in both engines so the float
     sum is order-identical. See operators/textstats.py:char_entropy."""
     return textstats.char_entropy(spread(_t(spark, sf_dir, "documents")))
+
+
+# --- round-9 additions: behavioral/time-series analytics (funnel, cohort
+# retention, gap-filled buckets) — registered after the curated window like
+# the other late oracle-backed queries; identical DuckDB compare runs in
+# tests/test_oracle_parity.py.
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      FROM events GROUP BY 1
+    ), s1 AS (
+      SELECT s0.user_id, min(e.ts) AS t1
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1
+    ), s2 AS (
+      SELECT s1.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+    ), c AS (
+      SELECT (SELECT count(t0) FROM s0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2
+    )
+    SELECT 1 AS step_idx, 'signup' AS step, n0 AS n_users,
+           CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6)
+                ELSE 0.0 END AS conv_from_prev,
+           CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6)
+                ELSE 0.0 END AS conv_from_first
+    FROM c
+    UNION ALL
+    SELECT 2, 'view', n1,
+           CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6)
+                ELSE 0.0 END,
+           CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6)
+                ELSE 0.0 END
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', n2,
+           CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6)
+                ELSE 0.0 END,
+           CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 6)
+                ELSE 0.0 END
+    FROM c
+    """,
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel: per-step user counts and
+    conversion ratios, each step's earliest event strictly after the
+    committed previous step. Chained window minima over ONE user_id
+    exchange — the oracle's per-step join cascade re-derives the same
+    timestamps relationally. See operators/relational.py:funnel_conversion."""
+    return relational.funnel_conversion(
+        _t(spark, sf_dir, "events"), steps=("signup", "view", "purchase")
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), g AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week, a.wk) // 7 AS week_offset,
+             count(*) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           round(CAST(n_active AS DOUBLE) /
+                 max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM g
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort = Monday-truncated week of
+    each user's first event). Week arithmetic stays integral — both
+    engines truncate to Monday so the day diff divides by 7 exactly.
+    See operators/relational.py:cohort_retention."""
+    return relational.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_gapfill_locf",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), axis AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+            FROM agg GROUP BY 1)
+    ), f AS (
+      SELECT axis.event_type, axis.hour, agg.n_events, agg.sum_value
+      FROM axis LEFT JOIN agg USING (event_type, hour)
+    )
+    SELECT event_type, hour, coalesce(n_events, 0) AS n_events, sum_value,
+           last_value(sum_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING) AS filled_value,
+           (n_events IS NULL) AS is_gap
+    FROM f
+    """,
+)
+def events_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LOCF (the Timescale
+    time_bucket_gapfill shape): each event_type's hour axis densified
+    between its own min/max via a DISTRIBUTED sequence() explode — no
+    driver-side calendar — with missing buckets carried forward. Sums
+    4-dp pre-rounded so the carried value is bit-identical cross-engine.
+    See operators/relational.py:time_bucket_gapfill."""
+    return relational.time_bucket_gapfill(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "vocab_typo_pairs",
+    f"""
+    WITH wf AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT * FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY 1
+    ), v AS (
+      SELECT word, n,
+             unnest(list_distinct(list_prepend(word,
+               list_transform(range(1, length(word) + 1),
+                 i -> substr(word, 1, i - 1)
+                      || substr(word, i + 1, length(word)))))) AS key
+      FROM wf WHERE length(word) >= 4
+    ), cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+             a.n AS n_a, b.n AS n_b
+      FROM v a JOIN v b USING (key) WHERE a.word < b.word
+    ), verified AS (
+      SELECT * FROM cand WHERE levenshtein(word_a, word_b) = 1
+    )
+    SELECT CASE WHEN n_a < n_b THEN word_a ELSE word_b END AS typo,
+           CASE WHEN n_a < n_b THEN word_b ELSE word_a END AS canon,
+           least(n_a, n_b) AS typo_n,
+           greatest(n_a, n_b) AS canon_n
+    FROM verified
+    WHERE greatest(n_a, n_b) >= 4 * least(n_a, n_b)
+      AND greatest(n_a, n_b) >= 5
+    """,
+)
+def vocab_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 typo detection over the corpus vocabulary:
+    SymSpell symmetric-delete blocking (pairs meet on shared {self} ∪
+    {1-deletion} variants — exact distance-1 recall, linear explode) +
+    Levenshtein verify + frequency-asymmetry direction. The vocabulary
+    cleanup primitive for OCR/typo noise at crawl scale.
+    See operators/fuzzy.py:edit1_typo_pairs."""
+    wf = (
+        corpus.explode_tokens(_docs_tokenized(spark, sf_dir), "tokens", "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return fuzzy.edit1_typo_pairs(wf)
+
+
+@query(
+    "session_concurrency",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    ), sess AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY 1, 2
+    ), b AS (
+      SELECT session_start AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT session_end + INTERVAL 1 MICROSECOND AS ts, -1 FROM sess
+    ), r AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(delta) OVER (ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM b
+    )
+    SELECT hour, CAST(max(run) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY 1
+    """,
+)
+def session_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min sessions per hour — sweep-line +1/−1
+    boundary walk. The oracle runs the textbook single global running
+    sum; the Spark side computes the identical prefix sums via the
+    two-level decomposition (within-hour cumsum + tiny hour-axis offset
+    cumsum, broadcast back) so no single-partition window ever sees the
+    full boundary stream. See operators/relational.py:interval_concurrency."""
+    sess = relational.session_stats(
+        _t(spark, sf_dir, "events"), gap_minutes=30.0
+    )
+    return relational.interval_concurrency(sess)
 
 
 # ---------------------------------------------------------------------------
