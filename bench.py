@@ -93,6 +93,10 @@ HEADLINE = [
     "events_gapfill_locf",
     "vocab_typo_pairs",
     "session_concurrency",
+    "textrank_keywords",
+    "part_copurchase_pairs",
+    "session_error_exposure",
+    "lang_source_contingency",
 ]
 
 

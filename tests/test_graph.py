@@ -1,0 +1,147 @@
+"""Integer PageRank + TextRank: exactness against a pure-Python twin of
+the div-floor recurrence, ranking invariants, and edge hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import graph, relational
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w bigint")
+
+
+def _py_pagerank(edges, iters=5, scale=10**9):
+    """The recurrence from graph.py, in plain Python — the golden."""
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    nodes = sorted(out)
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = ((15 * scale) // 100) // n
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            s[v] += (rank[u] * w) // out[u]
+        rank = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return rank
+
+
+def _sym(pairs):
+    out = []
+    for a, b, w in pairs:
+        out.append((a, b, w))
+        out.append((b, a, w))
+    return out
+
+
+def test_pagerank_matches_python_twin_weighted(spark):
+    pairs = [("a", "b", 3), ("b", "c", 1), ("a", "c", 7), ("c", "d", 2)]
+    edges = _sym(pairs)
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_int(_edges(spark, edges)).collect()
+    }
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # A 4-cycle is vertex-transitive: every node must get the same rank.
+    edges = _sym([("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_int(_edges(spark, edges)).collect()
+    }
+    assert len(set(ranks.values())) == 1
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # Star graph: the hub concentrates rank.
+    edges = _sym([("hub", leaf, 1) for leaf in ("x", "y", "z")])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_int(_edges(spark, edges)).collect()
+    }
+    assert ranks["hub"] > ranks["x"] == ranks["y"] == ranks["z"]
+
+
+def test_pagerank_empty_graph(spark):
+    out = graph.pagerank_int(_edges(spark, []))
+    assert out.collect() == []
+
+
+def test_word_adjacency_edges_symmetric_pruned(spark):
+    docs = spark.createDataFrame(
+        [(["big", "data", "big", "data", "big", "data"],),
+         (["data", "big", "rare", "pair"],)],
+        "tokens array<string>",
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in graph.word_adjacency_edges(docs, min_weight=3).collect()
+    }
+    # (big,data) adjacency occurs 6 times across both docs (either order);
+    # (rare,pair) and (big,rare) occur once: pruned at min_weight=3.
+    assert got == {("big", "data"): 6, ("data", "big"): 6}
+
+
+def test_word_adjacency_drops_self_loops(spark):
+    docs = spark.createDataFrame(
+        [(["echo", "echo", "echo", "echo"],)], "tokens array<string>"
+    )
+    assert graph.word_adjacency_edges(docs, min_weight=1).collect() == []
+
+
+def test_textrank_topk_deterministic_and_ranked(spark):
+    docs = spark.createDataFrame(
+        [(["spark", "engine"] * 10,), (["spark", "scale"] * 4,)],
+        "tokens array<string>",
+    )
+    out = graph.textrank_keywords(docs, k=3, min_edge_weight=2).collect()
+    words = [r["word"] for r in out]
+    ranks = [r["rank_scaled"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    # 'spark' sits on both edges — highest degree, highest rank.
+    assert words[0] == "spark"
+    rerun = graph.textrank_keywords(docs, k=3, min_edge_weight=2).collect()
+    assert out == rerun
+
+
+# ------------------------------------------------- market-basket pairs
+
+
+def test_copurchase_support_lift_confidence(spark):
+    rows = [
+        # baskets: {x,y} ×3, {x,z} ×1, {y} ×1 → 5 baskets
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "x"), (4, "z"),
+        (5, "y"),
+        (5, "y"),            # duplicate line in the same basket: counted once
+    ]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = relational.basket_copurchase(
+        df, "basket", "item", min_support=2, max_basket_size=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["support"]) == ("x", "y", 3)
+    # c_x=4, c_y=4, n=5 → lift = 3*5/(4*4)
+    assert r["lift"] == round(15 / 16, 6)
+    assert r["conf_a_to_b"] == 0.75
+    assert r["conf_b_to_a"] == 0.75
+
+
+def test_copurchase_mega_basket_guard(spark):
+    rows = [(1, f"i{k}") for k in range(12)] + [(2, "i0"), (2, "i1")] * 3
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = relational.basket_copurchase(
+        df, "basket", "item", min_support=1, max_basket_size=10
+    ).collect()
+    # basket 1 (12 items) is dropped wholesale; only basket 2's pair remains
+    assert [(r["item_a"], r["item_b"], r["support"]) for r in out] == [
+        ("i0", "i1", 1)
+    ]

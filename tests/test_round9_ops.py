@@ -272,3 +272,77 @@ def test_concurrency_matches_naive_global_walk(spark):
         hour = ts.replace(minute=0, second=0, microsecond=0)
         best[hour] = max(best.get(hour, run), run)
     assert got == best
+
+
+# ---------------------------------------------- interval overlap join
+
+
+def test_interval_overlap_exactly_once_across_buckets(spark):
+    # left interval spans many buckets; right overlaps it in several —
+    # the meet rule must still emit each pair exactly once.
+    L = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 6, 0))],
+        "lid bigint, ls timestamp, le timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 5, 0)),
+            (11, dt.datetime(2023, 12, 31, 23, 0), dt.datetime(2024, 1, 1, 0, 30)),
+            (12, dt.datetime(2024, 1, 1, 6, 0), dt.datetime(2024, 1, 1, 7, 0)),  # touches at le: half-open, no overlap
+            (13, dt.datetime(2024, 1, 1, 5, 59), dt.datetime(2024, 1, 1, 9, 0)),
+        ],
+        "rid bigint, rs timestamp, re timestamp",
+    )
+    out = relational.interval_overlap_join(
+        L, R, "ls", "le", "rs", "re", bucket_micros=3600 * 1_000_000
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    assert got == [(1, 10), (1, 11), (1, 13)]
+
+
+def test_interval_overlap_matches_naive_cross(spark):
+    import random
+
+    rng = random.Random(3)
+    lrows = []
+    rrows = []
+    for i in range(80):
+        s = rng.randrange(0, 500)
+        lrows.append((i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s),
+                      dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s + rng.randrange(1, 120))))
+    for j in range(60):
+        s = rng.randrange(0, 500)
+        rrows.append((j, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s),
+                      dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s + rng.randrange(1, 45))))
+    L = spark.createDataFrame(lrows, "lid bigint, ls timestamp, le timestamp")
+    R = spark.createDataFrame(rrows, "rid bigint, rs timestamp, re timestamp")
+    out = relational.interval_overlap_join(
+        L, R, "ls", "le", "rs", "re", bucket_micros=17 * 60 * 1_000_000
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    want = sorted(
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls < re and rs < le
+    )
+    assert got == want
+
+
+# -------------------------------------------------- contingency cells
+
+
+def test_contingency_cells_golden(spark):
+    rows = [("en", "a")] * 30 + [("en", "b")] * 10 + [("fr", "a")] * 10 + [("fr", "b")] * 50
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        (r["row_key"], r["col_key"]): r
+        for r in relational.contingency_cells(df, "lang", "source").collect()
+    }
+    # margins: en=40, fr=60, a=40, b=60, n=100
+    assert got[("en", "a")]["observed"] == 30
+    assert got[("en", "a")]["expected"] == 16.0
+    assert got[("en", "a")]["chi2_contrib"] == round((30 - 16.0) ** 2 / 16.0, 6)
+    assert got[("fr", "b")]["expected"] == 36.0
+    assert got[("fr", "b")]["chi2_contrib"] == round((50 - 36.0) ** 2 / 36.0, 6)
+    assert len(got) == 4

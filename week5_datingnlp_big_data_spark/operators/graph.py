@@ -1,0 +1,175 @@
+"""Iterative graph analytics as DataFrame programs: fixed-iteration
+weighted PageRank in PURE INTEGER arithmetic, and TextRank keyword
+extraction (Mihalcea & Tarau, EMNLP 2004) over the word-adjacency graph.
+
+Why integer PageRank: the float recurrence sums neighbor contributions,
+and partial-aggregation order makes the last ulp of every float sum
+nondeterministic — after 5 iterations the drift can cross any rounding
+boundary, so a float rank is not value-comparable across engines or even
+across runs. Scaling ranks to integer units (1 rank = 1/scale) turns the
+whole recurrence into div/mod arithmetic that is bit-identical on Spark
+and any SQL oracle:
+
+    r_0(v)     = scale div N
+    out(u)     = Σ w(u,·)
+    c(u→v)     = (r(u) * w(u,v)) div out(u)
+    r_{i+1}(v) = ((15*scale) div 100) div N + (85 * Σ c(·→v)) div 100
+
+The floors lose < 1 unit per edge per iteration — noise at scale=1e9 —
+and determinism is total.
+
+Scale shape: each iteration is ONE join (ranks ⨝ edges on src, both
+pre-partitioned on the same key so AQE reuses the layout) and ONE
+aggregation (map-side partial sums absorb high-in-degree hubs before the
+shuffle). Iterations localCheckpoint eagerly — geometric lineage growth
+is the classic iterative-Spark OOM (same discipline as
+dedup.connected_components) — and every superseded generation is
+released immediately.
+
+Overflow bound: rank ≤ scale (total mass never exceeds the initial
+scale), so rank*w stays inside int64 while scale * max_edge_weight
+< 2^63 — at the default scale=1e9 that allows edge weights up to ~9e9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators.dedup import (
+    _release_local_checkpoint,
+)
+
+PAGERANK_SCALE = 10**9
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Weighted PageRank, damping 0.85, ``iters`` fixed iterations,
+    integer arithmetic throughout (see module docstring for the exact
+    recurrence — mirror it verbatim in any oracle).
+
+    ``edges`` is a DIRECTED weighted edge list; symmetrize first for an
+    undirected graph. Nodes are whatever appears as ``src`` (in a
+    symmetrized graph that is every node). Dangling mass is not
+    redistributed — irrelevant for symmetric graphs, document it if you
+    feed a DAG. Returns ``(node, rank)`` with rank in 1/scale units.
+
+    The node count is materialized once driver-side (a single bounded
+    count, same footprint as any fitted-model scalar); edges+out-weights
+    persist across iterations. ``checkpoint_every`` trades lineage depth
+    against blocking materializations: every eager localCheckpoint costs
+    a full job, so truncating each round doubles wall-clock on small
+    iteration budgets, while never truncating re-creates the geometric
+    planning blow-up. Every 2 rounds keeps the plan ≤ 2 join-agg layers
+    deep — both failure modes bounded."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(out_w, "src").persist()
+    nodes = ew.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank"))
+    seed = scale // n
+    base = ((15 * scale) // 100) // n
+    ranks = nodes.select("node", F.lit(seed).cast("bigint").alias("rank"))
+    last_ckpt = None
+    for i in range(iters):
+        contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank * w) div out_w").alias("c"),
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(agg, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+            if last_ckpt is not None:
+                _release_local_checkpoint(last_ckpt)
+            last_ckpt = ranks
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def word_adjacency_edges(
+    tokens_df: DataFrame,
+    tokens_col: str = "tokens",
+    min_weight: int = 3,
+) -> DataFrame:
+    """Undirected word co-occurrence graph from adjacent token pairs
+    (TextRank's window-2 graph): weight = adjacency count in EITHER
+    order, self-loops dropped, edges under ``min_weight`` pruned (the
+    Zipf tail of hapax adjacencies carries no ranking signal and
+    dominates the edge count). Returns the SYMMETRIZED directed edge
+    list ``(src, dst, w)`` ready for :func:`pagerank_int` — both
+    directions are emitted from one row via an inline explode, so the
+    aggregated pair table is scanned once."""
+    grams = F.when(
+        F.size(tokens_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - 2),
+            lambda i: F.struct(
+                F.least(
+                    F.col(tokens_col)[i], F.col(tokens_col)[i + 1]
+                ).alias("a"),
+                F.greatest(
+                    F.col(tokens_col)[i], F.col(tokens_col)[i + 1]
+                ).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        tokens_df.select(F.explode(grams).alias("g"))
+        .filter(F.col("g.a") != F.col("g.b"))
+        .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst")
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        "w",
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"), "w")
+
+
+def textrank_keywords(
+    tokens_df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 50,
+    min_edge_weight: int = 3,
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Corpus-level TextRank keywords: top-``k`` words by integer
+    PageRank over the adjacency graph, ties broken lexically so the
+    boundary of the top-k is deterministic. Output
+    ``(word, rank_scaled)``."""
+    edges = word_adjacency_edges(tokens_df, tokens_col, min_edge_weight)
+    ranks = pagerank_int(edges, iters=iters, scale=scale)
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("rank").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), F.asc("word"))
+        .limit(k)
+    )

@@ -386,6 +386,83 @@ def interval_concurrency(
     )
 
 
+def basket_copurchase(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    max_basket_size: int = 100,
+) -> DataFrame:
+    """Market-basket pair mining (A-priori level 2): unordered item
+    pairs co-occurring in ≥ ``min_support`` distinct baskets, with lift
+    and both directed confidences.
+
+    Output: ``(item_a, item_b, support, lift, conf_a_to_b, conf_b_to_a)``
+    with item_a < item_b. Lift/confidence derive from integer counts in
+    one IEEE division + 6-dp round — bit-identical cross-engine.
+
+    Scale shape: the within-basket self-join emits C(b,2) pairs per
+    basket, so one pathological mega-basket (a bot account, a default
+    user id) can emit millions of rows. ``max_basket_size`` drops such
+    baskets BEFORE the join — the standard co-occurrence guard (a
+    100-item basket contributes ~5k pairs; a 100k-item one would
+    contribute 5×10⁹). Everything else is hash-join + groupBy: the pair
+    aggregation absorbs duplicates map-side, and the basket total rides
+    a 1-row broadcast, never a driver collect."""
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    sized = bi.join(
+        bi.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= max_basket_size)
+        .select("basket"),
+        "basket",
+        "left_semi",
+    ).persist()
+    ic = sized.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n_baskets = sized.agg(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    enriched = (
+        pairs.join(ic.withColumnRenamed("item", "item_a")
+                     .withColumnRenamed("c", "c_a"), "item_a")
+        .join(ic.withColumnRenamed("item", "item_b")
+                .withColumnRenamed("c", "c_b"), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return enriched.select(
+        "item_a",
+        "item_b",
+        "support",
+        F.round(
+            (F.col("support") * F.col("n_baskets")).cast("double")
+            / (F.col("c_a") * F.col("c_b")),
+            6,
+        ).alias("lift"),
+        F.round(F.col("support").cast("double") / F.col("c_a"), 6).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("support").cast("double") / F.col("c_b"), 6).alias(
+            "conf_b_to_a"
+        ),
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -398,6 +475,109 @@ def top_k_per_group(
     return (
         df.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_micros: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join — every (left, right) pair whose
+    half-open spans ``[ls, le) × [rs, re)`` intersect — via time-axis
+    bucketization, the interval sibling of
+    :func:`range_join_point_in_interval` (which handles point-in-span).
+
+    Both sides explode to the buckets they touch, the join is a plain
+    equi join on the bucket, and each qualifying pair is kept EXACTLY
+    ONCE without a distinct pass: a pair that shares k buckets is
+    counted only in the bucket containing ``greatest(ls, rs)`` — the
+    overlap's first instant, which by construction lies in exactly one
+    shared bucket (the "meet rule"; a distinct over all shared buckets
+    would shuffle the full duplicated pair stream).
+
+    Sizing follows the point variant: explode factor ≈ span/bucket + 1
+    per row; set ``bucket_micros`` near the typical span so rows explode
+    to ~2 buckets. All columns of both inputs are preserved; callers
+    ensure distinct names. Integer epoch-microsecond comparisons — the
+    engine's cross-engine time discipline."""
+    ls = F.unix_micros(F.col(left_start).cast("timestamp"))
+    le_ = F.unix_micros(F.col(left_end).cast("timestamp"))
+    rs = F.unix_micros(F.col(right_start).cast("timestamp"))
+    re_ = F.unix_micros(F.col(right_end).cast("timestamp"))
+
+    def _explode(df, s, e, out):
+        sb = F.floor(s / bucket_micros)
+        eb = F.floor((e - 1) / bucket_micros)  # end exclusive
+        return df.withColumn(
+            out,
+            F.explode(
+                F.when(eb >= sb, F.sequence(sb, eb)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ),
+        )
+
+    lb = _explode(left, ls, le_, "_lb")
+    rb = _explode(right, rs, re_, "_rb")
+    joined = lb.join(rb, F.col("_lb") == F.col("_rb"))
+    return joined.filter(
+        (ls < re_)
+        & (rs < le_)
+        # meet rule: keep the pair only in the bucket of the overlap start
+        & (F.floor(F.greatest(ls, rs) / bucket_micros) == F.col("_lb"))
+    ).drop("_lb", "_rb")
+
+
+def contingency_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square contingency analysis as a PER-CELL table: observed
+    count, expected count under independence (row_total × col_total /
+    grand_total), and the cell's chi-square contribution
+    (observed − expected)² / expected.
+
+    Emitting cells instead of the summed statistic is deliberate: the
+    total is a float sum over cells whose addition order differs across
+    engines/partitionings — per-cell values involve exactly one
+    division chain from integer counts, so every row is bit-identical
+    everywhere (round 6dp both sides). Consumers needing the statistic
+    sum the column and own the tolerance.
+
+    Scale shape: one groupBy on (row, col); marginals ride window sums
+    over the cell grid (cardinality = |rows|×|cols|, tiny), never a
+    second scan of the input."""
+    cells = df.groupBy(
+        F.col(row_col).alias("row_key"), F.col(col_col).alias("col_key")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    w_row = Window.partitionBy("row_key")
+    w_col = Window.partitionBy("col_key")
+    w_all = Window.partitionBy()
+    with_margins = cells.select(
+        "row_key",
+        "col_key",
+        "observed",
+        F.sum("observed").over(w_row).alias("_rt"),
+        F.sum("observed").over(w_col).alias("_ct"),
+        F.sum("observed").over(w_all).alias("_n"),
+    )
+    expected = (F.col("_rt") * F.col("_ct")).cast("double") / F.col("_n")
+    return with_margins.select(
+        "row_key",
+        "col_key",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("observed") - expected) * (F.col("observed") - expected)
+            / expected,
+            6,
+        ).alias("chi2_contrib"),
     )
 
 

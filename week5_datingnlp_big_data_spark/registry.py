@@ -35,6 +35,7 @@ from week5_datingnlp_big_data_spark.operators import (
     filters,
     freq,
     fuzzy,
+    graph,
     ir,
     ml,
     relational,
@@ -5295,6 +5296,215 @@ def session_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), gap_minutes=30.0
     )
     return relational.interval_concurrency(sess)
+
+
+def _sql_pagerank_chain(iters: int, scale: int) -> str:
+    """Unrolled integer-PageRank iterations r1..r{iters} as CTEs — the
+    EXACT recurrence of operators/graph.py:pagerank_int (div-floor
+    arithmetic, damping 85/100), so Spark and DuckDB agree bit-for-bit."""
+    ctes = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             CAST((({15 * scale} // 100) // c.n)
+                  + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN c
+      LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * e.w) // o.out_w) AS s
+        FROM e JOIN {prev} r ON r.node = e.src
+               JOIN outw o ON o.src = e.src
+        GROUP BY 1
+      ) s ON s.node = nodes.node
+    )"""
+        )
+        prev = f"r{i}"
+    return ", ".join(ctes)
+
+
+@query(
+    "textrank_keywords",
+    f"""
+    WITH toks AS (
+      SELECT {_sql_tokens('text', stop=True)} AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), pairs AS (
+      SELECT least(g.w1, g.w2) AS a, greatest(g.w1, g.w2) AS b,
+             count(*) AS w
+      FROM toks, unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)),
+                               i -> struct_pack(w1 := w[i], w2 := w[i+1]))
+           ELSE [] END) AS t(g)
+      WHERE g.w1 <> g.w2
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), e AS (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pairs
+    ), outw AS (
+      SELECT src, sum(w) AS out_w FROM e GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), c AS (
+      SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000000 // c.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN c
+    ), {_sql_pagerank_chain(5, 10**9)}
+    SELECT node AS word, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r5 ORDER BY rank DESC, node LIMIT 50
+    """,
+)
+def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank (Mihalcea & Tarau 2004): top-50 keywords by
+    5-iteration weighted PageRank over the adjacency graph of the
+    stop-filtered tokenizer output. Ranks are INTEGER-scaled (1e-9
+    units) so the iterative float-sum drift that would break any
+    cross-engine compare never exists — the oracle unrolls the
+    identical div-floor recurrence. See operators/graph.py."""
+    return graph.textrank_keywords(
+        _docs_tokenized(spark, sf_dir).select("tokens"), k=50
+    )
+
+
+@query(
+    "part_copurchase_pairs",
+    """
+    WITH bi0 AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), ok AS (
+      SELECT basket FROM bi0 GROUP BY 1 HAVING count(*) <= 100
+    ), bi AS (
+      SELECT bi0.* FROM bi0 JOIN ok USING (basket)
+    ), ic AS (
+      SELECT item, count(*) AS c FROM bi GROUP BY 1
+    ), nb AS (
+      SELECT count(DISTINCT basket) AS n_baskets FROM bi
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+      FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT item_a, item_b, support,
+           round(CAST(support * n_baskets AS DOUBLE) / (ca.c * cb.c), 6)
+             AS lift,
+           round(CAST(support AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+           round(CAST(support AS DOUBLE) / cb.c, 6) AS conf_b_to_a
+    FROM pairs
+    JOIN ic ca ON ca.item = pairs.item_a
+    JOIN ic cb ON cb.item = pairs.item_b
+    CROSS JOIN nb
+    """,
+)
+def part_copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over orders×parts: co-purchased part
+    pairs at support ≥ 3 with lift and directed confidences; oversized
+    baskets (> 100 items) dropped before the within-basket self-join —
+    the C(b,2) blow-up guard. See operators/relational.py:basket_copurchase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.basket_copurchase(
+        li, "l_orderkey", "l_partkey", min_support=3, max_basket_size=100
+    )
+
+
+@query(
+    "session_error_exposure",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    ), sess AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 1 MICROSECOND AS session_end_x
+      FROM numbered GROUP BY 1, 2
+    ), inc AS (
+      SELECT ts - INTERVAL 5 MINUTE AS inc_start,
+             ts + INTERVAL 5 MINUTE AS inc_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT sess.user_id, CAST(sess.session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_incidents
+    FROM sess JOIN inc
+      ON epoch_us(sess.session_start) < epoch_us(inc.inc_end)
+     AND epoch_us(inc.inc_start) < epoch_us(sess.session_end_x)
+    GROUP BY 1, 2
+    """,
+)
+def session_error_exposure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: user sessions × (error ts ± 5 min)
+    incident windows → per-session incident exposure count. The oracle
+    is DuckDB's native theta range join; the Spark side bucketizes BOTH
+    interval streams onto the 10-minute time axis and keeps each
+    qualifying pair exactly once via the meet rule (pair counted only in
+    the bucket holding the overlap's first instant) — no distinct pass,
+    no per-key cross product. See operators/relational.py:interval_overlap_join."""
+    ev = _t(spark, sf_dir, "events")
+    sess = relational.session_stats(ev, gap_minutes=30.0).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        F.timestamp_micros(F.unix_micros("session_end") + 1).alias(
+            "session_end_x"
+        ),
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        (F.col("ts") - F.expr("interval 5 minutes")).alias("inc_start"),
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("inc_end"),
+    )
+    pairs = relational.interval_overlap_join(
+        sess, inc,
+        "session_start", "session_end_x",
+        "inc_start", "inc_end",
+        bucket_micros=10 * 60 * 1_000_000,
+    )
+    return pairs.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_incidents")
+    )
+
+
+@query(
+    "lang_source_contingency",
+    """
+    WITH cells AS (
+      SELECT lang AS row_key, source AS col_key, count(*) AS observed
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT row_key, col_key, observed,
+             sum(observed) OVER (PARTITION BY row_key) AS rt,
+             sum(observed) OVER (PARTITION BY col_key) AS ct,
+             sum(observed) OVER () AS n
+      FROM cells
+    )
+    SELECT row_key, col_key, observed,
+           round(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
+           round((observed - CAST(rt * ct AS DOUBLE) / n)
+                 * (observed - CAST(rt * ct AS DOUBLE) / n)
+                 / (CAST(rt * ct AS DOUBLE) / n), 6) AS chi2_contrib
+    FROM m
+    """,
+)
+def lang_source_contingency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of lang × source as a PER-CELL
+    table (observed, independence-expected, chi² contribution). Cells,
+    not the summed statistic: the total is a float sum whose addition
+    order differs across engines — each cell is one deterministic IEEE
+    division chain from integer counts. See
+    operators/relational.py:contingency_cells."""
+    return relational.contingency_cells(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
 
 
 # ---------------------------------------------------------------------------
