@@ -97,6 +97,8 @@ HEADLINE = [
     "part_copurchase_pairs",
     "session_error_exposure",
     "lang_source_contingency",
+    "events_session_window_native",
+    "user_state_scd2",
 ]
 
 

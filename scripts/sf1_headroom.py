@@ -88,6 +88,16 @@ QUERIES = [
     "media_phash_near_dups", "line_dedup_rewrite", "cross_lm_scores",
     "events_range_attribution", "prep_cascade_v2", "lineitem_stat_moments",
     "shard_manifest", "leakage_safe_split",
+    # round-8/9 additions: decontamination cut (gram join + anti join),
+    # behavioral analytics (chained window minima, cohort grid, dense-axis
+    # gapfill, two-level prefix sums, interval-interval bucket join),
+    # SymSpell delete-neighborhood self-join, iterative integer PageRank,
+    # basket self-join pair mining
+    "decontaminated_corpus", "luhn_ccn_stats", "doc_char_entropy",
+    "funnel_conversion", "cohort_retention", "events_gapfill_locf",
+    "session_concurrency", "session_error_exposure", "vocab_typo_pairs",
+    "textrank_keywords", "part_copurchase_pairs", "lang_source_contingency",
+    "events_session_window_native", "user_state_scd2",
 ]
 
 

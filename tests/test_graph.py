@@ -145,3 +145,25 @@ def test_copurchase_mega_basket_guard(spark):
     assert [(r["item_a"], r["item_b"], r["support"]) for r in out] == [
         ("i0", "i1", 1)
     ]
+
+
+def test_pagerank_driver_and_distributed_paths_identical(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{k}" for k in range(40)]
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b), rng.randrange(1, 9)))
+    edges = _sym(sorted(pairs))
+    df = _edges(spark, edges)
+    fast = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_int(df).collect()  # small graph → driver path
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_int(df, driver_threshold_edges=0).collect()
+    }
+    assert fast == dist == _py_pagerank(edges)

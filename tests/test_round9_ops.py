@@ -346,3 +346,41 @@ def test_contingency_cells_golden(spark):
     assert got[("fr", "b")]["expected"] == 36.0
     assert got[("fr", "b")]["chi2_contrib"] == round((50 - 36.0) ** 2 / 36.0, 6)
     assert len(got) == 4
+
+
+# -------------------------------------------------------------- SCD2
+
+
+def test_scd2_islands_and_chaining(spark):
+    rows = [
+        (1, 1, 0, "view", 0), (1, 1, 1, "view", 0),      # island 1: view x2
+        (1, 1, 2, "purchase", 0),                         # island 2
+        (1, 1, 3, "view", 0),                             # island 3 (view returns)
+        (2, 1, 0, "click", 0),                            # other user
+    ]
+    out = relational.scd2_from_events(_ev(spark, rows))
+    got = sorted(
+        (r["user_id"], r["version"], r["state"], r["n_events"],
+         r["eff_start"].hour, None if r["eff_end"] is None else r["eff_end"].hour)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, "view", 2, 0, 2),
+        (1, 2, "purchase", 1, 2, 3),
+        (1, 3, "view", 1, 3, None),
+        (2, 1, "click", 1, 0, None),
+    ]
+
+
+def test_scd2_consecutive_null_states_merge(spark):
+    import datetime as _dt
+
+    rows = [
+        (0, 1, _dt.datetime(2024, 1, 1, 0), None, 0.0),
+        (1, 1, _dt.datetime(2024, 1, 1, 1), None, 0.0),
+        (2, 1, _dt.datetime(2024, 1, 1, 2), "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = relational.scd2_from_events(df).collect()
+    states = sorted((r["version"], r["state"], r["n_events"]) for r in out)
+    assert states == [(1, None, 2), (2, "view", 1)]

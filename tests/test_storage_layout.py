@@ -150,3 +150,62 @@ def test_write_sorted_read_back_prunes_and_matches(spark, sf_dir, tmp_path):
     assert rd.count() == want
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "o_totalprice" in plan and "PushedFilters" in plan
+
+
+def test_write_zordered_bounds_both_dims(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from week5_datingnlp_big_data_spark.sources.sinks import (
+        write_sorted,
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    zout = str(tmp_path / "orders_z")
+    sout = str(tmp_path / "orders_s")
+    write_zordered(orders, zout, ["o_totalprice", "o_custkey"], n_files=8)
+    write_sorted(orders, sout, ["o_totalprice"], n_files=8)
+
+    def spans(path, col):
+        got = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min); maxs.append(st.max)
+            got.append(max(maxs) - min(mins))
+        return got
+
+    lo, hi = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    ck_global = hi - lo
+    lo, hi = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    tp_global = hi - lo
+
+    z_ck = spans(zout, "o_custkey")
+    z_tp = spans(zout, "o_totalprice")
+    s_ck = spans(sout, "o_custkey")
+    assert len(z_ck) >= 4
+    # Z-order bounds BOTH dimensions: average per-file span well under
+    # the global span on each clustered column...
+    assert sum(z_ck) / len(z_ck) < 0.62 * ck_global
+    assert sum(z_tp) / len(z_tp) < 0.62 * tp_global
+    # ...while the single-column sorted layout leaves the second
+    # dimension unclustered (near-global span per file).
+    assert sum(s_ck) / len(s_ck) > 0.9 * ck_global
+
+
+def test_write_zordered_read_back_matches(spark, sf_dir, tmp_path):
+    from week5_datingnlp_big_data_spark.sources.sinks import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_z2")
+    write_zordered(orders, out, ["o_totalprice", "o_custkey"], n_files=8)
+    rd = spark.read.parquet(out)
+    assert "_zkey" not in rd.columns
+    pred = (F.col("o_totalprice") > 200000) & (F.col("o_custkey") < 300)
+    assert rd.filter(pred).count() == orders.filter(pred).count()
+    assert rd.count() == orders.count()

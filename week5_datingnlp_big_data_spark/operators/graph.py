@@ -43,6 +43,30 @@ from week5_datingnlp_big_data_spark.operators.dedup import (
 PAGERANK_SCALE = 10**9
 
 
+def _pagerank_py(edge_rows, iters: int, scale: int) -> dict:
+    """The module-docstring recurrence on a collected edge list — the
+    small-graph execution of :func:`pagerank_int`. Same div-floor
+    integer arithmetic, so both paths return identical ranks."""
+    out_w = {}
+    adj = []
+    for s, d, w, ow in edge_rows:
+        out_w[s] = ow
+        adj.append((s, d, w))
+    nodes = sorted(out_w)
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = ((15 * scale) // 100) // n
+    for _ in range(iters):
+        acc = dict.fromkeys(nodes, 0)
+        for s, d, w in adj:
+            # dst-only nodes are not ranked (the distributed path's node
+            # set is distinct(src) too) — mass sent to them is dropped
+            if d in acc:
+                acc[d] += (rank[s] * w) // out_w[s]
+        rank = {v: base + (85 * acc[v]) // 100 for v in nodes}
+    return rank
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",
@@ -51,6 +75,7 @@ def pagerank_int(
     iters: int = 5,
     scale: int = PAGERANK_SCALE,
     checkpoint_every: int = 2,
+    driver_threshold_edges: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank, damping 0.85, ``iters`` fixed iterations,
     integer arithmetic throughout (see module docstring for the exact
@@ -69,7 +94,19 @@ def pagerank_int(
     a full job, so truncating each round doubles wall-clock on small
     iteration budgets, while never truncating re-creates the geometric
     planning blow-up. Every 2 rounds keeps the plan ≤ 2 join-agg layers
-    deep — both failure modes bounded."""
+    deep — both failure modes bounded.
+
+    Coarse-to-fine execution: the edge count is already materialized
+    (the persisted edge table backs every iteration), so when the graph
+    is small — ≤ ``driver_threshold_edges`` after whatever pruning
+    produced it — the recurrence runs driver-side on the collected edge
+    list instead of as 5 distributed join-agg rounds. The integer math
+    is BIT-IDENTICAL on either path (tested by forcing both), the
+    driver footprint is bounded by the threshold (~3 longs/edge ≈ a few
+    MB), and the fixed per-iteration scheduling cost of a cluster round
+    trip — which dwarfs the compute for a pruned keyword graph —
+    disappears. Set ``driver_threshold_edges=0`` to force the
+    distributed path."""
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
@@ -79,6 +116,21 @@ def pagerank_int(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("bigint").alias("rank"))
+    m = ew.count()
+    if m <= driver_threshold_edges:
+        rows = ew.collect()
+        spark = edges.sparkSession
+        ranks_py = _pagerank_py(
+            [(r["src"], r["dst"], r["w"], r["out_w"]) for r in rows],
+            iters=iters,
+            scale=scale,
+        )
+        ew.unpersist()
+        nodes.unpersist()
+        node_type = ew.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(
+            sorted(ranks_py.items()), f"node {node_type}, rank bigint"
+        )
     seed = scale // n
     base = ((15 * scale) // 100) // n
     ranks = nodes.select("node", F.lit(seed).cast("bigint").alias("rank"))

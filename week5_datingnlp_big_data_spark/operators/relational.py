@@ -173,7 +173,13 @@ def funnel_conversion(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     w = Window.partitionBy(user_col)
-    out = events.select(user_col, ts_col, type_col)
+    # NULL-key policy: anonymous (NULL-user) and untimed events are
+    # excluded up front. Spark's window partitioning groups NULLs into a
+    # phantom user while SQL joins drop them — an explicit filter is the
+    # only semantics both engines share.
+    out = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(user_col, ts_col, type_col)
     for i, step in enumerate(steps):
         hit = F.col(type_col) == step
         if i > 0:
@@ -235,8 +241,13 @@ def cohort_retention(
     Week arithmetic stays integral: both engines truncate to Monday, so
     the day-diff is exactly divisible by 7."""
     wk = F.date_trunc("week", F.col(ts_col))
-    active = events.groupBy(F.col(user_col), wk.alias("wk")).agg(
-        F.count(F.lit(1)).alias("_n")
+    # NULL-key policy: see funnel_conversion — NULL users/timestamps out.
+    active = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col), wk.alias("wk"))
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     w_user = Window.partitionBy(user_col)
     tagged = active.withColumn("cohort_week", F.min("wk").over(w_user))
@@ -280,9 +291,17 @@ def time_bucket_gapfill(
     LOCF is one last(ignorenulls) window per group. Sums are 4-dp
     pre-rounded so the carried value is bit-identical cross-engine."""
     hour = F.date_trunc("hour", F.col(ts_col))
-    agg = events.groupBy(F.col(group_col), hour.alias("hour")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(value_col), 4).alias("sum_value"),
+    # NULL-key policy: a NULL group or timestamp cannot anchor a dense
+    # axis (and JOIN USING would silently drop it oracle-side) — exclude.
+    agg = (
+        events.filter(
+            F.col(group_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(group_col), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
     )
     axis = (
         agg.groupBy(group_col)
@@ -386,6 +405,56 @@ def interval_concurrency(
     )
 
 
+def scd2_from_events(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: collapse
+    each per-user run of identical ``state_col`` values into one
+    versioned validity interval — the gaps-and-islands → SCD2 idiom
+    every warehouse needs for "what was the state at time t" joins
+    (compose with asof_join_two_tables downstream).
+
+    Output: ``(user_id, state, version, eff_start, eff_end, n_events)``
+    with eff_end = next island's start (half-open chaining) and NULL on
+    the current state. Consecutive NULL states merge into one island
+    (null-safe change comparison; the first row is detected by row
+    number, NOT by lag-is-null — a lag-based test would shatter every
+    NULL-state run into per-event islands).
+
+    Scale shape: change detection, island numbering, the per-island
+    rollup, and validity chaining are all windows/groupBys on the same
+    ``user_col`` hash partitioning — one exchange end to end."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *id_cols)
+    chg = F.when(
+        (F.row_number().over(w) == 1)
+        | ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w)),
+        1,
+    ).otherwise(0)
+    grp = events.select(
+        user_col, ts_col, state_col, *id_cols
+    ).withColumn(
+        "_g",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    island = grp.groupBy(user_col, state_col, "_g").agg(
+        F.min(ts_col).alias("eff_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_chain = Window.partitionBy(user_col).orderBy("eff_start", "_g")
+    return island.select(
+        F.col(user_col),
+        F.col(state_col).alias("state"),
+        F.col("_g").cast("bigint").alias("version"),
+        "eff_start",
+        F.lead("eff_start").over(w_chain).alias("eff_end"),
+        "n_events",
+    )
+
+
 def basket_copurchase(
     df: DataFrame,
     basket_col: str,
@@ -412,14 +481,18 @@ def basket_copurchase(
     bi = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
-    sized = bi.join(
-        bi.groupBy("basket")
-        .agg(F.count(F.lit(1)).alias("_bs"))
+    # Basket-size guard as a WINDOW count, not groupBy+semi-join: the
+    # window leaves `sized` hash-partitioned on basket, which is exactly
+    # the self-join key — Catalyst reuses the layout and the pair join
+    # needs no further exchange.
+    sized = (
+        bi.withColumn(
+            "_bs", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
         .filter(F.col("_bs") <= max_basket_size)
-        .select("basket"),
-        "basket",
-        "left_semi",
-    ).persist()
+        .drop("_bs")
+        .persist()
+    )
     ic = sized.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     n_baskets = sized.agg(
         F.countDistinct("basket").alias("n_baskets")

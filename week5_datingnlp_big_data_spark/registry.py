@@ -5093,16 +5093,18 @@ def doc_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_conversion",
     """
-    WITH s0 AS (
+    WITH ev AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), s0 AS (
       SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
-      FROM events GROUP BY 1
+      FROM ev GROUP BY 1
     ), s1 AS (
       SELECT s0.user_id, min(e.ts) AS t1
-      FROM events e JOIN s0 USING (user_id)
+      FROM ev e JOIN s0 USING (user_id)
       WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1
     ), s2 AS (
       SELECT s1.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 USING (user_id)
+      FROM ev e JOIN s1 USING (user_id)
       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
     ), c AS (
       SELECT (SELECT count(t0) FROM s0) AS n0,
@@ -5145,11 +5147,13 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cohort_retention",
     """
-    WITH f AS (
+    WITH ev AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
       SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-      FROM events GROUP BY 1
+      FROM ev GROUP BY 1
     ), a AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM ev
     ), g AS (
       SELECT f.cohort_week,
              date_diff('day', f.cohort_week, a.wk) // 7 AS week_offset,
@@ -5177,7 +5181,9 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
              count(*) AS n_events, round(sum(value), 4) AS sum_value
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     ), axis AS (
       SELECT event_type,
              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
@@ -5504,6 +5510,87 @@ def lang_source_contingency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/relational.py:contingency_cells."""
     return relational.contingency_cells(
         _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@query(
+    "events_session_window_native",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator (the
+    same merging state machine Structured Streaming uses) instead of
+    the lag+cumsum idiom — one operator, one shuffle. Boundary
+    semantics differ from events_sessionize: session_window's per-event
+    window is the half-open [ts, ts+gap), so an event landing EXACTLY
+    gap after its predecessor starts a NEW session — the oracle's gap
+    test is therefore >= where the lag idiom's is >."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
+    "user_state_scd2",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER w = 1
+                  OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grp AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM e
+    ), island AS (
+      SELECT user_id, event_type AS state, CAST(g AS BIGINT) AS version,
+             min(ts) AS eff_start, count(*) AS n_events
+      FROM grp GROUP BY user_id, event_type, g
+    )
+    SELECT user_id, state, version, eff_start,
+           lead(eff_start) OVER (PARTITION BY user_id ORDER BY eff_start,
+                                 version) AS eff_end,
+           n_events
+    FROM island
+    """,
+)
+def user_state_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event stream: per
+    user, consecutive runs of the same event_type collapse to one
+    versioned validity interval [eff_start, eff_end) with the current
+    state left open (NULL eff_end) — the gaps-and-islands → SCD2
+    warehouse idiom. One shuffle on user_id; the change flag, island
+    number, rollup, and validity chaining all share that partitioning.
+    See operators/relational.py:scd2_from_events."""
+    return relational.scd2_from_events(
+        _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     )
 
 

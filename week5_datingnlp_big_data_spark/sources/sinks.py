@@ -146,6 +146,80 @@ def write_plot_data(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave of ``len(cols)`` numeric columns as a
+    single BIGINT sort key: each column is min-max quantized to ``bits``
+    levels, then the columns' bits are interleaved so that sorting by
+    the key clusters rows that are close in EVERY dimension — the
+    public Delta/Iceberg OPTIMIZE ZORDER idea expressed as plain
+    DataFrame expressions.
+
+    Why: a single-column sorted layout (write_sorted) gives perfect
+    min/max pruning on one predicate column and none on the others; the
+    Z-curve trades a little per-dimension locality for bounded locality
+    on ALL of them, so parquet zone maps prune on any predicate subset.
+
+    Mechanics: per-column global min/max ride ONE 1-row broadcast (no
+    driver collect); quantization and the bit interleave are integer
+    HOF arithmetic inside codegen. ``bits`` × len(cols) must stay ≤ 62;
+    16 bits × 2-3 dims is the practical sweet spot — pruning acts at
+    file/row-group granularity, so finer quantization buys nothing.
+    NULLs quantize to level 0 (they cluster together at curve start)."""
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
+    levels = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    )
+    tagged = df.crossJoin(F.broadcast(stats))
+    quant = []
+    for c in cols:
+        span = F.col(f"_mx_{c}") - F.col(f"_mn_{c}")
+        q = F.when(
+            span > 0,
+            F.floor(
+                (F.col(c).cast("double") - F.col(f"_mn_{c}")) * levels / span
+            ),
+        ).otherwise(F.lit(0))
+        quant.append(F.coalesce(q, F.lit(0)).cast("bigint"))
+    # interleave: output bit (i*len(cols) + j) = bit i of column j
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(quant):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + j,
+            ).cast("bigint")
+    return tagged, z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data-skipping layout: range-partition and sort
+    on the Z-order key of ``zorder_cols``, so every output file covers a
+    bounded hyper-rectangle of the key space and parquet min/max stats
+    prune files for predicates on ANY of the clustered columns — the
+    companion of :func:`write_sorted` when queries filter on more than
+    one high-cardinality column. The transient key never reaches disk."""
+    tagged, z = zorder_key(df, zorder_cols, bits)
+    keyed = tagged.select(*df.columns, z.alias("_zkey"))
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    out.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(
+        path
+    )
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
