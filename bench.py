@@ -99,6 +99,8 @@ HEADLINE = [
     "lang_source_contingency",
     "events_session_window_native",
     "user_state_scd2",
+    "event_type_daily_trend",
+    "events_daily_from_hourly",
 ]
 
 

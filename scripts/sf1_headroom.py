@@ -98,6 +98,8 @@ QUERIES = [
     "session_concurrency", "session_error_exposure", "vocab_typo_pairs",
     "textrank_keywords", "part_copurchase_pairs", "lang_source_contingency",
     "events_session_window_native", "user_state_scd2",
+    "event_type_daily_trend",
+    "events_daily_from_hourly",
 ]
 
 

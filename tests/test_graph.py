@@ -167,3 +167,49 @@ def test_pagerank_driver_and_distributed_paths_identical(spark):
         for r in graph.pagerank_int(df, driver_threshold_edges=0).collect()
     }
     assert fast == dist == _py_pagerank(edges)
+
+
+# ---------------------------------------- property: exact d==1 recall
+
+
+def test_typo_blocking_recall_property(spark):
+    """Symmetric-delete blocking is EXACT for distance 1: for random
+    base words and every possible single edit (insert/delete/substitute
+    at every position), the pair must surface. Batched into one Spark
+    job — a per-example job would take minutes."""
+    import random
+    import string
+
+    rng = random.Random(99)
+    rows = []
+    expected = set()
+    for i in range(25):
+        base = "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(rng.randint(4, 10))
+        ) + f"q{i}"  # unique suffix keeps pairs disjoint across examples
+        edits = set()
+        p = rng.randrange(len(base))
+        c = rng.choice(string.ascii_lowercase)
+        edits.add(base[:p] + c + base[p:])            # insert
+        edits.add(base[:p] + base[p + 1:])            # delete
+        if base[p] != c:
+            edits.add(base[:p] + c + base[p + 1:])    # substitute
+        edits.discard(base)
+        edits = {e for e in edits if len(e) >= 4}
+        rows.append((base, 1000))
+        for e in edits:
+            rows.append((e, 1))
+            expected.add((e, base))
+    df = spark.createDataFrame(rows, "word string, n bigint").dropDuplicates(["word"])
+    got = {
+        (r["typo"], r["canon"])
+        for r in relational_typo(df).collect()
+    }
+    missed = expected - got
+    assert not missed, f"blocking missed distance-1 pairs: {sorted(missed)[:5]}"
+
+
+def relational_typo(df):
+    from week5_datingnlp_big_data_spark.operators import fuzzy
+
+    return fuzzy.edit1_typo_pairs(df)

@@ -54,9 +54,13 @@ def test_driver_window_holds_flagships():
         "q11_important_parts", "q21_waiting_suppliers", "q22_global_sales_opportunity",
         # round-3 training-data flagships
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
-        "lm_quality_buckets", "span_dedup_fractions", "pii_redaction_stats",
+        "lm_quality_buckets", "pii_redaction_stats",
         "bloom_dedup_incremental", "dsir_target_sample",
         # round-7 flagships
         "exact_substr_spans", "line_dedup_rewrite", "media_phash_near_dups",
+        # round-9 flagships (span_dedup_fractions ceded its slot to the
+        # destructive line_dedup_rewrite form already in-window)
+        "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
+        "part_copurchase_pairs", "textrank_keywords",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

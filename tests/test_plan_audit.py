@@ -57,7 +57,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
     from week5_datingnlp_big_data_spark.registry import QUERIES
 
     for name in ("wordcount_top100", "minhash_near_dups", "bm25_topk",
-                 "exact_substr_spans", "media_phash_near_dups"):
+                 "exact_substr_spans", "media_phash_near_dups",
+                 # round-9: the new self-join / interval-join shapes must
+                 # never plan as cartesian products
+                 "vocab_typo_pairs", "part_copurchase_pairs",
+                 "session_error_exposure", "funnel_conversion",
+                 "session_concurrency"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

@@ -384,3 +384,82 @@ def test_scd2_consecutive_null_states_merge(spark):
     out = relational.scd2_from_events(df).collect()
     states = sorted((r["version"], r["state"], r["n_events"]) for r in out)
     assert states == [(1, None, 2), (2, "view", 1)]
+
+
+# --------------------------------------------------------------- trend
+
+
+def test_group_trend_exact_line(spark):
+    # y = 3x + 7 exactly: slope/intercept recover the line.
+    rows = [("a", x, 3 * x + 7) for x in range(10, 16)]
+    rows += [("b", 5, 100)]  # degenerate: single x → NULL fit
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r["g"]: r for r in relational.group_trend(df, "g", "x", "y").collect()}
+    assert got["a"]["slope"] == 3.0
+    # x re-based to the group min (10): intercept = fitted y at x=10
+    assert got["a"]["intercept"] == 37.0
+    assert got["b"]["slope"] is None and got["b"]["intercept"] is None
+    assert got["a"]["n_points"] == 6
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    xs = np.arange(30)
+    ys = (5 * xs + rng.randint(0, 50, 30)).astype(int)
+    df = spark.createDataFrame(
+        [("g", int(x), int(y)) for x, y in zip(xs, ys)],
+        "g string, x bigint, y bigint",
+    )
+    got = relational.group_trend(df, "g", "x", "y").collect()[0]
+    slope, icept = np.polyfit(xs, ys, 1)
+    assert abs(got["slope"] - slope) < 1e-6
+    assert abs(got["intercept"] - icept) < 1e-6
+
+
+# --------------------------------------------------------- rollup merge
+
+
+def test_daily_from_hourly_equals_direct_daily(spark):
+    # Mergeable-aggregate contract: composing daily from hourly partials
+    # must equal aggregating raw events directly (counts/min/max exactly;
+    # sums up to the documented two-level 4-dp rounding).
+    import random
+
+    rng = random.Random(2)
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1 + rng.randrange(3), rng.randrange(24),
+                           rng.randrange(60)),
+         "click", round(rng.uniform(-50, 50), 3))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from pyspark.sql import functions as F
+
+    hourly = df.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy("event_type", F.date_trunc("day", "hour").alias("day")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    direct = df.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    a = {(r["event_type"], r["day"]): r for r in daily.collect()}
+    b = {(r["event_type"], r["day"]): r for r in direct.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_events"] == b[k]["n_events"]
+        assert a[k]["min_value"] == b[k]["min_value"]
+        assert a[k]["max_value"] == b[k]["max_value"]
+        assert abs(a[k]["sum_value"] - b[k]["sum_value"]) < 24 * 1e-4

@@ -405,6 +405,58 @@ def interval_concurrency(
     )
 
 
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) from INTEGER sufficient
+    statistics: ``x_col``/``y_col`` must be integral (day indexes,
+    counts) so n, Σx, Σy, Σx², Σxy are exact, both closed-form
+    numerators/denominators are exact integers, and slope/intercept are
+    each ONE IEEE division — bit-identical on any engine (the
+    stat-moments discipline: never sum floats, derive from power sums).
+
+    x is re-based to each group's own minimum, so the intercept is the
+    fitted y at the group's first x (and the power sums stay far inside
+    the 2^53 double-exact integer range for epoch-day magnitudes).
+
+    Output: ``(group, n_points, slope, intercept)`` — slope/intercept
+    NULL for degenerate groups (a single distinct x). One groupBy plus
+    a window min on the same key: one exchange."""
+    w = Window.partitionBy(group_col)
+    based = df.withColumn(
+        "_xs", F.col(x_col) - F.min(x_col).over(w)
+    )
+    stats = based.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_xs").alias("_sx"),
+        F.sum(y_col).alias("_sy"),
+        F.sum(F.col("_xs") * F.col("_xs")).alias("_sxx"),
+        F.sum(F.col("_xs") * F.col(y_col)).alias("_sxy"),
+    )
+    den = (
+        F.col("n_points") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    slope_num = (
+        F.col("n_points") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    )
+    icept_num = (
+        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    )
+    return stats.select(
+        group_col,
+        "n_points",
+        F.when(
+            den != 0, F.round(slope_num.cast("double") / den, 6)
+        ).alias("slope"),
+        F.when(
+            den != 0, F.round(icept_num.cast("double") / den, 6)
+        ).alias("intercept"),
+    )
+
+
 def scd2_from_events(
     events: DataFrame,
     user_col: str = "user_id",

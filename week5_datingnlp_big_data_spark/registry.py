@@ -5594,6 +5594,101 @@ def user_state_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_type_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), based AS (
+      SELECT event_type, x - min(x) OVER (PARTITION BY event_type) AS xs, y
+      FROM daily
+    ), s AS (
+      SELECT event_type,
+             count(*) AS n_points,
+             CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(xs * xs) AS BIGINT) AS sxx,
+             CAST(sum(xs * y) AS BIGINT) AS sxy
+      FROM based GROUP BY 1
+    )
+    SELECT event_type, n_points,
+           CASE WHEN n_points * sxx - sx * sx <> 0
+                THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                           / (n_points * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n_points * sxx - sx * sx <> 0
+                THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                           / (n_points * sxx - sx * sx), 6) END AS intercept
+    FROM s
+    """,
+)
+def event_type_daily_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume trend: OLS slope/intercept of daily
+    counts against the day index, computed from integer power sums so
+    both engines divide the SAME exact integers (never a float sum).
+    Intercept = fitted count at each type's first active day.
+    See operators/relational.py:group_trend."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return relational.group_trend(daily, "event_type", "x", "y")
+
+
+@query(
+    "events_daily_from_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('day', hour) AS day,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(sum(sum_value), 4) AS sum_value,
+           min(min_value) AS min_value, max(max_value) AS max_value,
+           count(*) AS n_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_daily_from_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: the DAILY table is
+    composed from HOURLY partials — counts sum, sums sum, min/max
+    merge — never from raw events. This is the mergeable-aggregate
+    contract that makes multi-resolution rollups incremental at 100 TB:
+    a day refresh touches 24 hourly rows, not the raw partition. The
+    oracle mirrors the two-level composition INCLUDING the 4-dp
+    rounding at each level (sum-of-rounded-sums is only reproducible if
+    both engines round at the same boundary)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", "hour").alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -5642,8 +5737,8 @@ DEMOTED: tuple[str, ...] = (
     "event_type_pivot",           # CASE-conditional agg; revenue_grouping_sets + q12/q14 cover
     "streaming_exact_dedup_parity",  # thinnest of the 3 stream-batch gates; wordcount + windows stay
     "doc_bigram_logprob",         # conditional sibling of doc_unigram_logprob (in-window)
-    "packed_sequences",           # downstream sibling of doc_chunks (in-window)
-    "token_budget_mixture",       # temperature variant of corpus_mixture_sample (in-window)
+    "packed_sequences",           # downstream sibling of doc_chunks (parity-gated; exact_substr_spans keeps the explode slot)
+    "token_budget_mixture",       # temperature variant of corpus_mixture_sample (parity-gated; dsir_target_sample keeps the md5-cut slot)
     "table_profile_documents",    # audit utility; scan-stat family in-window via quality_scores
     "streaming_event_windows_parity",  # 2nd stream-batch gate; streaming_wordcount_top100 keeps the driver slot
     "q12_shipmode_buckets",       # CASE-bucket two-join agg; q13/q19 conditional aggs cover
@@ -5665,6 +5760,15 @@ DEMOTED: tuple[str, ...] = (
     "shard_manifest",
     "prep_cascade_v2",            # cascade family holds its window slot via prep_cascade_funnel
     "leakage_safe_split",         # components family holds its slot via near_dup_components
+    # round-9 swaps: five window slots freed for the new shape families
+    # (behavioral funnel, sweep-line concurrency, edit-distance blocking,
+    # support mining, iterative integer PageRank); every demoted query's
+    # shape is carried by an in-window sibling and stays parity+fuzz gated
+    "doc_chunks",                 # sliding word-window explode ⊂ exact_substr_spans (gram explode + islands); coverage invariant unit-pinned
+    "corpus_mixture_sample",      # md5-bucket rate sampling ⊂ dsir_target_sample's md5 selection cut; determinism units stay
+    "span_dedup_fractions",       # span-hash audit ⊂ line_dedup_rewrite (in-window destructive form) + span_dedup_rewrite (parity)
+    "events_asof_order",          # as-of carry ⊂ user_event_lag window family; tiebreak fuzz-pinned
+    "events_sessionize",          # full sessionize CTE is embedded verbatim in session_concurrency's oracle — the richer in-window form
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -5697,6 +5801,12 @@ PROMOTED: tuple[str, ...] = (
     "exact_substr_spans",
     "line_dedup_rewrite",
     "media_phash_near_dups",
+    # round-9 flagships: the new shape families take the freed slots
+    "funnel_conversion",
+    "session_concurrency",
+    "vocab_typo_pairs",
+    "part_copurchase_pairs",
+    "textrank_keywords",
 )
 
 
