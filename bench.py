@@ -101,6 +101,7 @@ HEADLINE = [
     "user_state_scd2",
     "event_type_daily_trend",
     "events_daily_from_hourly",
+    "embedding_sq8_topk",
 ]
 
 

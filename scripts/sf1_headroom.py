@@ -100,6 +100,7 @@ QUERIES = [
     "events_session_window_native", "user_state_scd2",
     "event_type_daily_trend",
     "events_daily_from_hourly",
+    "embedding_sq8_topk",
 ]
 
 

@@ -463,3 +463,45 @@ def test_daily_from_hourly_equals_direct_daily(spark):
         assert a[k]["min_value"] == b[k]["min_value"]
         assert a[k]["max_value"] == b[k]["max_value"]
         assert abs(a[k]["sum_value"] - b[k]["sum_value"]) < 24 * 1e-4
+
+
+# ----------------------------------------------------------- SQ8 search
+
+
+def test_sq8_topk_recall_vs_exact(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.operators import similarity
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    sq = similarity.sq8_cosine_topk(emb, qids, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in sq.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(ex)
+    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    # int8 keeps ~2 decimal digits of the cosine: top-5 overlap stays high
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_sq8_codes_bounds_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", similarity.sq8_codes(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert out[1] == [64, -127, 32]     # round(0.5/ (1/127)) = 63.5 -> 64
+    assert out[2] == [0, 0, 0]

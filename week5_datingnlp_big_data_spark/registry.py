@@ -5689,6 +5689,101 @@ def events_daily_from_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_session_window_parity",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_window_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth stream-batch gate: the SAME native session_window
+    aggregation run as a Structured Streaming query (file source →
+    complete-mode session merge → memory sink, drained) — its final
+    state must hash-match the batch lag-idiom oracle. Session windows
+    are the hardest streaming state shape (windows MERGE as late events
+    bridge gaps), which is exactly why the final-state equivalence is
+    worth a driver-grade check."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_events(spark, f"{sf_dir}/events.parque*")
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    name = "streaming_session_contract"
+    q = streaming.run_stream_to_memory(agg, name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "embedding_sq8_topk",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), coded AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, y -> abs(y))) > 0
+                  THEN list_transform(v, x -> CAST(round(
+                       x / (list_max(list_transform(v, y -> abs(y))) / 127.0)
+                       ) AS INT))
+                  ELSE list_transform(v, x -> 0) END AS q
+      FROM vecs
+    ), normed AS (
+      SELECT vec_id, q, CAST(list_dot_product(q, q) AS DOUBLE) AS n2
+      FROM coded
+    ), qs AS (
+      SELECT vec_id AS query_id, q AS qq, n2 AS qn2
+      FROM normed WHERE vec_id < 8
+    ), scored AS (
+      SELECT qs.query_id, n.vec_id AS neighbor_id,
+             CASE WHEN sqrt(qs.qn2) * sqrt(n.n2) > 0
+                  THEN round(CAST(list_dot_product(qs.qq, n.q) AS DOUBLE)
+                             / (sqrt(qs.qn2) * sqrt(n.n2)), 6) END AS sq_cos
+      FROM qs JOIN normed n ON n.vec_id != qs.query_id
+    )
+    SELECT query_id, neighbor_id, sq_cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sq_cos DESC NULLS LAST, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbor search over int8-QUANTIZED vectors — the
+    oracle-verifiable compressed-vector path (PQ compresses harder but
+    its k-means codebooks are only rows-only checkable). Scales cancel
+    in cosine, so scoring is integer dot products + IEEE sqrt/divide:
+    bit-identical on both engines, 8x less scan payload than the
+    float64 exact path. See operators/similarity.py:sq8_cosine_topk."""
+    return similarity.sq8_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
