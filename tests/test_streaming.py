@@ -523,3 +523,46 @@ def test_streaming_shard_manifest_equals_batch(spark, tmp_path):
         spark.createDataFrame(all_rows, "doc_id long, text string"), 4
     ).collect()))
     assert final == whole
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful funnel state machine: final per-user progress after
+    time-ordered micro-batches equals the batch funnel's step counts."""
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    ev = load_table(spark, sf_dir, "events")
+    # three micro-batches split ON TIME (the in-order contract)
+    ordered = ev.orderBy("ts", "event_id")
+    n = ordered.count()
+    b1 = ordered.limit(n // 3)
+    b2 = ordered.subtract(b1).orderBy("ts", "event_id").limit(n // 3)
+    b3 = ordered.subtract(b1).subtract(b2)
+    _drop_file(b1, tmp_path, "fin", "b1.parquet")
+    _drop_file(b2, tmp_path, "fin", "b2.parquet")
+    _drop_file(b3, tmp_path, "fin", "b3.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "fin"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_funnel_progress(stream), "funnel_stream", "update"
+    )
+    try:
+        _wait(q)
+        # update mode appends a row per user per batch: keep the LAST
+        rows = spark.table("funnel_stream").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # memory sink preserves batch order; later rows win
+        final[r["user_id"]] = r["steps_done"]
+    got = {
+        s: sum(1 for v in final.values() if v >= s) for s in (1, 2, 3)
+    }
+
+    batch = {
+        r["step_idx"]: r["n_users"]
+        for r in relational.funnel_conversion(
+            ev, steps=("signup", "view", "purchase")
+        ).collect()
+    }
+    assert got == {1: batch[1], 2: batch[2], 3: batch[3]}
+    assert got[1] > 0

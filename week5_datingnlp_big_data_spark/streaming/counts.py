@@ -245,6 +245,78 @@ def streaming_running_user_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel_progress(
+    events_stream: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+) -> DataFrame:
+    """Incremental ordered-funnel state machine via
+    ``applyInPandasWithState``: per user, the committed timestamp of each
+    completed funnel step persists across micro-batches, and each batch
+    advances the machine greedily — a step-i event STRICTLY LATER than
+    the committed step-(i-1) timestamp commits step i (the same strict
+    ordering as operators/relational.funnel_conversion).
+
+    Emits ``(user_id, steps_done, last_step_ts)`` per updated user per
+    batch (update mode: latest row per user is the current state).
+
+    Correctness contract: exactly equals the batch funnel when each
+    user's events arrive in timestamp order ACROSS batches (in-order
+    partitions, e.g. a per-user-keyed log). Under cross-batch disorder a
+    commit is not revisited — matching batch semantics then requires
+    watermark-buffered reprocessing, which is the standard
+    replay-from-checkpoint answer, not more state here. Within a batch,
+    events are sorted before the walk, so intra-batch disorder is fine.
+
+    State: len(steps) epoch-micros slots per user — O(|users|), same
+    footprint class as streaming_running_user_counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("steps_done", T.IntegerType()),
+        T.StructField("last_step_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField(f"t{i}", T.LongType()) for i in range(n_steps)
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        committed = list(state.get) if state.exists else [None] * n_steps
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.dropna(subset=["ts"]).sort_values(["ts", "event_id"])
+        for et, ts in zip(rows["event_type"], rows["ts"]):
+            done = sum(1 for t in committed if t is not None)
+            if done >= n_steps:
+                break
+            if et == steps[done]:
+                t_us = int(ts.value // 1000)  # pandas ns → µs
+                if done == 0 or t_us > committed[done - 1]:
+                    committed[done] = t_us
+        state.update(tuple(committed))
+        done = sum(1 for t in committed if t is not None)
+        last = committed[done - 1] if done else None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_done": [done],
+                "last_step_ts": [
+                    pd.Timestamp(last, unit="us") if last is not None else pd.NaT
+                ],
+            }
+        )
+
+    return (
+        events_stream.select("user_id", "event_id", "ts", "event_type")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,
