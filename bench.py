@@ -102,6 +102,7 @@ HEADLINE = [
     "event_type_daily_trend",
     "events_daily_from_hourly",
     "embedding_sq8_topk",
+    "quality_weighted_sample",
 ]
 
 

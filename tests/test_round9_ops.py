@@ -505,3 +505,34 @@ def test_sq8_codes_bounds_and_zero_vector(spark):
     }
     assert out[1] == [64, -127, 32]     # round(0.5/ (1/127)) = 63.5 -> 64
     assert out[2] == [0, 0, 0]
+
+
+# -------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_determinism_and_rate(spark):
+    from week5_datingnlp_big_data_spark.operators import corpus
+
+    rows = [(i, 1.0 if i % 2 == 0 else 0.25) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    a = sorted(r["doc_id"] for r in corpus.weighted_sample(df, "w", 0.8).collect())
+    b = sorted(r["doc_id"] for r in corpus.weighted_sample(df, "w", 0.8).collect())
+    assert a == b                      # pure function of ids
+    hi = sum(1 for i in a if i % 2 == 0) / 2000   # keep prob 0.8
+    lo = sum(1 for i in a if i % 2 == 1) / 2000   # keep prob 0.2
+    assert abs(hi - 0.8) < 0.05 and abs(lo - 0.2) < 0.05
+    # salt change draws an independent sample
+    c = sorted(r["doc_id"] for r in
+               corpus.weighted_sample(df, "w", 0.8, salt="other").collect())
+    assert c != a
+
+
+def test_weighted_sample_null_and_clamp(spark):
+    from week5_datingnlp_big_data_spark.operators import corpus
+
+    rows = [(1, None), (2, 5.0), (3, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r["doc_id"] for r in corpus.weighted_sample(df, "w", 0.8).collect()}
+    assert 1 not in got       # NULL weight never passes
+    assert 3 not in got       # zero weight never passes
+    assert 2 in got           # clamped to certainty

@@ -234,6 +234,55 @@ def mixture_sample(
     return docs.filter(bucket < threshold)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    base_rate: float,
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling: each row keeps with
+    probability ``clamp(base_rate × weight, 0, 1)`` — the importance-
+    sampling companion of :func:`mixture_sample` (per-SOURCE rates) for
+    continuous weights like quality scores ("sample the crawl at 80%,
+    scaled by document quality").
+
+    Determinism: the uniform draw is the md5(salt:id) bucket (pure
+    function of ids — identical across runs/engines/layouts); the
+    threshold is ``floor(base_rate × weight × 10000)``, a fixed IEEE
+    multiply-then-floor both engines compute bit-identically, compared
+    as longs. Changing the salt draws an independent sample.
+
+    Scale shape: one scan, one codegen'd filter — no shuffle, no state.
+    NULL weights never pass (comparison with NULL threshold is false)."""
+    denom = 10_000
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    )
+    # least() SKIPS nulls in both Spark and DuckDB — least(10000, NULL)
+    # is 10000, which would admit NULL-weight rows at full rate. Gate
+    # explicitly so a NULL weight yields a NULL threshold (never passes).
+    threshold = F.when(
+        F.col(weight_col).isNotNull(),
+        F.least(
+            F.lit(denom).cast("long"),
+            F.floor(F.lit(float(base_rate)) * F.col(weight_col) * denom).cast(
+                "long"
+            ),
+        ),
+    )
+    return docs.filter(bucket < threshold)
+
+
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 128,

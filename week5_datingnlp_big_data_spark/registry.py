@@ -5784,6 +5784,60 @@ def embedding_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_weighted_sample",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS n_space,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_words,
+             round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS alpha_ratio,
+             round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS punct_ratio,
+             round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6)
+               AS stopword_ratio
+      FROM feat
+    ), scored AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least(alpha_ratio / 0.6, 1.0) * 0.3
+               + least(stopword_ratio / 0.05, 1.0) * 0.2
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+               AS quality
+      FROM ratios
+    )
+    SELECT doc_id, quality FROM scored
+    WHERE quality IS NOT NULL
+      AND (('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 10000)
+          < least(10000, CAST(floor(0.8 * quality * 10000) AS BIGINT))
+    """,
+)
+def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document quality: keep each doc with
+    probability 0.8 × quality, drawn from the deterministic md5 bucket
+    (pure function of ids — identical rows on any engine/run/layout,
+    unlike partition-seeded Bernoulli sampling). The per-ROW-weight
+    companion of corpus_mixture_sample's per-source rates.
+    See operators/corpus.py:weighted_sample."""
+    q = textstats.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return corpus.weighted_sample(q, "quality", base_rate=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
