@@ -175,3 +175,89 @@ def test_user_state_scd2_fuzz(fuzz9):
     sdf, con = fuzz9
     got = relational.scd2_from_events(sdf.filter(F.col("user_id").isNotNull()))
     _compare(got, con, ORACLE["user_state_scd2"])
+
+
+def test_copurchase_fuzz_vs_oracle(spark):
+    """Random baskets (skewed sizes, duplicate lines, one mega-basket
+    beyond the guard) through the REGISTERED market-basket oracle."""
+    rng = random.Random(20260815)
+    rows = []
+    for basket in range(300):
+        size = rng.choice([1, 1, 2, 2, 3, 4, 5, 8])
+        items = [rng.randrange(40) for _ in range(size)]
+        items += items[: rng.randrange(0, 2)]        # duplicate lines
+        rows += [(basket, it) for it in items]
+    rows += [(9999, it) for it in range(150)]        # mega-basket: dropped
+    sdf = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    con = duckdb.connect()
+    con.register("raw_li", pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]))
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM raw_li")
+    got = relational.basket_copurchase(
+        sdf, "l_orderkey", "l_partkey", min_support=3, max_basket_size=100
+    )
+    _compare(got, con, ORACLE["part_copurchase_pairs"])
+
+
+@pytest.fixture(scope="module")
+def fuzz_docs(spark):
+    """Adversarial documents for the text-graph/typo fuzz: repeated
+    phrases (so edges clear min_weight), near-identical words (typo
+    fodder), unicode, empties, NULLs."""
+    rng = random.Random(20260816)
+    words = ["spark", "spork", "sparks", "engine", "enginee", "data",
+             "big", "scale", "shuffle", "shuffl", "join", "joins",
+             "中文", "naïve", "don't", "x"]
+    rows = []
+    for i in range(250):
+        n = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows += [(1000, ""), (1001, None), (1002, "   "),
+             (1003, "spark engine " * 30), (1004, "<p>spark&amp;engine</p>")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("raw_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM raw_docs")
+    return sdf.cache(), con
+
+
+def test_textrank_fuzz_vs_oracle(fuzz_docs):
+    from week5_datingnlp_big_data_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+    from week5_datingnlp_big_data_spark.operators import graph
+    from week5_datingnlp_big_data_spark.operators.corpus import clean_text
+    from week5_datingnlp_big_data_spark.session import spread
+
+    sdf, con = fuzz_docs
+    toks = spread(sdf.filter(F.length(F.col("text")) > 0)).select(
+        remove_stopwords(tokenize(clean_text("text"))).alias("tokens")
+    )
+    got = graph.textrank_keywords(toks, k=50)
+    _compare(got, con, ORACLE["textrank_keywords"])
+
+
+def test_typo_pairs_fuzz_vs_oracle(fuzz_docs):
+    from week5_datingnlp_big_data_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+    from week5_datingnlp_big_data_spark.operators import fuzzy
+    from week5_datingnlp_big_data_spark.operators.corpus import (
+        clean_text,
+        explode_tokens,
+    )
+    from week5_datingnlp_big_data_spark.session import spread
+
+    sdf, con = fuzz_docs
+    toks = spread(sdf.filter(F.length(F.col("text")) > 0)).select(
+        "doc_id",
+        remove_stopwords(tokenize(clean_text("text"))).alias("tokens"),
+    )
+    wf = (
+        explode_tokens(toks, "tokens", "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = fuzzy.edit1_typo_pairs(wf)
+    _compare(got, con, ORACLE["vocab_typo_pairs"])
