@@ -103,6 +103,7 @@ HEADLINE = [
     "events_daily_from_hourly",
     "embedding_sq8_topk",
     "quality_weighted_sample",
+    "events_value_winsorized",
 ]
 
 

@@ -536,3 +536,27 @@ def test_weighted_sample_null_and_clamp(spark):
     assert 1 not in got       # NULL weight never passes
     assert 3 not in got       # zero weight never passes
     assert 2 in got           # clamped to certainty
+
+
+# ------------------------------------------------------------ winsorize
+
+
+def test_winsorize_clips_and_preserves_nulls(spark):
+    rows = [(i, 1, 0, "a", float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows.append((99, 1, 0, "a", None))
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), et, v) for i, _, _, et, v in rows],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    out = {
+        r["event_id"]: (r["value_w"], r["was_clipped"])
+        for r in relational.winsorize(
+            df.select("event_id", "event_type", "value"), "event_type", "value"
+        ).collect()
+    }
+    assert out[99] == (None, None)                 # NULL stays NULL
+    assert out[9][1] is True                       # 1000 clipped down
+    assert out[9][0] < 1000
+    assert out[4][1] is False                      # median untouched
+    assert out[4][0] == 5.0

@@ -405,6 +405,40 @@ def interval_concurrency(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile winsorization: clip ``value_col`` to its
+    group's [p_lo, p_hi] exact interpolated percentiles — the standard
+    outlier-robustness pass before value-sensitive aggregation. Adds
+    ``value_w`` (clipped, 4-dp rounded — the engine's percentile
+    rounding convention) and ``was_clipped``.
+
+    NULL values stay NULL — guarded explicitly, because least/greatest
+    SKIP nulls on both engines and would otherwise quietly replace a
+    NULL with the lower fence.
+
+    Scale shape: the fences are aggregate-as-window over the group
+    partition (one exchange, no join-back); at 100 TB swap the exact
+    percentile for percentile_approx exactly as orders_price_percentiles
+    documents — kept exact here so the oracle pins values."""
+    w = Window.partitionBy(group_col)
+    lo = F.percentile(value_col, F.lit(p_lo)).over(w)
+    hi = F.percentile(value_col, F.lit(p_hi)).over(w)
+    v = F.col(value_col)
+    return df.select(
+        "*",
+        F.when(
+            v.isNotNull(), F.round(F.least(F.greatest(v, lo), hi), 4)
+        ).alias("value_w"),
+        F.when(v.isNotNull(), (v < lo) | (v > hi)).alias("was_clipped"),
+    )
+
+
 def group_trend(
     df: DataFrame,
     group_col: str,

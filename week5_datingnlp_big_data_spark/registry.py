@@ -5838,6 +5838,37 @@ def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample(q, "quality", base_rate=0.8)
 
 
+@query(
+    "events_value_winsorized",
+    """
+    WITH fenced AS (
+      SELECT event_id, event_type, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS lo,
+             quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS hi
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CASE WHEN value IS NOT NULL
+                THEN round(least(greatest(value, lo), hi), 4) END AS value_w,
+           CASE WHEN value IS NOT NULL
+                THEN (value < lo OR value > hi) END AS was_clipped
+    FROM fenced
+    """,
+)
+def events_value_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization of event values (clip to the
+    exact interpolated [p05, p95] fences; Spark percentile ≡ DuckDB
+    quantile_cont, the engine's established convention). NULL values
+    stay NULL — least/greatest skip nulls on both engines, so the guard
+    is explicit. See operators/relational.py:winsorize."""
+    out = relational.winsorize(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+    )
+    return out.select("event_id", "event_type", "value_w", "was_clipped")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
