@@ -570,6 +570,14 @@ def quality_ensemble(
     Returns ``(doc_id, quality, dup_word_frac, mean_neg_logprob, q_pr,
     rep_pr, lm_pr, ensemble, decile)`` — prs/ensemble rounded to 6,
     decile = least(floor(ensemble*10), 9) over non-empty documents.
+
+    The token-derived signals share ONE ``(doc, term, c)`` table:
+    dup_word_frac is 1 − distinct/total of exactly the counts the LM
+    score aggregates (the inner term join keeps every row — the LM is
+    fit on the same corpus), so the corpus is tokenized once, not once
+    per signal. Only the scan-speed heuristic features read the text a
+    second time. Signal values are bit-identical to the standalone
+    ``repetition_scores`` / ``unigram_logprob_scores`` operators.
     """
     from pyspark.sql import Window
 
@@ -577,12 +585,26 @@ def quality_ensemble(
         docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0),
         text_col,
     ).select(id_col, "quality")
-    rep = repetition_scores(docs, text_col, id_col).select(id_col, "dup_word_frac")
-    lm = unigram_logprob_scores(docs, text_col, id_col).select(
-        id_col, "mean_neg_logprob"
+    doc_terms = _doc_term_counts_ws(docs, text_col, id_col).persist()
+    lm = (
+        doc_terms.groupBy("term")
+        .agg(F.sum("c").alias("cnt"))
+        .crossJoin(F.broadcast(doc_terms.agg(F.sum("c").alias("total"))))
+        .select("term", F.log10(F.col("cnt") / F.col("total")).alias("logprob"))
     )
-    joined = q.join(rep, id_col).join(lm, id_col).persist()
+    sig = (
+        doc_terms.join(F.broadcast(lm), "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_word_frac"),
+            F.round(-F.sum(F.col("c") * F.col("logprob")) / F.sum("c"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+    joined = q.join(sig, id_col).persist()
     n = joined.count()
+    doc_terms.unpersist()  # joined is materialized; drop the token table
 
     def pr_table(col: str, out: str) -> DataFrame:
         dist = joined.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
