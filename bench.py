@@ -104,6 +104,10 @@ HEADLINE = [
     "embedding_sq8_topk",
     "quality_weighted_sample",
     "events_value_winsorized",
+    # round-10 additions
+    "embedding_coverage_sample",
+    "embedding_margin_pairs",
+    "source_quality_report",
 ]
 
 

@@ -44,14 +44,19 @@ def test_driver_window_holds_flagships():
     assert all(n in oracles for n in window)
     for flagship in (
         "minhash_near_dups", "winnow_dup_pairs", "embedding_cosine_topk",
-        "embedding_near_dup_pairs", "quality_scores", "lang_id_confusion",
+        # (embedding_near_dup_pairs ceded its slot in round 10 — the
+        # hyperplane-signature machinery is driver-verified via
+        # embedding_coverage_sample; the pairs form stays parity-gated)
+        "quality_scores", "lang_id_confusion",
         "token_counts", "orders_price_percentiles",
         "ngram_jaccard_near_dups", "near_dup_components", "exact_dedup",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
+        # (q9/q11 ceded their slots in round 10: q9's profit rollup shares
+        # q8's join tree, q11's scalar-subquery HAVING is q15's shape)
         "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
-        "q20_heavy_suppliers", "q2_min_cost_supplier", "q9_product_type_profit",
-        "q11_important_parts", "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "q20_heavy_suppliers", "q2_min_cost_supplier",
+        "q21_waiting_suppliers", "q22_global_sales_opportunity",
         # round-3 training-data flagships
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
         "lm_quality_buckets", "pii_redaction_stats",
@@ -62,5 +67,8 @@ def test_driver_window_holds_flagships():
         # destructive line_dedup_rewrite form already in-window)
         "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
         "part_copurchase_pairs", "textrank_keywords",
+        # round-10 flagships (coverage sampling, margin mining, source report)
+        "embedding_coverage_sample", "embedding_margin_pairs",
+        "source_quality_report",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

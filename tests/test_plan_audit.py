@@ -62,7 +62,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # never plan as cartesian products
                  "vocab_typo_pairs", "part_copurchase_pairs",
                  "session_error_exposure", "funnel_conversion",
-                 "session_concurrency"):
+                 "session_concurrency",
+                 # round-10: join-free scan+window shapes stay clean
+                 # (embedding_margin_pairs is deliberately absent — its
+                 # bounded-broadcast x candidate scoring is a BNLJ by
+                 # design, the same shape as cosine_topk)
+                 "embedding_coverage_sample", "source_quality_report"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

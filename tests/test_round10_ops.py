@@ -1,0 +1,179 @@
+"""Round-10 operators: coverage-balanced embedding sampling, margin-based
+best-match mining (CCMatrix scorer), per-source quality report, BPE
+fertility stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import bpe, similarity
+from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_report
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows], EMB_SCHEMA
+    )
+
+
+# ------------------------------------------------------- coverage_sample
+
+
+def test_coverage_sample_caps_every_cell(spark):
+    # 30 near-identical vectors (one dense cluster) + 3 spread-out ones.
+    base = [1.0, 0.5] + [0.0] * 62
+    rows = [(i, [b + i * 1e-6 for b in base], 0) for i in range(30)]
+    rows += [(100, [-1.0] + [0.2] * 63, 0), (101, [0.0, -1.0] + [0.1] * 62, 0),
+             (102, [0.5] * 64, 0)]
+    out = similarity.coverage_sample(
+        _vecs(spark, rows), per_bucket=2, num_planes=4, dim=64
+    )
+    per_cell = out.groupBy("cell").count().collect()
+    assert all(r["count"] <= 2 for r in per_cell)
+    # The 30-vector dense cluster lands in one cell -> contributes <= 2.
+    kept = {r["vec_id"] for r in out.collect()}
+    assert len(kept & set(range(30))) <= 2
+    # Sparse singletons always survive (their cells are under-capacity)
+    assert {100, 101, 102} <= kept or len(kept) >= 3
+
+
+def test_coverage_sample_deterministic(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r["vec_id"], r["cell"], r["pick"])
+        for r in similarity.coverage_sample(emb).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"], r["pick"])
+        for r in similarity.coverage_sample(emb.repartition(7)).collect()
+    )
+    assert a == b
+
+
+# ----------------------------------------------------- margin_mined_pairs
+
+
+def test_margin_prefers_aligned_pair(spark):
+    # Query 0 is exactly aligned with candidate 10; everything else is
+    # near-orthogonal noise. The aligned pair must surface with the top
+    # margin, and each query emits at most one row.
+    def unit(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    rows = [(0, unit(0), 0), (1, unit(1), 0), (2, unit(2), 0)]
+    # candidate 10 ≈ query 0's direction; 11/12/13 off-axis noise
+    rows += [(10, [1.0, 0.05] + [0.0] * 62, 1)]
+    rows += [(11, unit(40), 1), (12, unit(41), 1), (13, unit(42), 1)]
+    out = similarity.margin_mined_pairs(
+        _vecs(spark, rows), query_label=0, cand_label=1, k=2, min_margin=0.0
+    )
+    rows_out = {r["query_id"]: r for r in out.collect()}
+    assert len(rows_out) == 3  # one best match per query, min_margin=0
+    assert rows_out[0]["match_id"] == 10
+    assert rows_out[0]["cos"] > 0.99
+    # the aligned pair's margin dwarfs the orthogonal queries' margins
+    assert rows_out[0]["margin"] > rows_out[1]["margin"]
+    assert rows_out[0]["margin"] > rows_out[2]["margin"]
+
+
+def test_margin_threshold_filters(spark):
+    def unit(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    # queries all orthogonal to every candidate -> cos = 0, margin = NULL
+    # or <= min_margin -> no rows survive a positive threshold.
+    rows = [(0, unit(0), 0), (1, unit(1), 0)]
+    rows += [(10, unit(30), 1), (11, unit(31), 1)]
+    out = similarity.margin_mined_pairs(
+        _vecs(spark, rows), query_label=0, cand_label=1, k=2, min_margin=0.5
+    )
+    assert out.count() == 0
+
+
+def test_margin_at_most_one_row_per_query(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.margin_mined_pairs(emb, min_margin=0.0)
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 1 for r in per_q)
+
+
+# --------------------------------------------------- source_quality_report
+
+
+def test_source_quality_report_counts(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs for it with vigor"
+    docs = spark.createDataFrame(
+        [
+            # src A: one dup pair + one empty
+            (1, good, "en", "A", len(good)),
+            (2, good, "en", "A", len(good)),
+            (3, "", "en", "A", 0),
+            # src B: one copy of the SAME content (cross-source dup) + unique
+            (4, good, "en", "B", len(good)),
+            (5, "totally unique text here", "en", "B", 24),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rep = {r["source"]: r for r in source_quality_report(docs).collect()}
+    a, b = rep["A"], rep["B"]
+    assert (a["n_docs"], a["n_empty"]) == (3, 1)
+    assert (b["n_docs"], b["n_empty"]) == (2, 0)
+    # content of docs 1/2/4 appears 3x corpus-wide -> all three are dups
+    assert a["n_dup_docs"] == 2 and b["n_dup_docs"] == 1
+    assert abs(a["dup_rate"] - 2 / 3) < 1e-6
+    assert a["total_tokens"] == 2 * len(good.split())
+    assert 0.0 <= a["mean_quality"] <= 1.0
+
+
+def test_source_quality_report_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "en", "A", 0), (2, "some words here live on", "en", "A", 23)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    r = source_quality_report(docs).collect()[0]
+    # NULL text counts as a doc and as empty; quality mean skips it
+    assert r["n_docs"] == 2 and r["n_empty"] == 1
+    assert r["mean_quality"] is not None
+
+
+# ---------------------------------------------------- bpe_fertility_stats
+
+
+def test_bpe_fertility_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "banana banana bandana", "en", "A", 21),
+            (2, "banana band ban", "en", "B", 15),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    merges = bpe.bpe_train(docs, n_merges=5)
+    rep = {r["source"]: r for r in bpe.bpe_fertility_stats(docs, merges).collect()}
+    for r in rep.values():
+        # every word maps to >= 1 subword token
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 0
+    assert rep["A"]["n_words"] == 3 and rep["B"]["n_words"] == 3
+
+
+def test_bpe_fertility_zero_merges_is_char_level(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc de", "en", "A", 6)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    r = bpe.bpe_fertility_stats(docs, []).collect()[0]
+    # char-level segmentation: one symbol per char + the </w> sentinel
+    # per word -> (3+1) + (2+1) = 7
+    assert r["n_words"] == 2
+    assert r["n_bpe_tokens"] == 7

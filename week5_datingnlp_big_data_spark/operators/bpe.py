@@ -229,3 +229,63 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
         return texts.map(one)
 
     return _segment
+
+
+def bpe_fertility_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility report per source: apply a trained BPE to the
+    corpus and roll up tokens-per-word (fertility) and chars-per-token
+    (compression). The numbers a pretraining team actually budgets with —
+    a source whose fertility is 2x the rest costs 2x the training tokens
+    per word of content, and fertility drift across ingest batches is a
+    standard tokenizer-mismatch alarm (Rust et al. 2021 use exactly this
+    per-language fertility comparison).
+
+    Scale shape: the segmenter is the Arrow-batched pandas UDF
+    (bpe_segment_udf — merges ride the closure as constants, ~vocab-sized),
+    one scan, one small groupBy(source). Counts are integers; the two
+    ratios are single divisions — deterministic, though the BPE apply
+    itself has no SQL twin (rows-only at the driver, golden-tested in
+    tests/test_bpe.py).
+
+    Output: ``(source, n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility, chars_per_token)``.
+    """
+    from week5_datingnlp_big_data_spark.operators.textstats import token_count_ws
+
+    seg = bpe_segment_udf(merges)
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        token_count_ws(text_col).alias("_w"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_c"),
+        F.size(seg(F.col(text_col))).alias("_b"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("_b") >= 0, F.col("_b")).otherwise(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.sum("_c").cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
+            ),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
+            ),
+        )
+    )

@@ -819,3 +819,144 @@ def sq8_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sq_cos", "rnk")
     )
+
+
+def coverage_sample(
+    embeddings: DataFrame,
+    per_bucket: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: str = "cov",
+) -> DataFrame:
+    """Coverage-balanced diversity sampling: keep at most ``per_bucket``
+    vectors from every hyperplane-LSH cell, so the sample spans the
+    embedding space instead of mirroring its density. This is the
+    pruning complement of SemDeDup (Abbas et al. 2023) / the
+    "diversify before training" step of density-balanced corpus
+    pruning: dense regions (near-duplicate topic clusters) contribute
+    the same budget as sparse ones.
+
+    Deterministic end to end: cells come from the md5-seeded ±1
+    hyperplanes (constants inlined into the plan — same discipline as
+    cosine_near_dup_pairs), and the within-cell pick order is
+    ``md5(seed:id)`` — a pure function of ids, identical on any
+    engine/run/layout (same rule as corpus.stratified_fixed_sample).
+
+    Scale shape: one scan computes the signature (num_planes codegen
+    dot products), one hash exchange on the cell key, one bounded
+    row_number window per cell. No joins, no collect; at 100 TB the
+    2^num_planes cells each see a ~uniform slice, so no window
+    partition is corpus-sized (raise num_planes with corpus size).
+
+    Output: ``(vec_id, cell, pick)`` for the kept rows, pick ∈
+    [1, per_bucket] in md5 order.
+    """
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", hyperplane_signature(F.col("v"), num_planes, dim))
+    order_key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(order_key, F.col(id_col))
+    return (
+        vecs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= per_bucket)
+        .select(id_col, "cell", "pick")
+    )
+
+
+def margin_mined_pairs(
+    embeddings: DataFrame,
+    query_label: int = 0,
+    cand_label: int = 1,
+    k: int = 4,
+    min_margin: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based best-match mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER bitext-mining scorer): for every query vector x the
+    best candidate y is scored not by raw cosine — which is miscalibrated
+    across query neighborhood densities — but by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((nx + ny) / 2)
+
+    where nx / ny are the means of each side's top-k cosine
+    neighborhoods. A pair is emitted only when its margin clears
+    ``min_margin`` (> 1 means "closer than either side's typical
+    neighbor"). Labels stand in for the two corpora being aligned.
+
+    Cross-engine float discipline: per-pair cosines are rounded to 6dp,
+    then scaled to INTEGER micro-units; neighborhood sums are bigint
+    sums, and the margin collapses algebraically to
+
+        margin = 2 * c6 * kx * ky / (sx * ky + sy * kx)
+
+    — integer numerator and denominator, ONE IEEE division, so the
+    oracle is bit-exact (same power-sums trick as event_type_daily_trend).
+
+    Scale shape: the query side is the BOUNDED side (a mining batch —
+    broadcast); candidates stream scan-side, so the scored table is
+    O(|Y| x |X|) rows — linear in the corpus. Both neighborhood
+    aggregates and the final best-match rank reuse that one persisted
+    table (three consumers). For corpus x corpus mining at 100 TB,
+    block with LSH/IVF cells first and run this scorer within cells.
+
+    Output: ``(query_id, match_id, cos, margin)`` — at most one row per
+    query (its best candidate by margin), margin >= min_margin.
+    """
+    vecs = embeddings.select(
+        F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    xs = vecs.filter(F.col(label_col) == query_label).select(
+        F.col(id_col).alias("x_id"), F.col("v").alias("xv")
+    )
+    ys = vecs.filter(F.col(label_col) == cand_label).select(
+        F.col(id_col).alias("y_id"), F.col("v").alias("yv")
+    )
+    c6 = F.round(F.round(cosine(F.col("xv"), F.col("yv")), 6) * 1e6).cast("bigint")
+    scored = ys.join(F.broadcast(xs)).select("x_id", "y_id", c6.alias("c6")).persist()
+
+    wx = Window.partitionBy("x_id").orderBy(F.desc("c6"), F.asc("y_id"))
+    nx = (
+        scored.withColumn("r", F.row_number().over(wx))
+        .filter(F.col("r") <= k)
+        .groupBy("x_id")
+        .agg(F.sum("c6").alias("sx"), F.count(F.lit(1)).alias("kx"))
+    )
+    wy = Window.partitionBy("y_id").orderBy(F.desc("c6"), F.asc("x_id"))
+    ny = (
+        scored.withColumn("r", F.row_number().over(wy))
+        .filter(F.col("r") <= k)
+        .groupBy("y_id")
+        .agg(F.sum("c6").alias("sy"), F.count(F.lit(1)).alias("ky"))
+    )
+    # A zero denominator means both neighborhoods average to exactly 0
+    # (e.g. mutually orthogonal corpora) — there is no meaningful margin,
+    # so the pair is dropped via NULL (also keeps ANSI mode happy).
+    den = F.col("sx") * F.col("ky") + F.col("sy") * F.col("kx")
+    margin = F.when(
+        den != 0,
+        F.round((F.lit(2.0) * F.col("c6") * F.col("kx") * F.col("ky")) / den, 6),
+    )
+    # nx is query-batch-sized (broadcastable); ny is CANDIDATE-sided —
+    # one row per y, corpus-sized at 100 TB — so it joins by hash key.
+    ranked = (
+        scored.join(F.broadcast(nx), "x_id")
+        .join(ny, "y_id")
+        .select(
+            F.col("x_id").alias("query_id"),
+            F.col("y_id").alias("match_id"),
+            F.round(F.col("c6") / 1e6, 6).alias("cos"),
+            margin.alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("match_id")
+    )
+    return (
+        ranked.withColumn("_b", F.row_number().over(wbest))
+        .filter((F.col("_b") == 1) & (F.col("margin") >= min_margin))
+        .drop("_b")
+    )

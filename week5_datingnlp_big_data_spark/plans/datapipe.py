@@ -249,3 +249,58 @@ def prepare_corpus_v2(
         n_after_dedup_min_len=row["n"],
         kept_tokens=int(row["toks"] or 0),
     )
+
+
+def source_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus health report — the rollup a data-curation team
+    watches per ingest batch: document counts, empty-document counts,
+    token volume, mean heuristic quality, and the exact-duplicate rate
+    (docs whose full content appears more than once ANYWHERE in the
+    corpus, attributed to each source that carries a copy).
+
+    Cross-engine float discipline: mean quality is computed from INTEGER
+    micro-units (each per-doc quality is already rounded to 6dp, so
+    quality*1e6 snaps to an exact bigint) — the only float ops are the
+    two final divisions, identical on both engines. The dup rate is one
+    division of two ints.
+
+    Scale shape: one scan computes quality/token features; the dup
+    multiplicity is ONE window over the content hash (same exchange the
+    exact-dedup family uses — at 100 TB this is the standard sha-keyed
+    shuffle); the rollup is a small groupBy(source). No joins back to
+    the corpus, no collect.
+
+    Output: one row per source —
+    ``(source, n_docs, n_empty, total_tokens, mean_quality, n_dup_docs,
+    dup_rate)``.
+    """
+    from pyspark.sql import Window
+
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    scored = textstats.quality_score(docs, text_col).select(
+        "source",
+        "quality",
+        textstats.token_count_ws(text_col).alias("_toks"),
+        (F.length(F.trim(s)) == 0).cast("int").alias("_empty"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.md5(s)))
+        .alias("_copies"),
+    )
+    q6 = F.round(F.col("quality") * 1e6).cast("bigint")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_empty").alias("n_empty"),
+            F.sum("_toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(q6) / F.count(q6) / F.lit(1e6),
+                6,
+            ).alias("mean_quality"),
+            F.sum((F.col("_copies") > 1).cast("int")).alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6),
+        )
+    )

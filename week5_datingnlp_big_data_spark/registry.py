@@ -5869,6 +5869,174 @@ def events_value_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value_w", "was_clipped")
 
 
+def _sql_sig_bits(num_planes: int, dim: int, vec: str = "v") -> str:
+    """Hyperplane-signature bit string over a DOUBLE[] column — the SQL
+    twin of similarity.hyperplane_signature (identical inlined ±1 weight
+    literals, identical index-order dot-product fold)."""
+    weights = similarity.hyperplane_weights(num_planes, dim)
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vec}, {w}) >= 0 THEN '1' ELSE '0' END)"
+        for w in weights
+    )
+
+
+@query(
+    "embedding_coverage_sample",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cells AS (
+      SELECT vec_id, {_sql_sig_bits(6, 64)} AS cell FROM vecs
+    ), ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5('cov:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS pick
+      FROM cells
+    )
+    SELECT vec_id, cell, pick FROM ranked WHERE pick <= 2
+    """,
+)
+def embedding_coverage_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-balanced diversity sampling: at most 2 vectors per
+    hyperplane-LSH cell, picked in deterministic md5 order — the
+    density-flattening pruning step (SemDeDup's complement: instead of
+    dropping near-duplicates, cap every region's budget). Cells AND the
+    pick order are pure functions of the data, so the oracle re-runs
+    the whole sampler. See operators/similarity.py:coverage_sample."""
+    return similarity.coverage_sample(
+        _t(spark, sf_dir, "embeddings"), per_bucket=2, num_planes=6, dim=64
+    )
+
+
+@query(
+    "embedding_margin_pairs",
+    """
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), xs AS (
+      SELECT vec_id AS x_id, v AS xv FROM vecs WHERE label = 0
+    ), ys AS (
+      SELECT vec_id AS y_id, v AS yv FROM vecs WHERE label = 1
+    ), scored AS (
+      SELECT x_id, y_id,
+             CAST(round(round(
+               list_dot_product(xv, yv)
+               / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))),
+             6) * 1e6) AS BIGINT) AS c6
+      FROM ys CROSS JOIN xs
+    ), nx AS (
+      SELECT x_id, sum(c6) AS sx, count(*) AS kx FROM (
+        SELECT x_id, c6,
+               row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS r
+        FROM scored
+      ) WHERE r <= 4 GROUP BY x_id
+    ), ny AS (
+      SELECT y_id, sum(c6) AS sy, count(*) AS ky FROM (
+        SELECT y_id, c6,
+               row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS r
+        FROM scored
+      ) WHERE r <= 4 GROUP BY y_id
+    ), ranked AS (
+      SELECT x_id AS query_id, y_id AS match_id,
+             round(c6 / 1e6, 6) AS cos,
+             CASE WHEN (sx * ky + sy * kx) <> 0
+                  THEN round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6)
+             END AS margin
+      FROM scored JOIN nx USING (x_id) JOIN ny USING (y_id)
+    )
+    SELECT query_id, match_id, cos, margin FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY margin DESC, match_id) AS b
+      FROM ranked
+    ) WHERE b = 1 AND margin >= 1.0
+    """,
+)
+def embedding_margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based best-match mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER bitext scorer): each label-0 query's best label-1
+    candidate by RATIO margin cos/((nx+ny)/2), emitted when the margin
+    clears 1.0. Margins collapse to integer-arithmetic numerators and
+    denominators with ONE IEEE division, so the oracle re-runs the full
+    scorer bit-exactly. See operators/similarity.py:margin_mined_pairs."""
+    return similarity.margin_mined_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        query_label=0,
+        cand_label=1,
+        k=4,
+        min_margin=1.0,
+    )
+
+
+@query(
+    "source_quality_report",
+    """
+    WITH feat AS (
+      SELECT source, coalesce(text, '') AS t,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM documents
+    ), scored AS (
+      SELECT source, t, n_words,
+             CAST(round(round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least(round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6) / 0.6, 1.0) * 0.3
+               + least(round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6) / 0.05, 1.0) * 0.2
+               + (CASE WHEN round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6) <= 0.2
+                  THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) * 1e6) AS BIGINT) AS q6
+      FROM feat
+    ), copies AS (
+      SELECT source, n_words, q6,
+             (length(trim(t)) = 0)::INT AS is_empty,
+             count(*) OVER (PARTITION BY md5(t)) AS n_copies
+      FROM scored
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(is_empty) AS BIGINT) AS n_empty,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           round(sum(q6) * 1.0 / count(q6) / 1e6, 6) AS mean_quality,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM copies
+    GROUP BY source
+    """,
+)
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup: doc/empty counts, token volume,
+    mean heuristic quality (integer micro-unit sum — one division), and
+    the corpus-wide exact-duplicate rate attributed per source. The
+    per-batch report a curation team watches. See
+    plans/datapipe.py:source_quality_report."""
+    from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_report
+
+    return source_quality_report(_t(spark, sf_dir, "documents"))
+
+
+@query("bpe_fertility_stats")
+def bpe_fertility_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (tokens/word, chars/token) from a
+    20-merge BPE trained on the same corpus — the token-budget numbers a
+    pretraining team forecasts with. BPE apply has no SQL twin →
+    rows-only; the segmenter is golden-tested in tests/test_bpe.py.
+    See operators/bpe.py:bpe_fertility_stats."""
+    from week5_datingnlp_big_data_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=20)
+    return bpe.bpe_fertility_stats(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -5949,6 +6117,11 @@ DEMOTED: tuple[str, ...] = (
     "span_dedup_fractions",       # span-hash audit ⊂ line_dedup_rewrite (in-window destructive form) + span_dedup_rewrite (parity)
     "events_asof_order",          # as-of carry ⊂ user_event_lag window family; tiebreak fuzz-pinned
     "events_sessionize",          # full sessionize CTE is embedded verbatim in session_concurrency's oracle — the richer in-window form
+    # round-10 swaps: three window slots freed for the new shape families
+    # (coverage-balanced sampling, margin-ratio mining, per-source report)
+    "q9_product_type_profit",     # profit rollup shares q8's join tree + share calc (q8 stays in-window)
+    "q11_important_parts",        # scalar-subquery HAVING ⊂ q15's scalar-subquery = max shape (q15 stays)
+    "embedding_near_dup_pairs",   # hyperplane-bucket self-join machinery now driver-verified via embedding_coverage_sample (same signature) + media_phash/minhash banded self-joins in-window
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -5987,6 +6160,10 @@ PROMOTED: tuple[str, ...] = (
     "vocab_typo_pairs",
     "part_copurchase_pairs",
     "textrank_keywords",
+    # round-10 flagships: the new shape families take the freed slots
+    "embedding_coverage_sample",
+    "embedding_margin_pairs",
+    "source_quality_report",
 )
 
 
