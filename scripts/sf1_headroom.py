@@ -103,6 +103,12 @@ QUERIES = [
     "embedding_sq8_topk",
     "quality_weighted_sample",
     "events_value_winsorized",
+    # round-10 additions: cell-capped sampling (cell-key window), margin
+    # mining (BNLJ score table + two neighborhood windows), per-source
+    # report (sha-keyed window + rollup)
+    "embedding_coverage_sample",
+    "embedding_margin_pairs",
+    "source_quality_report",
 ]
 
 

@@ -177,3 +177,79 @@ def test_bpe_fertility_zero_merges_is_char_level(spark):
     # per word -> (3+1) + (2+1) = 7
     assert r["n_words"] == 2
     assert r["n_bpe_tokens"] == 7
+
+
+# --------------------------------------------------------- mmr_rerank
+
+
+def _py_mmr(vecs, query_id, k, pool, lam):
+    """Pure-Python MMR twin: same pool, same rounding, same tiebreaks."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da, db = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    q = dict(vecs)[query_id]
+    pooled = sorted(
+        ((i, round(cos(q, v), 6)) for i, v in vecs if i != query_id),
+        key=lambda t: (-t[1], t[0]),
+    )[:pool]
+    by_id = dict(vecs)
+    picked, chosen = [], []
+    remaining = list(pooled)
+    while remaining and len(picked) < k:
+        best_key, best = None, None
+        for i, rel in remaining:
+            red = max((round(cos(by_id[i], by_id[j]), 6) for j, _ in chosen),
+                      default=0.0)
+            score = round(lam * rel - (1 - lam) * red, 6)
+            if best_key is None or (score, -i) > best_key:
+                best_key, best = (score, -i), (i, rel)
+        picked.append((len(picked) + 1, best[0], best[1], best_key[0]))
+        chosen.append(best)
+        remaining = [t for t in remaining if t[0] != best[0]]
+    return picked
+
+
+def test_mmr_matches_python_twin(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()]
+    got = [
+        (r["rank"], r["vec_id"], round(r["relevance"], 6), round(r["mmr_score"], 6))
+        for r in similarity.mmr_rerank(emb, query_id=0, k=8, pool=20).collect()
+    ]
+    want = [(rk, i, round(rel, 6), round(sc, 6))
+            for rk, i, rel, sc in _py_mmr(vecs, 0, 8, 20, 0.7)]
+    assert got == want
+
+
+def test_mmr_diversifies_duplicates(spark):
+    # candidates 10/11 are byte-identical (cos 1.0 with each other) and
+    # most relevant; plain top-k would take both, MMR must interleave the
+    # less-redundant 12 before the duplicate.
+    rows = [
+        (0, [1.0, 0.0] + [0.0] * 62, 0),
+        (10, [0.9, 0.1] + [0.0] * 62, 0),
+        (11, [0.9, 0.1] + [0.0] * 62, 0),
+        (12, [0.5, -0.8] + [0.0] * 62, 0),
+    ]
+    out = [r["vec_id"] for r in
+           similarity.mmr_rerank(_vecs(spark, rows), query_id=0, k=3,
+                                 pool=10, lam=0.5).collect()]
+    assert out[0] == 10           # most relevant, smallest id on the tie
+    assert out[1] == 12           # the duplicate 11 is deferred
+    assert out[2] == 11
+
+
+def test_mmr_deterministic_across_layouts(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.mmr_rerank(emb, query_id=0, k=5, pool=15).collect()
+    b = similarity.mmr_rerank(emb.repartition(5), query_id=0, k=5, pool=15).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -909,10 +909,16 @@ def margin_mined_pairs(
     vecs = embeddings.select(
         F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    xs = vecs.filter(F.col(label_col) == query_label).select(
+    # Zero vectors have no direction — cosine against them is 0/0. Drop
+    # them up front (both sides; the oracle mirrors the same predicate)
+    # instead of letting ANSI mode abort the whole mining batch.
+    nonzero = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    ) > 0
+    xs = vecs.filter((F.col(label_col) == query_label) & nonzero).select(
         F.col(id_col).alias("x_id"), F.col("v").alias("xv")
     )
-    ys = vecs.filter(F.col(label_col) == cand_label).select(
+    ys = vecs.filter((F.col(label_col) == cand_label) & nonzero).select(
         F.col(id_col).alias("y_id"), F.col("v").alias("yv")
     )
     c6 = F.round(F.round(cosine(F.col("xv"), F.col("yv")), 6) * 1e6).cast("bigint")
@@ -959,4 +965,82 @@ def margin_mined_pairs(
         ranked.withColumn("_b", F.row_number().over(wbest))
         .filter((F.col("_b") == 1) & (F.col("margin") >= min_margin))
         .drop("_b")
+    )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k results that balance relevance to the
+    query against redundancy with what is already picked —
+
+        pick argmax over c of  lam * cos(q, c)
+                               - (1 - lam) * max over s in S of cos(c, s)
+
+    The de-facto diversification pass over a dense-retrieval shortlist
+    (RAG context assembly, dedup-aware eval pools).
+
+    Coarse-to-fine contract (same as tsne_driver / the ANN re-rank
+    tiers): the DISTRIBUTED part is the top-``pool`` candidate retrieval
+    (cosine_topk — broadcast query, rank window); the greedy selection
+    is inherently sequential in k, so it runs driver-side over the
+    bounded pool (pool x dim floats — a few KB). Scores are rounded to
+    6dp before the argmax so the pick sequence is reproducible across
+    runs/layouts; ties break on the smaller id (then id order), making
+    the whole rerank a pure function of the data.
+
+    Returns ``(rank, vec_id, relevance, mmr_score)`` — rank 1..k in pick
+    order.
+    """
+    pooled = cosine_topk(embeddings, [query_id], k=pool, id_col=id_col,
+                         vec_col=vec_col).select("neighbor_id", "cos")
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cands = (
+        pooled.join(vecs, pooled["neighbor_id"] == vecs[id_col])
+        .select("neighbor_id", "cos", "v")
+        .collect()
+    )
+    import math
+
+    by_rel = sorted(cands, key=lambda r: (-r["cos"], r["neighbor_id"]))
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    picked: list[tuple[int, int, float, float]] = []
+    chosen: list = []
+    remaining = list(by_rel)
+    while remaining and len(picked) < k:
+        best_key, best_row = None, None
+        for r in remaining:
+            redundancy = max(
+                (round(_cos(r["v"], s["v"]), 6) for s in chosen), default=0.0
+            )
+            score = round(lam * r["cos"] - (1.0 - lam) * redundancy, 6)
+            key = (score, -r["neighbor_id"])
+            if best_key is None or key > best_key:
+                best_key, best_row = key, r
+        picked.append(
+            (len(picked) + 1, best_row["neighbor_id"], best_row["cos"], best_key[0])
+        )
+        chosen.append(best_row)
+        remaining = [
+            c for c in remaining if c["neighbor_id"] != best_row["neighbor_id"]
+        ]
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picked, "rank int, vec_id bigint, relevance double, mmr_score double"
     )

@@ -5916,9 +5916,11 @@ def embedding_coverage_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vecs AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ), xs AS (
-      SELECT vec_id AS x_id, v AS xv FROM vecs WHERE label = 0
+      SELECT vec_id AS x_id, v AS xv FROM vecs
+      WHERE label = 0 AND list_dot_product(v, v) > 0
     ), ys AS (
-      SELECT vec_id AS y_id, v AS yv FROM vecs WHERE label = 1
+      SELECT vec_id AS y_id, v AS yv FROM vecs
+      WHERE label = 1 AND list_dot_product(v, v) > 0
     ), scored AS (
       SELECT x_id, y_id,
              CAST(round(round(
@@ -6021,6 +6023,19 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_report
 
     return source_quality_report(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_mmr_rerank")
+def embedding_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of a dense-retrieval shortlist (Carbonell &
+    Goldstein 1998): top-50 cosine pool for query vector 0, greedy
+    k=10 picks balancing relevance vs redundancy (lambda=0.7). The
+    greedy is inherently sequential → bounded driver-side step over the
+    pooled shortlist (rows-only; pinned by a pure-Python twin +
+    determinism tests). See operators/similarity.py:mmr_rerank."""
+    return similarity.mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, pool=50
+    )
 
 
 @query("bpe_fertility_stats")
