@@ -108,6 +108,7 @@ HEADLINE = [
     "embedding_coverage_sample",
     "embedding_margin_pairs",
     "source_quality_report",
+    "inference_batch_plan",
 ]
 
 

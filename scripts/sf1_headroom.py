@@ -109,6 +109,7 @@ QUERIES = [
     "embedding_coverage_sample",
     "embedding_margin_pairs",
     "source_quality_report",
+    "inference_batch_plan",
 ]
 
 

@@ -253,3 +253,58 @@ def test_mmr_deterministic_across_layouts(spark, sf_dir):
     a = similarity.mmr_rerank(emb, query_id=0, k=5, pool=15).collect()
     b = similarity.mmr_rerank(emb.repartition(5), query_id=0, k=5, pool=15).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------- inference_batch_plan
+
+
+def test_inference_batch_plan_invariants(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.operators import shards
+    from week5_datingnlp_big_data_spark.operators.textstats import token_count_ws
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    plan = shards.inference_batch_plan(docs, batch_token_budget=budget).collect()
+    total = (
+        docs.select(token_count_ws("text").alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    # conservation: every non-empty doc's tokens land in exactly one batch
+    assert sum(r["sum_len"] for r in plan) == total
+    for r in plan:
+        # batches overrun the budget by at most one document
+        assert r["sum_len"] < budget + r["max_len"]
+        # log2 bucketing: max/min length ratio within a bucket < 2
+        assert r["max_len"] < 2 ** (r["len_bucket"] + 1)
+        # padding waste is a valid fraction
+        assert 0.0 <= r["padding_frac"] < 1.0
+
+
+def test_inference_batch_plan_deterministic(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.operators import shards
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, shards.inference_batch_plan(docs).collect()))
+    b = sorted(map(tuple, shards.inference_batch_plan(docs.repartition(9)).collect()))
+    assert a == b
+
+
+def test_inference_batch_plan_splits_at_budget(spark):
+    # 5 docs of 10 tokens in one bucket (bit_length(10)-1 = 3), budget 20
+    # -> md5 order is fixed; batches split every 2 docs: sizes 2/2/1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), "en", "A", 19) for i in range(5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    from week5_datingnlp_big_data_spark.operators import shards
+
+    plan = sorted(
+        (r["batch_idx"], r["n_docs"], r["sum_len"])
+        for r in shards.inference_batch_plan(docs, batch_token_budget=20).collect()
+    )
+    assert plan == [(0, 2, 20), (1, 2, 20), (2, 1, 10)]

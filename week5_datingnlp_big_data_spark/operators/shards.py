@@ -164,3 +164,94 @@ def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
         F.max("max_id").alias("max_id"),
         F.bit_xor("content_xor").alias("content_xor"),
     )
+
+
+def inference_batch_plan(
+    docs: DataFrame,
+    batch_token_budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "ibatch",
+) -> DataFrame:
+    """Length-bucketed dynamic batching plan — the serving-side layout
+    step: group documents of similar token length into batches so the
+    padded cost (batch_size x max_len) stays close to the useful cost
+    (sum of lengths). Batching by raw arrival order wastes most of the
+    accelerator on padding whenever long and short sequences mix; every
+    inference/training stack with variable-length inputs does a version
+    of this (bucketed batching in Fairseq/T5, "sorted batching" in
+    serving runtimes).
+
+    Deterministic relational formulation (no global sort, no driver
+    state):
+      - length bucket = bit_length(n_tokens) - 1 (≡ floor(log2), but
+        computed on the INTEGER binary representation: floor(log2(2^k))
+        can land on either side of k depending on the engine's libm,
+        so the float form is not oracle-safe) — a pure per-row
+        expression, so no quantile pass over the corpus is needed and
+        the bucket boundaries do not drift as the corpus grows;
+      - within a bucket, docs order by md5(seed:id) (layout/run/engine
+        invariant, same idiom as assign_shards);
+      - batch index = floor(running-token-sum-before / budget) — the
+        concat-and-split rule over the bucketed stream. A batch may
+        overrun the budget by at most one document; lengths within a
+        bucket differ by < 2x, so padding waste is bounded.
+
+    Output: one row per batch —
+    ``(len_bucket, batch_idx, n_docs, max_len, sum_len, padding_frac)``
+    where padding_frac = 1 - sum_len / (n_docs * max_len), rounded 6dp.
+
+    Scale shape: one scan computes lengths; ONE hash exchange on the
+    bucket key feeds the running-sum window (buckets are size-balanced
+    by the log2 cut at corpus scale — no corpus-sized single partition);
+    the rollup reuses the same partitioning. Empty docs (0 tokens) are
+    excluded — they have no serving cost.
+    """
+    from pyspark.sql import Window
+
+    from week5_datingnlp_big_data_spark.operators.textstats import token_count_ws
+
+    lens = docs.select(
+        F.col(id_col),
+        token_count_ws(text_col).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    bucket = (
+        F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy("len_bucket")
+        .orderBy("order_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        lens.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            bucket.alias("len_bucket"),
+            key.alias("order_key"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        # integer DIV, not float /: a float quotient one ulp above an
+        # integer boundary would split batches differently per engine
+        .withColumn(
+            "batch_idx", F.expr(f"cum_before DIV {int(batch_token_budget)}")
+        )
+    )
+    return (
+        assigned.groupBy("len_bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").cast("bigint").alias("sum_len"),
+        )
+        .withColumn(
+            "padding_frac",
+            F.round(
+                F.lit(1.0) - F.col("sum_len") / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ),
+        )
+    )

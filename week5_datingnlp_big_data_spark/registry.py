@@ -6025,6 +6025,53 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quality_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "inference_batch_plan",
+    """
+    WITH lens AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, n_tokens,
+             CAST(length(printf('%b', n_tokens)) - 1 AS INT) AS len_bucket,
+             md5('ibatch:' || CAST(doc_id AS VARCHAR)) AS order_key
+      FROM lens WHERE n_tokens > 0
+    ), cum AS (
+      SELECT doc_id, n_tokens, len_bucket,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY len_bucket ORDER BY order_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM nz
+    ), b AS (
+      SELECT len_bucket, CAST(cum_before // 512 AS BIGINT) AS batch_idx,
+             n_tokens FROM cum
+    )
+    SELECT len_bucket, batch_idx,
+           count(*) AS n_docs,
+           max(n_tokens) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+           round(1.0 - sum(n_tokens) * 1.0 / (count(*) * max(n_tokens)), 6)
+             AS padding_frac
+    FROM b GROUP BY 1, 2
+    """,
+)
+def inference_batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching plan (512-token budget): docs
+    bucket by integer bit-length of their token count (floor-log2 that
+    is exact on both engines), order within buckets by md5, and split
+    into batches at running-sum budget boundaries — per-batch padding
+    waste reported. The serving-layout step every variable-length
+    inference/training stack needs. See
+    operators/shards.py:inference_batch_plan."""
+    return shards.inference_batch_plan(
+        _t(spark, sf_dir, "documents"), batch_token_budget=512
+    )
+
+
 @query("embedding_mmr_rerank")
 def embedding_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification of a dense-retrieval shortlist (Carbonell &
