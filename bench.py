@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_margin_pairs",
     "source_quality_report",
     "inference_batch_plan",
+    "sentence_chunks",
 ]
 
 

@@ -30,7 +30,16 @@ TABLES = (
 
 
 def norm(v):
-    return ("NaN" if math.isnan(v) else round(v, 6)) if isinstance(v, float) else v
+    # Fold NULL/NaT/NaN to one marker and stringify everything else —
+    # pandas NaT != NaT, so a raw-value compare false-flags any query
+    # emitting NULL timestamps (user_state_scd2's open intervals did
+    # exactly that, 2026-08-15). The driver hashes string forms and
+    # accepts NULLs; this mirrors it (same rule as the /verify recipe).
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "<NULL>"
+    return str(round(v, 6)) if isinstance(v, float) else str(v)
 
 
 def main() -> None:

@@ -110,6 +110,7 @@ QUERIES = [
     "embedding_margin_pairs",
     "source_quality_report",
     "inference_batch_plan",
+    "sentence_chunks",
 ]
 
 

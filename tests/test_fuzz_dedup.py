@@ -85,6 +85,12 @@ FUZZED_QUERIES = (
     # component-keyed split: mutated copies share groups across the fuzz
     # corpus, so the no-straddle property is exercised on real clusters
     "leakage_safe_split",
+    # round-10 surface: per-source report (fuzz exact dups + empties hit
+    # every counter; src0-2 cycling populates multiple report rows) and
+    # the batching plan (one-worders land in bucket 0, dup lengths stress
+    # the md5 order ties, empties must vanish)
+    "source_quality_report",
+    "inference_batch_plan",
 )
 
 VOCAB = [

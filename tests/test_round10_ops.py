@@ -308,3 +308,76 @@ def test_inference_batch_plan_splits_at_budget(spark):
         for r in shards.inference_batch_plan(docs, batch_token_budget=20).collect()
     )
     assert plan == [(0, 2, 20), (1, 2, 20), (2, 1, 10)]
+
+
+# -------------------------------------------------------- sentence_chunks
+
+
+def _doc(spark, text):
+    return spark.createDataFrame(
+        [(1, text, "en", "A", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def test_sentence_chunks_golden(spark):
+    from week5_datingnlp_big_data_spark.operators import corpus
+
+    text = "alpha bravo. charlie delta echo. foxtrot golf! hotel india?"
+    out = sorted(
+        (r["chunk_idx"], r["n_sentences"], r["n_words"], r["chunk_text"])
+        for r in corpus.sentence_chunks(
+            _doc(spark, text), max_words=5, overlap_sentences=1
+        ).collect()
+    )
+    # s0(2w) + s1(3w) fill chunk 0 exactly; chunk 1 seeds with s1 + s2;
+    # chunk 2 seeds with s2 + s3
+    assert out == [
+        (0, 2, 5, "alpha bravo. charlie delta echo."),
+        (1, 2, 5, "charlie delta echo. foxtrot golf!"),
+        (2, 2, 4, "foxtrot golf! hotel india?"),
+    ]
+
+
+def test_sentence_chunks_long_sentence_is_own_chunk(spark):
+    from week5_datingnlp_big_data_spark.operators import corpus
+
+    text = "short one. " + " ".join(["w"] * 20) + ". tail two."
+    rows = {r["chunk_idx"]: r for r in corpus.sentence_chunks(
+        _doc(spark, text), max_words=8, overlap_sentences=1
+    ).collect()}
+    # the 21-word sentence never splits and never carries a seed
+    long_rows = [r for r in rows.values() if r["n_words"] > 8]
+    assert len(long_rows) == 1 and long_rows[0]["n_sentences"] == 1
+
+
+def test_sentence_chunks_covers_every_sentence(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.operators import corpus
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = corpus.sentence_chunks(docs, max_words=32).collect()
+    import re
+
+    boundary = re.compile(r"(?<=[.!?])\s+")
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for row in docs.collect():
+        if not row["text"] or not row["text"].strip():
+            assert row["doc_id"] not in by_doc
+            continue
+        sents = [s for s in boundary.split(row["text"].strip()) if s.strip()]
+        joined = " ".join(c["chunk_text"] for c in by_doc[row["doc_id"]])
+        for s in sents:
+            assert s in joined, (row["doc_id"], s)
+
+
+def test_sentence_chunks_deterministic(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.operators import corpus
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, corpus.sentence_chunks(docs).collect()))
+    b = sorted(map(tuple, corpus.sentence_chunks(docs.repartition(11)).collect()))
+    assert a == b

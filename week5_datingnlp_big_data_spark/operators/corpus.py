@@ -522,3 +522,104 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select("doc_id", status.alias("status"), "old_hash", "new_hash")
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    max_words: int = 128,
+    overlap_sentences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunk packing — the RAG-ingestion complement of
+    :func:`chunk_documents`: instead of cutting fixed word windows that
+    split sentences mid-thought, pack CONSECUTIVE WHOLE SENTENCES
+    greedily into chunks of at most ``max_words`` words, carrying the
+    last ``overlap_sentences`` sentences into the next chunk for
+    cross-boundary context (the standard retrieval-chunking recipe —
+    LangChain/LlamaIndex "sentence splitter" semantics, here as a
+    distributed operator).
+
+    Packing rule per document (whitespace words; sentence boundaries at
+    runs of [.!?] followed by whitespace, punctuation kept with the
+    sentence):
+      - append sentences while the chunk stays within ``max_words``;
+      - a sentence that would overflow closes the chunk and opens a new
+        one seeded with the previous chunk's last ``overlap_sentences``
+        sentences (dropped if the seed alone would exceed the budget);
+      - a single sentence longer than the budget becomes its own chunk
+        (never split — the retriever sees whole sentences or nothing).
+
+    The greedy recurrence is prefix-dependent, so it is not a window
+    expression: it runs inside an Arrow-batched pandas UDF, per document
+    — embarrassingly parallel, no shuffle, output at most
+    ~1/(1 - overlap share) times the input text (rows-only at the
+    driver; pinned by golden and invariant tests).
+
+    Output: one row per chunk —
+    ``(doc_id, chunk_idx, n_sentences, n_words, chunk_text)``.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if overlap_sentences < 0:
+        raise ValueError("overlap_sentences must be >= 0")
+
+    boundary = _re.compile(r"(?<=[.!?])\s+")
+
+    def pack(text: str) -> list[tuple[int, int, int, str]]:
+        sents = [s for s in boundary.split(text.strip()) if s.strip()]
+        if not sents:
+            return []
+        lens = [len(s.split()) for s in sents]
+        chunks: list[tuple[int, int, int, str]] = []
+        cur: list[int] = []  # sentence indices in the current chunk
+
+        def flush():
+            if cur:
+                chunks.append(
+                    (
+                        len(chunks),
+                        len(cur),
+                        sum(lens[i] for i in cur),
+                        " ".join(sents[i] for i in cur),
+                    )
+                )
+
+        for i, n in enumerate(lens):
+            cur_words = sum(lens[j] for j in cur)
+            if cur and cur_words + n > max_words:
+                flush()
+                seed = cur[-overlap_sentences:] if overlap_sentences else []
+                seed_words = sum(lens[j] for j in seed)
+                # the overlap seed must leave room for the new sentence
+                cur = list(seed) if seed_words + n <= max_words else []
+            cur.append(i)
+        flush()
+        return chunks
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("n_sentences", T.IntegerType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for idx, ns, nw, ct in pack(text):
+                    out.append((did, idx, ns, nw, ct))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in schema.fields]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -6072,6 +6072,19 @@ def inference_batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sentence_chunks")
+def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunk packing for RAG ingestion: whole sentences
+    packed greedily into <=64-word chunks with a 1-sentence overlap
+    carry. The greedy recurrence is prefix-dependent (not a window
+    expression) -> Arrow-batched mapInPandas per doc, rows-only at the
+    driver; pinned by golden/coverage/overlap/determinism units. See
+    operators/corpus.py:sentence_chunks."""
+    return corpus.sentence_chunks(
+        _t(spark, sf_dir, "documents"), max_words=64, overlap_sentences=1
+    )
+
+
 @query("embedding_mmr_rerank")
 def embedding_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification of a dense-retrieval shortlist (Carbonell &
