@@ -110,6 +110,7 @@ HEADLINE = [
     "source_quality_report",
     "inference_batch_plan",
     "sentence_chunks",
+    "contrastive_triples",
 ]
 
 

@@ -111,6 +111,7 @@ QUERIES = [
     "source_quality_report",
     "inference_batch_plan",
     "sentence_chunks",
+    "contrastive_triples",
 ]
 
 

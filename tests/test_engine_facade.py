@@ -77,3 +77,24 @@ def test_round4_packing_surface(eng):
     assert {"bucket", "seq_id", "n_chunks", "seq_tokens"} == set(packed.columns)
     mix = eng.token_budget_mixture(docs, budget_tokens=10_000)
     assert 0 < mix.count() < docs.count()
+
+
+def test_round10_surface(eng):
+    emb = eng.table("embeddings")
+    docs = eng.table("documents")
+    cov = eng.coverage_sample(emb, per_bucket=2)
+    assert {"vec_id", "cell", "pick"} <= set(cov.columns)
+    assert cov.groupBy("cell").count().filter("count > 2").count() == 0
+    mined = eng.margin_mine(emb, min_margin=0.0)
+    assert {"query_id", "match_id", "cos", "margin"} <= set(mined.columns)
+    rr = eng.mmr_rerank(emb, query_id=0, k=4, pool=10)
+    assert rr.count() == 4
+    rep = eng.source_report(docs)
+    assert {"source", "n_docs", "mean_quality", "dup_rate"} <= set(rep.columns)
+    plan = eng.batch_plan(docs, batch_token_budget=256)
+    assert {"len_bucket", "batch_idx", "padding_frac"} <= set(plan.columns)
+    chunks = eng.sentence_chunks(docs, max_words=32)
+    assert {"doc_id", "chunk_idx", "chunk_text"} <= set(chunks.columns)
+    assert chunks.count() > 0
+    trip = eng.contrastive_triples(emb, anchor_ids=[0, 1, 2], pos_threshold=0.3)
+    assert {"anchor_id", "pos_id", "neg_id"} <= set(trip.columns)

@@ -27,6 +27,7 @@ FUZZED_QUERIES = (
     "embedding_near_dup_pairs",
     "embedding_cosine_topk",
     "embedding_sq8_topk",
+    "contrastive_triples",
 )
 
 EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
@@ -106,7 +107,8 @@ def test_embedding_queries_match_oracle_on_fuzz(spark, rows):
         has_zero = any(all(x == 0.0 for x in r[1]) for r in rows)
         for name in FUZZED_QUERIES:
             if has_zero and name in (
-                "embedding_near_dup_pairs", "embedding_cosine_topk"
+                "embedding_near_dup_pairs", "embedding_cosine_topk",
+                "contrastive_triples",
             ):
                 # raw-cosine queries divide by the norm product; the
                 # zero-vector policy for those paths is pinned by their

@@ -381,3 +381,53 @@ def test_sentence_chunks_deterministic(spark, sf_dir):
     a = sorted(map(tuple, corpus.sentence_chunks(docs).collect()))
     b = sorted(map(tuple, corpus.sentence_chunks(docs.repartition(11)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ contrastive_triples
+
+
+def test_contrastive_triples_polarity(spark):
+    def unit(axis, eps=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if eps:
+            v[(axis + 1) % 64] = eps
+        return v
+
+    rows = [
+        (0, unit(0), 0),          # anchor
+        (10, unit(0, 0.05), 0),   # near-aligned -> the positive
+        (11, unit(5), 0),         # orthogonal -> the hard negative
+        (12, unit(6), 0),
+    ]
+    out = similarity.contrastive_triples(
+        _vecs(spark, rows), anchor_ids=[0], pos_threshold=0.9, neg_margin=0.05
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pos_id"] == 10 and r["pos_cos"] > 0.9
+    # hard negative = best-ranked below the band; ties break on id
+    assert r["neg_id"] == 11 and r["neg_cos"] < 0.85
+
+
+def test_contrastive_triples_drops_anchor_without_positive(spark):
+    def unit(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    rows = [(0, unit(0), 0), (10, unit(5), 0), (11, unit(6), 0)]
+    out = similarity.contrastive_triples(
+        _vecs(spark, rows), anchor_ids=[0], pos_threshold=0.9
+    )
+    assert out.count() == 0
+
+
+def test_contrastive_triples_null_negative_when_all_positive(spark):
+    base = [1.0, 0.2] + [0.0] * 62
+    rows = [(0, base, 0), (10, [x + 0.01 for x in base], 0),
+            (11, [x + 0.02 for x in base], 0)]
+    out = similarity.contrastive_triples(
+        _vecs(spark, rows), anchor_ids=[0], pos_threshold=0.5
+    ).collect()
+    assert len(out) == 1 and out[0]["neg_id"] is None

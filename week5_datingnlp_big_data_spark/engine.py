@@ -339,3 +339,51 @@ class Engine:
             top=k,
             **kw,
         )
+
+    def coverage_sample(self, embeddings: DataFrame, **kw) -> DataFrame:
+        """Coverage-balanced diversity sampling: cap every hyperplane-LSH
+        cell's budget (density-flattening corpus pruning)."""
+        return _similarity.coverage_sample(embeddings, **kw)
+
+    def margin_mine(self, embeddings: DataFrame, **kw) -> DataFrame:
+        """CCMatrix/LASER ratio-margin best-match mining between two
+        labeled vector sets (Artetxe & Schwenk 2019)."""
+        return _similarity.margin_mined_pairs(embeddings, **kw)
+
+    def mmr_rerank(self, embeddings: DataFrame, query_id: int, **kw) -> DataFrame:
+        """Maximal-marginal-relevance diversification of a dense-retrieval
+        shortlist (Carbonell & Goldstein 1998)."""
+        return _similarity.mmr_rerank(embeddings, query_id, **kw)
+
+    def source_report(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-source corpus health rollup: counts, token volume, mean
+        quality, corpus-wide exact-dup rate."""
+        from week5_datingnlp_big_data_spark.plans import datapipe as _dp
+
+        return _dp.source_quality_report(docs, **kw)
+
+    def bpe_fertility(self, docs: DataFrame, merges, **kw) -> DataFrame:
+        """Tokenizer fertility per source (tokens/word, chars/token) from
+        a trained BPE merge table."""
+        from week5_datingnlp_big_data_spark.operators import bpe as _bpe
+
+        return _bpe.bpe_fertility_stats(docs, merges, **kw)
+
+    def batch_plan(self, docs: DataFrame, **kw) -> DataFrame:
+        """Length-bucketed dynamic batching plan with per-batch
+        padding-waste report (serving layout)."""
+        from week5_datingnlp_big_data_spark.operators import shards as _shards
+
+        return _shards.inference_batch_plan(docs, **kw)
+
+    def sentence_chunks(self, docs: DataFrame, **kw) -> DataFrame:
+        """Sentence-aware chunk packing to a word budget with sentence
+        overlap (RAG splitter semantics; never splits a sentence)."""
+        return _corpus.sentence_chunks(docs, **kw)
+
+    def contrastive_triples(
+        self, embeddings: DataFrame, anchor_ids: list[int], **kw
+    ) -> DataFrame:
+        """Anchor/positive/hard-negative triples for embedding-model
+        training (SimCSE/E5 recipe, ANCE hard negatives)."""
+        return _similarity.contrastive_triples(embeddings, anchor_ids, **kw)

@@ -1044,3 +1044,71 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, "rank int, vec_id bigint, relevance double, mmr_score double"
     )
+
+
+def contrastive_triples(
+    embeddings: DataFrame,
+    anchor_ids: list[int],
+    pos_threshold: float = 0.35,
+    neg_margin: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-triple construction — the dataset-building
+    step of embedding-model training (SimCSE/E5/GTR recipes): for each
+    anchor, pick the POSITIVE (most-similar vector at cosine >=
+    ``pos_threshold``) and the HARD NEGATIVE (the highest-ranked vector
+    that is NOT positive-grade — cosine < pos_threshold - neg_margin,
+    the margin keeping label noise out of the negative pool). Anchors
+    with no positive-grade neighbor are dropped; hard negatives beat
+    random negatives because they carry gradient (Xiong et al. 2021,
+    ANCE).
+
+    Scale shape: one scored table — broadcast bounded anchor batch x
+    corpus scan (same plan as cosine_topk) — persisted for the two
+    ranked picks; both picks are per-anchor row_number windows over the
+    same partitioning. Ties break on the smaller id, cosines round to
+    6dp: deterministic and fully oracle-expressible.
+
+    Output: ``(anchor_id, pos_id, neg_id, pos_cos, neg_cos)``, one row
+    per anchor that has a positive.
+    """
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    anchors = vecs.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"), F.col("v").alias("av")
+    )
+    scored = (
+        vecs.join(F.broadcast(anchors), F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("other_id"),
+            F.round(cosine(F.col("av"), F.col("v")), 6).alias("cos"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("other_id"))
+    pos = (
+        scored.filter(F.col("cos") >= pos_threshold)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("cos") < pos_threshold - neg_margin)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id", "left").select(
+        "anchor_id", "pos_id", "neg_id", "pos_cos", "neg_cos"
+    )

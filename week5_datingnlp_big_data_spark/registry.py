@@ -6072,6 +6072,51 @@ def inference_batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contrastive_triples",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, v AS av FROM vecs WHERE vec_id < 32
+    ), scored AS (
+      SELECT anchor_id, vec_id AS other_id,
+             round(list_dot_product(av, v)
+                   / (sqrt(list_dot_product(av, av))
+                      * sqrt(list_dot_product(v, v))), 6) AS cos
+      FROM vecs CROSS JOIN anchors WHERE vec_id <> anchor_id
+    ), pos AS (
+      SELECT anchor_id, other_id AS pos_id, cos AS pos_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cos DESC, other_id) AS r
+        FROM scored WHERE cos >= 0.35
+      ) WHERE r = 1
+    ), neg AS (
+      SELECT anchor_id, other_id AS neg_id, cos AS neg_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cos DESC, other_id) AS r
+        FROM scored WHERE cos < 0.35 - 0.05
+      ) WHERE r = 1
+    )
+    SELECT anchor_id, pos_id, neg_id, pos_cos, neg_cos
+    FROM pos LEFT JOIN neg USING (anchor_id)
+    """,
+)
+def contrastive_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-triple construction (SimCSE/E5 dataset step,
+    ANCE hard negatives): per anchor (bounded batch, ids < 32), the
+    most-similar positive-grade vector (cos >= 0.35 — the corpus's
+    near-dup threshold) plus the top-ranked hard negative below the
+    margin band. One broadcast-scored table, two rank windows; fully
+    re-run by the oracle. See operators/similarity.py:contrastive_triples."""
+    return similarity.contrastive_triples(
+        _t(spark, sf_dir, "embeddings"),
+        anchor_ids=list(range(32)),
+        pos_threshold=0.35,
+        neg_margin=0.05,
+    )
+
+
 @query("sentence_chunks")
 def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-aware chunk packing for RAG ingestion: whole sentences
