@@ -111,6 +111,7 @@ HEADLINE = [
     "inference_batch_plan",
     "sentence_chunks",
     "contrastive_triples",
+    "source_quality_drift",
 ]
 
 

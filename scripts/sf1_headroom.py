@@ -112,6 +112,7 @@ QUERIES = [
     "inference_batch_plan",
     "sentence_chunks",
     "contrastive_triples",
+    "source_quality_drift",
 ]
 
 

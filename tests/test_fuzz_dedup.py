@@ -91,6 +91,10 @@ FUZZED_QUERIES = (
     # the md5 order ties, empties must vanish)
     "source_quality_report",
     "inference_batch_plan",
+    # PSI drift cells: fuzz dup/empty skew makes per-source distributions
+    # genuinely different; the dense 10-bin grid + smoothing arithmetic
+    # is value-verified per cell
+    "source_quality_drift",
 )
 
 VOCAB = [

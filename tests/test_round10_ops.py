@@ -431,3 +431,54 @@ def test_contrastive_triples_null_negative_when_all_positive(spark):
         _vecs(spark, rows), anchor_ids=[0], pos_threshold=0.5
     ).collect()
     assert len(out) == 1 and out[0]["neg_id"] is None
+
+
+# ---------------------------------------------------- source_quality_drift
+
+
+def test_source_quality_drift_detects_shifted_source(spark):
+    from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_drift
+
+    good = ("the quick brown fox jumps over the lazy dog and it runs for "
+            "miles with great vigor every single day")
+    junk = "@@@@ #### %%%% ^^^^ &&&& **** (((( )))) @@@@ ####"
+    docs = spark.createDataFrame(
+        [(i, good, "en", "clean", len(good)) for i in range(20)]
+        + [(100 + i, junk, "en", "spam", len(junk)) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    cells = source_quality_drift(docs).collect()
+    # dense grid: 2 sources x 10 bins, every bin present
+    assert len(cells) == 20
+    by_src = {}
+    for c in cells:
+        by_src.setdefault(c["source"], 0.0)
+        by_src[c["source"]] += c["contribution"]
+    # both sources are maximally shifted from each other -> both PSIs large
+    assert by_src["spam"] > 0.5 and by_src["clean"] > 0.5
+    # identical-distribution control: split one source in two
+    docs2 = spark.createDataFrame(
+        [(i, good, "en", f"s{i % 2}", len(good)) for i in range(40)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    cells2 = source_quality_drift(docs2).collect()
+    psi = sum(c["contribution"] for c in cells2) / 2
+    assert abs(psi) < 0.01  # smoothing noise only
+
+
+def test_source_quality_drift_counts_consistent(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_drift
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = source_quality_drift(docs).collect()
+    srcs = {c["source"] for c in cells}
+    assert all(
+        sum(1 for c in cells if c["source"] == s) == 10 for s in srcs
+    )
+    # n_source + n_rest is the same corpus total in every cell's bin row
+    bins = {}
+    for c in cells:
+        tot = c["n_source"] + c["n_rest"]
+        bins.setdefault(c["bin"], set()).add(tot)
+    assert all(len(v) == 1 for v in bins.values())

@@ -387,3 +387,10 @@ class Engine:
         """Anchor/positive/hard-negative triples for embedding-model
         training (SimCSE/E5 recipe, ANCE hard negatives)."""
         return _similarity.contrastive_triples(embeddings, anchor_ids, **kw)
+
+    def source_drift(self, docs: DataFrame, **kw) -> DataFrame:
+        """PSI drift cells per (source, quality decile) vs the rest of
+        the corpus — the per-ingest-batch data-drift alarm."""
+        from week5_datingnlp_big_data_spark.plans import datapipe as _dp
+
+        return _dp.source_quality_drift(docs, **kw)

@@ -304,3 +304,72 @@ def source_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("n_dup_docs") / F.col("n_docs"), 6),
         )
     )
+
+
+def source_quality_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index drift cells: for every source, compare
+    its quality-score distribution against the REST of the corpus over
+    ten fixed deciles — the standard data-drift alarm (PSI) a curation
+    team runs per ingest batch to catch a source whose character shifted
+    (new crawler, new spam wave, template change).
+
+    PSI(source) = Σ_bins (p'_b − q'_b) · ln(p'_b / q'_b), with add-α
+    smoothing so empty bins stay finite. Following the
+    lang_source_contingency discipline, the operator emits ONE ROW PER
+    (source, bin) with its contribution — a summed statistic would be a
+    10-term float sum whose addition order differs across engines; each
+    cell is instead a deterministic chain of integer-derived divisions,
+    one ln, one multiply, one round. Consumers sum the 10 cells (or
+    filter on per-cell contributions directly, which localizes WHERE the
+    drift lives — the reason monitoring dashboards keep the cells).
+
+    Bins: ``least(floor(quality * 10), 9)`` — quality is already rounded
+    to 6dp, and the float multiply is bit-identical on both engines, so
+    the binning is oracle-exact. NULL-quality docs (NULL text) are
+    excluded. Bins a source never hits still emit rows (PSI needs the
+    full support): the dense (source × bin) grid comes from a small
+    cross join of the distinct sources with a literal 0-9 range.
+
+    Scale shape: one scan bins the corpus; one groupBy(source, bin)
+    aggregate; the dense grid + corpus bin totals are tiny broadcast
+    sides. Output: ``(source, bin, n_source, n_rest, p_src, p_rest,
+    contribution)``.
+    """
+    scored = textstats.quality_score(docs, text_col).filter(
+        F.col("quality").isNotNull()
+    )
+    binned = scored.select(
+        "source",
+        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
+    bins = docs.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))
+    grid = binned.select("source").distinct().crossJoin(F.broadcast(bins))
+    dense = grid.join(counts, ["source", "bin"], "left").fillna(0, ["n_sb"])
+    bin_tot = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_b"))
+    src_tot = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_all = binned.agg(F.count(F.lit(1)).alias("n_all"))
+    cells = (
+        dense.join(F.broadcast(bin_tot), "bin", "left")
+        .fillna(0, ["n_b"])
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_all))
+    )
+    a = F.lit(alpha)
+    p_src = (F.col("n_sb") + a) / (F.col("n_s") + 10 * a)
+    p_rest = (F.col("n_b") - F.col("n_sb") + a) / (
+        F.col("n_all") - F.col("n_s") + 10 * a
+    )
+    return cells.select(
+        "source",
+        "bin",
+        F.col("n_sb").alias("n_source"),
+        (F.col("n_b") - F.col("n_sb")).alias("n_rest"),
+        F.round(p_src, 6).alias("p_src"),
+        F.round(p_rest, 6).alias("p_rest"),
+        F.round((p_src - p_rest) * F.log(p_src / p_rest), 6).alias("contribution"),
+    )

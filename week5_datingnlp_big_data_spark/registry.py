@@ -6073,6 +6073,73 @@ def inference_batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_quality_drift",
+    """
+    WITH feat AS (
+      SELECT source,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM documents
+    ), q AS (
+      SELECT source,
+             round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least(round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6) / 0.6, 1.0) * 0.3
+               + least(round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6) / 0.05, 1.0) * 0.2
+               + (CASE WHEN round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6) <= 0.2
+                  THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM feat
+    ), nn AS (
+      SELECT source, CAST(least(floor(quality * 10), 9) AS INT) AS bin
+      FROM q WHERE quality IS NOT NULL
+    ), counts AS (
+      SELECT source, bin, count(*) AS n_sb FROM nn GROUP BY 1, 2
+    ), grid AS (
+      SELECT DISTINCT source, CAST(r.b AS INT) AS bin
+      FROM nn, unnest(range(0, 10)) AS r(b)
+    ), dense AS (
+      SELECT g.source, g.bin, coalesce(c.n_sb, 0) AS n_sb
+      FROM grid g LEFT JOIN counts c USING (source, bin)
+    ), bt AS (
+      SELECT bin, count(*) AS n_b FROM nn GROUP BY 1
+    ), st AS (
+      SELECT source, count(*) AS n_s FROM nn GROUP BY 1
+    ), na AS (
+      SELECT count(*) AS n_all FROM nn
+    )
+    SELECT source, bin,
+           n_sb AS n_source,
+           coalesce(n_b, 0) - n_sb AS n_rest,
+           round((n_sb + 0.5) / (n_s + 5.0), 6) AS p_src,
+           round((coalesce(n_b, 0) - n_sb + 0.5) / (n_all - n_s + 5.0), 6)
+             AS p_rest,
+           round(((n_sb + 0.5) / (n_s + 5.0)
+                  - (coalesce(n_b, 0) - n_sb + 0.5) / (n_all - n_s + 5.0))
+                 * ln(((n_sb + 0.5) / (n_s + 5.0))
+                      / ((coalesce(n_b, 0) - n_sb + 0.5) / (n_all - n_s + 5.0))),
+                 6) AS contribution
+    FROM dense LEFT JOIN bt USING (bin) JOIN st USING (source) CROSS JOIN na
+    """,
+)
+def source_quality_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift cells per (source, quality-decile): each source's
+    quality distribution vs the rest of the corpus, add-0.5 smoothing,
+    one row per cell so no float SUM ever crosses the engine boundary
+    (same discipline as lang_source_contingency). The per-batch
+    data-drift alarm of a corpus-monitoring stack. See
+    plans/datapipe.py:source_quality_drift."""
+    from week5_datingnlp_big_data_spark.plans.datapipe import source_quality_drift
+
+    return source_quality_drift(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "contrastive_triples",
     """
     WITH vecs AS (
