@@ -566,3 +566,66 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == {1: batch[1], 2: batch[2], 3: batch[3]}
     assert got[1] > 0
+
+
+def test_streaming_source_drift_equals_batch(spark, tmp_path):
+    """Incrementally-summed quality histograms over 3 micro-batches must
+    yield exactly the batch PSI drift cells of the full corpus."""
+    import glob as g
+    import pathlib
+    import shutil
+
+    from week5_datingnlp_big_data_spark.plans import datapipe
+
+    good = "the quick brown fox jumps over the lazy dog and it runs far"
+    junk = "@@@ ### %%% ^^^ &&& *** ((( )))"
+    schema = "doc_id long, text string, source string"
+    batches = [
+        [(i, good, "clean") for i in range(20)] + [(50 + i, junk, "spam") for i in range(5)],
+        [(100 + i, junk, "spam") for i in range(15)],
+        [(200 + i, good, "clean") for i in range(10)] + [(250, junk, "clean")],
+    ]
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / "_dr" / name
+        df.coalesce(1).write.parquet(str(stage))
+        (tmp_path / "dr").mkdir(parents=True, exist_ok=True)
+        shutil.copy(
+            g.glob(str(stage / "part-*.parquet"))[0], str(tmp_path / "dr" / name)
+        )
+
+    for i, rows in enumerate(batches):
+        drop(rows, f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dr"))
+    )
+    q = sc.streaming_source_drift(
+        stream,
+        state_dir=str(tmp_path / "dr_state"),
+        checkpoint_dir=str(tmp_path / "dr_ckpt"),
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    versions = sorted(
+        pathlib.Path(tmp_path / "dr_state").glob("v*"),
+        key=lambda d: int(d.name[1:]),
+    )
+    final_counts = spark.read.parquet(str(versions[-1]))
+    streamed = sorted(
+        map(tuple, datapipe.drift_cells_from_counts(final_counts).collect())
+    )
+    all_rows = [r for b in batches for r in b]
+    whole = sorted(map(tuple, datapipe.source_quality_drift(
+        spark.createDataFrame(all_rows, schema)
+    ).collect()))
+    assert streamed == whole
+    # polarity survives the incremental path: spam drifts hard
+    psi = {}
+    for row in datapipe.drift_cells_from_counts(final_counts).collect():
+        psi[row["source"]] = psi.get(row["source"], 0.0) + row["contribution"]
+    assert psi["spam"] > 0.5

@@ -339,6 +339,15 @@ def source_quality_drift(
     sides. Output: ``(source, bin, n_source, n_rest, p_src, p_rest,
     contribution)``.
     """
+    counts = quality_bin_counts(docs, text_col)
+    return drift_cells_from_counts(counts, alpha=alpha)
+
+
+def quality_bin_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sparse per-(source, quality-decile) histogram ``(source, bin,
+    n_sb)`` — the MERGEABLE state behind the PSI drift report (counts
+    sum across corpus slices / micro-batches). NULL-quality docs are
+    excluded; bins are the bit-identical ``least(floor(q*10), 9)`` cut."""
     scored = textstats.quality_score(docs, text_col).filter(
         F.col("quality").isNotNull()
     )
@@ -346,13 +355,23 @@ def source_quality_drift(
         "source",
         F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int").alias("bin"),
     )
-    counts = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
-    bins = docs.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))
-    grid = binned.select("source").distinct().crossJoin(F.broadcast(bins))
+    return binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
+
+
+def drift_cells_from_counts(counts: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """PSI cells from an accumulated ``(source, bin, n_sb)`` histogram —
+    the pure (and tiny: sources x 10 rows) tail of source_quality_drift,
+    shared with the streaming accumulator so the final streamed state
+    yields EXACTLY the batch report."""
+    spark = counts.sparkSession
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    grid = counts.select("source").distinct().crossJoin(F.broadcast(bins))
     dense = grid.join(counts, ["source", "bin"], "left").fillna(0, ["n_sb"])
-    bin_tot = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_b"))
-    src_tot = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    n_all = binned.agg(F.count(F.lit(1)).alias("n_all"))
+    bin_tot = counts.groupBy("bin").agg(F.sum("n_sb").cast("bigint").alias("n_b"))
+    src_tot = counts.groupBy("source").agg(
+        F.sum("n_sb").cast("bigint").alias("n_s")
+    )
+    n_all = counts.agg(F.sum("n_sb").cast("bigint").alias("n_all"))
     cells = (
         dense.join(F.broadcast(bin_tot), "bin", "left")
         .fillna(0, ["n_b"])

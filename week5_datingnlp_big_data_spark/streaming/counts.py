@@ -681,3 +681,55 @@ def streaming_shard_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_source_drift(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Incrementally-maintained PSI drift state: each micro-batch's
+    per-(source, quality-decile) histogram (datapipe.quality_bin_counts)
+    is SUMMED into the histogram accumulated over all previous batches —
+    counts are the canonical mergeable sketch, so the state is a tiny
+    sources x 10 parquet table and no batch ever rescans earlier data.
+    Reading the final state through datapipe.drift_cells_from_counts
+    yields EXACTLY the batch source_quality_drift of the full corpus
+    (unit-pinned), so a monitoring job gets fresh drift cells after
+    every ingest batch at per-batch cost.
+
+    Versioned one subdirectory per batch id with replay protection
+    (state at or beyond a replayed batch's id is ignored before
+    re-merging) — the same restart-safety contract as
+    streaming_bloom_dedup / streaming_shard_manifest."""
+    from pathlib import Path
+
+    from week5_datingnlp_big_data_spark.plans import datapipe
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = Path(state_dir)
+        versions = sorted(
+            (d for d in root.glob("v*") if d.is_dir()),
+            key=lambda d: int(d.name[1:]),
+        )
+        live = [d for d in versions if int(d.name[1:]) < batch_id]
+        batch_counts = datapipe.quality_bin_counts(batch_df, text_col)
+        if live:
+            prev = spark.read.parquet(str(live[-1]))
+            merged = (
+                prev.unionByName(batch_counts)
+                .groupBy("source", "bin")
+                .agg(F.sum("n_sb").cast("bigint").alias("n_sb"))
+            )
+        else:
+            merged = batch_counts
+        merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
