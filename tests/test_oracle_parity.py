@@ -47,8 +47,10 @@ def test_driver_window_holds_flagships():
         # (embedding_near_dup_pairs ceded its slot in round 10 — the
         # hyperplane-signature machinery is driver-verified via
         # embedding_coverage_sample; the pairs form stays parity-gated)
+        # (token_counts ceded its slot in round 10 — scan-count shape
+        # carried by quality_scores + inference_batch_plan, both in-window)
         "quality_scores", "lang_id_confusion",
-        "token_counts", "orders_price_percentiles",
+        "orders_price_percentiles",
         "ngram_jaccard_near_dups", "near_dup_components", "exact_dedup",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
@@ -67,8 +69,10 @@ def test_driver_window_holds_flagships():
         # destructive line_dedup_rewrite form already in-window)
         "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
         "part_copurchase_pairs", "textrank_keywords",
-        # round-10 flagships (coverage sampling, margin mining, source report)
+        # round-10 flagships (coverage sampling, margin mining, source
+        # report, batch planning, PSI drift)
         "embedding_coverage_sample", "embedding_margin_pairs",
-        "source_quality_report",
+        "source_quality_report", "inference_batch_plan",
+        "source_quality_drift",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

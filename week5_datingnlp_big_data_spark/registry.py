@@ -6309,6 +6309,8 @@ DEMOTED: tuple[str, ...] = (
     "q9_product_type_profit",     # profit rollup shares q8's join tree + share calc (q8 stays in-window)
     "q11_important_parts",        # scalar-subquery HAVING ⊂ q15's scalar-subquery = max shape (q15 stays)
     "embedding_near_dup_pairs",   # hyperplane-bucket self-join machinery now driver-verified via embedding_coverage_sample (same signature) + media_phash/minhash banded self-joins in-window
+    "token_counts",               # ws/BPE-ish scan counts ⊂ quality_scores (scan stats) + inference_batch_plan (ws counts feed the bucketing); still parity+fuzz gated
+    "events_range_attribution",   # point-in-interval bucket join ⊂ session_error_exposure's interval×interval form (same bucketization + meet rule, in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -6351,6 +6353,8 @@ PROMOTED: tuple[str, ...] = (
     "embedding_coverage_sample",
     "embedding_margin_pairs",
     "source_quality_report",
+    "inference_batch_plan",
+    "source_quality_drift",
 )
 
 
