@@ -362,7 +362,13 @@ def drift_cells_from_counts(counts: DataFrame, alpha: float = 0.5) -> DataFrame:
     """PSI cells from an accumulated ``(source, bin, n_sb)`` histogram —
     the pure (and tiny: sources x 10 rows) tail of source_quality_drift,
     shared with the streaming accumulator so the final streamed state
-    yields EXACTLY the batch report."""
+    yields EXACTLY the batch report.
+
+    ``counts`` feeds FOUR consumers (dense grid, bin totals, source
+    totals, grand total) — persisted once so the upstream corpus scan
+    (the expensive part when counts comes straight off documents) runs
+    once, not four times."""
+    counts = counts.persist()
     spark = counts.sparkSession
     bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
     grid = counts.select("source").distinct().crossJoin(F.broadcast(bins))
