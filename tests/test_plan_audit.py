@@ -67,7 +67,8 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # (embedding_margin_pairs is deliberately absent — its
                  # bounded-broadcast x candidate scoring is a BNLJ by
                  # design, the same shape as cosine_topk)
-                 "embedding_coverage_sample", "source_quality_report"):
+                 "embedding_coverage_sample", "source_quality_report",
+                 "inference_batch_plan", "source_quality_drift"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

@@ -406,3 +406,30 @@ def test_media_phash_pairs_equi_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "media_phash_near_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coverage_sample_mapside_group_limit(spark, sf_dir):
+    # The per-cell cap must prune BEFORE the exchange: a partial
+    # WindowGroupLimit on the map side means each task ships at most
+    # per_bucket rows per cell instead of the whole corpus.
+    plan = _plan(spark, sf_dir, "embedding_coverage_sample")
+    # formatted explain mentions each node twice (tree + details)
+    assert plan.count("WindowGroupLimit") == 4  # Partial + Final nodes
+    assert plan.count("Exchange") == 2  # ONE exchange node
+
+
+def test_inference_batch_plan_single_exchange(spark, sf_dir):
+    # The running-sum window and the per-batch rollup share the
+    # len_bucket partitioning: one exchange end-to-end, pruned scan.
+    plan = _plan(spark, sf_dir, "inference_batch_plan")
+    assert plan.count("Exchange") == 2  # ONE exchange node (tree + details)
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_margin_pairs_no_unbounded_cartesian(spark, sf_dir):
+    # The scored table is a bounded-broadcast BNLJ by design (query
+    # batch x corpus); what must NEVER appear is a non-broadcast
+    # CartesianProduct, and the candidate-sided neighborhood aggregate
+    # must join back by hash key, not broadcast.
+    plan = _plan(spark, sf_dir, "embedding_margin_pairs")
+    assert "CartesianProduct" not in plan
