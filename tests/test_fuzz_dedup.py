@@ -138,21 +138,31 @@ def near_dup_corpus(draw):
     for _ in range(draw(st.integers(0, 2))):
         rows.append((doc_id, rows[rng.randrange(len(rows))][1]))
         doc_id += 1
-    # degenerate shapes
-    for text in draw(st.lists(st.sampled_from(["", " ", "solo", "a b"]),
+    # degenerate shapes; one NULL text ALWAYS (absent from the driver's
+    # synthetic tables, present in any real crawl — every fuzzed query's
+    # NULL path must match its oracle on every example)
+    for text in draw(st.lists(st.sampled_from(["", " ", "solo", "a b", None]),
                               max_size=3)):
         rows.append((doc_id, text))
         doc_id += 1
+    rows.append((doc_id, None))
+    doc_id += 1
     return [
-        (i, text, ("en", "fr")[i % 2], f"src{i % 3}", len(text)) for i, text, in
+        (i, text, ("en", "fr")[i % 2], f"src{i % 3}",
+         len(text) if text is not None else 0) for i, text, in
         ((r[0], r[1]) for r in rows)
     ]
 
 
 def _norm(v):
+    # fold NULL/NaN and stringify — NULL-text rows put None into
+    # otherwise-typed columns, and mixed None/value tuples don't sort
+    # (the driver compares string forms too)
+    if v is None:
+        return "<NULL>"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
-    return v
+        return "NaN" if math.isnan(v) else str(round(v, 6))
+    return str(v)
 
 
 def _canon(df):

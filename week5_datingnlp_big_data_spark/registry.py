@@ -1090,7 +1090,7 @@ def events_props_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, value,
            round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) + 0 AS zscore
     FROM events
     """,
 )
@@ -1595,7 +1595,7 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, vecs.vec_id AS neighbor_id,
              round(list_dot_product(q.qv, vecs.v)
                    / (sqrt(list_dot_product(q.qv, q.qv))
-                      * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS cos
+                      * sqrt(list_dot_product(vecs.v, vecs.v))), 6) + 0 AS cos
       FROM q JOIN vecs ON vecs.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id, cos, rnk FROM (
@@ -3414,7 +3414,7 @@ def pii_redaction_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm
     )
     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-           round(-sum(c * log10(cnt / total)) / sum(c), 6) AS mean_neg_logprob
+           round(-sum(c * log10(cnt / total)) / sum(c), 6) + 0 AS mean_neg_logprob
     FROM dt JOIN lm USING (term), tot
     GROUP BY doc_id
     """,
@@ -3580,7 +3580,7 @@ def token_budget_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM big JOIN ctx USING (w1), voc
     )
     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(-sum(c * logprob) / sum(c), 6) AS mean_neg_logprob
+           round(-sum(c * logprob) / sum(c), 6) + 0 AS mean_neg_logprob
     FROM doc_bi JOIN lm USING (w1, w2)
     GROUP BY doc_id
     """,
@@ -3747,7 +3747,7 @@ def span_dedup_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm
     ), sc AS (
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-             round(-sum(c * log10(cnt / total)) / sum(c), 6) AS mean_neg_logprob
+             round(-sum(c * log10(cnt / total)) / sum(c), 6) + 0 AS mean_neg_logprob
       FROM dt JOIN lm USING (term), tot
       GROUP BY doc_id
     ), d AS (
@@ -4839,7 +4839,7 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lmt
     ), lm AS (
-      SELECT doc_id, round(-sum(c * log10(cnt / total)) / sum(c), 6) AS mean_neg_logprob
+      SELECT doc_id, round(-sum(c * log10(cnt / total)) / sum(c), 6) + 0 AS mean_neg_logprob
       FROM dt JOIN lmt USING (term), tot GROUP BY doc_id
     ), pr AS (
       SELECT doc_id, quality, dup_word_frac, mean_neg_logprob,
@@ -5618,10 +5618,10 @@ def user_state_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_points,
            CASE WHEN n_points * sxx - sx * sx <> 0
                 THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
-                           / (n_points * sxx - sx * sx), 6) END AS slope,
+                           / (n_points * sxx - sx * sx), 6) + 0 END AS slope,
            CASE WHEN n_points * sxx - sx * sx <> 0
                 THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                           / (n_points * sxx - sx * sx), 6) END AS intercept
+                           / (n_points * sxx - sx * sx), 6) + 0 END AS intercept
     FROM s
     """,
 )
@@ -5762,7 +5762,7 @@ def streaming_session_window_parity_q(spark: SparkSession, sf_dir: str) -> DataF
       SELECT qs.query_id, n.vec_id AS neighbor_id,
              CASE WHEN sqrt(qs.qn2) * sqrt(n.n2) > 0
                   THEN round(CAST(list_dot_product(qs.qq, n.q) AS DOUBLE)
-                             / (sqrt(qs.qn2) * sqrt(n.n2)), 6) END AS sq_cos
+                             / (sqrt(qs.qn2) * sqrt(n.n2)), 6) + 0 END AS sq_cos
       FROM qs JOIN normed n ON n.vec_id != qs.query_id
     )
     SELECT query_id, neighbor_id, sq_cos, rnk FROM (
@@ -5944,7 +5944,7 @@ def embedding_coverage_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x_id AS query_id, y_id AS match_id,
              round(c6 / 1e6, 6) AS cos,
              CASE WHEN (sx * ky + sy * kx) <> 0
-                  THEN round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6)
+                  THEN round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6) + 0
              END AS margin
       FROM scored JOIN nx USING (x_id) JOIN ny USING (y_id)
     )
@@ -6150,7 +6150,7 @@ def source_quality_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT anchor_id, vec_id AS other_id,
              round(list_dot_product(av, v)
                    / (sqrt(list_dot_product(av, av))
-                      * sqrt(list_dot_product(v, v))), 6) AS cos
+                      * sqrt(list_dot_product(v, v))), 6) + 0 AS cos
       FROM vecs CROSS JOIN anchors WHERE vec_id <> anchor_id
     ), pos AS (
       SELECT anchor_id, other_id AS pos_id, cos AS pos_cos FROM (
