@@ -1836,12 +1836,12 @@ def winnow_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            round(m1, 4) AS mean_price,
            round(sd, 4) AS sd_price,
-           round(cov, 4) AS cov_qty_price,
-           round(corr_, 6) AS corr_qty_price,
+           round(cov, 4) + 0 AS cov_qty_price,
+           round(corr_, 6) + 0 AS corr_qty_price,
            round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
-                 / pow(p2 - m1 * m1, 1.5), 6) AS skew_price,
+                 / pow(p2 - m1 * m1, 1.5), 6) + 0 AS skew_price,
            round((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
-                 / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_price
+                 / pow(p2 - m1 * m1, 2) - 3, 6) + 0 AS kurt_price
     FROM m
     """,
 )
