@@ -1259,7 +1259,7 @@ def events_range_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n_name, 'ALL') AS n_name,
            coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 4) AS total_acctbal
+           round(sum(c_acctbal), 4) + 0 AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP(n_name, c_mktsegment)
     """,
@@ -2983,7 +2983,7 @@ def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
            round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.1 * p_retailprice * l_quantity), 4) AS profit
+                     - 0.1 * p_retailprice * l_quantity), 4) + 0 AS profit
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN part     ON p_partkey = l_partkey
@@ -3116,7 +3116,7 @@ def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     """
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 4) AS totacctbal
+           round(sum(c_acctbal), 4) + 0 AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (
@@ -5072,7 +5072,7 @@ def luhn_ccn_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               list_prepend(CAST(0.0 AS DOUBLE), list_transform(dist, ch ->
                 (len(list_filter(chars, x -> x = ch)) / len(chars))
                 * log2(len(list_filter(chars, x -> x = ch)) / len(chars)))),
-              (a, b) -> a + b), 6) AS char_entropy_bits
+              (a, b) -> a + b), 6) + 0 AS char_entropy_bits
     FROM d
     """,
 )
