@@ -107,6 +107,49 @@ def test_margin_at_most_one_row_per_query(spark, sf_dir):
     assert all(r["count"] == 1 for r in per_q)
 
 
+def test_margin_blocked_matches_oracle_with_active_cells(spark, tmp_path):
+    # 48 vectors per label -> nx*ny = 2304 > the registered pair_budget
+    # of 1024, so the LSH-cell prefix length is L = 2 (16 cells used at
+    # 2-bit depth) and the BLOCKED code path actually runs — the sf0.001
+    # parity sweep sits below the budget and degenerates to L = 0, so
+    # this is the in-repo pin of the cell join + integer prefix-length
+    # arithmetic against the verbatim driver oracle.
+    import duckdb
+
+    from tests.conftest import assert_matches_oracle
+    from week5_datingnlp_big_data_spark.registry import ORACLE
+
+    import random
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(96):
+        v = [round(rng.uniform(-1.0, 1.0), 3) for _ in range(64)]
+        rows.append((i, v, i % 2))
+    # a near-aligned cross-label pair so the margin >= 1.0 gate passes
+    rows.append((200, list(rows[0][1]), 1))
+    df = _vecs(spark, rows)
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    out = similarity.margin_mined_pairs(
+        spark.read.parquet(path),
+        pair_budget=1024, min_cell_cands=8, max_planes=16, dim=64,
+    )
+    # blocking is structurally active: the physical plan joins on the
+    # cell prefix instead of broadcasting the full query side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    assert_matches_oracle(out, con, ORACLE["embedding_margin_pairs"])
+    con.close()
+
+
 # --------------------------------------------------- source_quality_report
 
 

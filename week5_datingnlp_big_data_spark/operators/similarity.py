@@ -874,6 +874,10 @@ def margin_mined_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    pair_budget: int | None = None,
+    min_cell_cands: int = 8,
+    max_planes: int = 16,
+    dim: int = 64,
 ) -> DataFrame:
     """Margin-based best-match mining (Artetxe & Schwenk 2019, the
     CCMatrix/LASER bitext-mining scorer): for every query vector x the
@@ -896,12 +900,27 @@ def margin_mined_pairs(
     — integer numerator and denominator, ONE IEEE division, so the
     oracle is bit-exact (same power-sums trick as event_type_daily_trend).
 
-    Scale shape: the query side is the BOUNDED side (a mining batch —
-    broadcast); candidates stream scan-side, so the scored table is
-    O(|Y| x |X|) rows — linear in the corpus. Both neighborhood
-    aggregates and the final best-match rank reuse that one persisted
-    table (three consumers). For corpus x corpus mining at 100 TB,
-    block with LSH/IVF cells first and run this scorer within cells.
+    Scale shape — two registered modes:
+
+    * ``pair_budget=None`` (default, the bounded-batch form): the query
+      side is a mining BATCH — broadcast; candidates stream scan-side,
+      so the scored table is O(|Y| x |Q|) rows — linear in the corpus
+      for a bounded Q.
+    * ``pair_budget=B`` (the corpus x corpus form): both sides are
+      assigned to hyperplane-LSH cells and the scorer runs WITHIN cells
+      (the CCMatrix practice — FAISS-sharded mining; here the shards are
+      sign-LSH cells so the whole thing stays one declarative plan). The
+      cell-prefix length L is a pure INTEGER function of the two side
+      counts — enough bits that the expected within-cell pair total
+      stays near B, capped so every cell keeps >= ``min_cell_cands``
+      expected candidates — so the scored table is ~B rows no matter the
+      corpus size, and the same L falls out of the same integer
+      arithmetic in the SQL oracle (bit-length, not float log2, so no
+      ulp can flip it). Neighborhoods and the best match are then
+      per-cell, which is exactly the approximation mined systems make.
+
+    Both neighborhood aggregates and the final best-match rank reuse one
+    persisted scored table (three consumers).
 
     Output: ``(query_id, match_id, cos, margin)`` — at most one row per
     query (its best candidate by margin), margin >= min_margin.
@@ -922,7 +941,52 @@ def margin_mined_pairs(
         F.col(id_col).alias("y_id"), F.col("v").alias("yv")
     )
     c6 = F.round(F.round(cosine(F.col("xv"), F.col("yv")), 6) * 1e6).cast("bigint")
-    scored = ys.join(F.broadcast(xs)).select("x_id", "y_id", c6.alias("c6")).persist()
+    if pair_budget is None:
+        scored = (
+            ys.join(F.broadcast(xs)).select("x_id", "y_id", c6.alias("c6")).persist()
+        )
+    else:
+        # Blocked form: full max_planes-bit signature per row, then keep
+        # an L-bit prefix where L = min(pair_l, cand_l, max_planes):
+        #   pair_l — ceil(log2(ceil(nx*ny / pair_budget))) bits shrink
+        #            the expected pair total to ~pair_budget;
+        #   cand_l — floor(log2(ny / min_cell_cands)) bits keep the
+        #            expected candidates-per-cell >= min_cell_cands.
+        # Both are bit-length integer arithmetic (length(bin(m))), never
+        # float log2, so Spark and DuckDB derive the identical L.
+        xsig = xs.withColumn(
+            "sig", hyperplane_signature(F.col("xv"), max_planes, dim)
+        )
+        ysig = ys.withColumn(
+            "sig", hyperplane_signature(F.col("yv"), max_planes, dim)
+        )
+        lrow = (
+            xsig.agg(F.count(F.lit(1)).alias("nx"))
+            .crossJoin(ysig.agg(F.count(F.lit(1)).alias("ny")))
+            .select(
+                F.expr(
+                    f"""least(
+                      CASE WHEN (nx * ny + {pair_budget - 1}) DIV {pair_budget} <= 1
+                           THEN 0
+                           ELSE length(bin((nx * ny + {pair_budget - 1})
+                                           DIV {pair_budget} - 1)) END,
+                      CASE WHEN ny DIV {min_cell_cands} < 1 THEN 0
+                           ELSE length(bin(ny DIV {min_cell_cands})) - 1 END,
+                      {max_planes})"""
+                ).alias("l")
+            )
+        )
+        xc = xsig.crossJoin(F.broadcast(lrow)).select(
+            "x_id", "xv", F.expr("substring(sig, 1, l)").alias("cell")
+        )
+        yc = ysig.crossJoin(F.broadcast(lrow)).select(
+            "y_id", "yv", F.expr("substring(sig, 1, l)").alias("cell")
+        )
+        # Cell equi-join — no broadcast hint (both sides are corpus-sized
+        # at 100 TB; AQE picks the strategy and splits skewed cells).
+        scored = (
+            yc.join(xc, "cell").select("x_id", "y_id", c6.alias("c6")).persist()
+        )
 
     wx = Window.partitionBy("x_id").orderBy(F.desc("c6"), F.asc("y_id"))
     nx = (
@@ -946,10 +1010,12 @@ def margin_mined_pairs(
         den != 0,
         F.round((F.lit(2.0) * F.col("c6") * F.col("kx") * F.col("ky")) / den, 6),
     )
-    # nx is query-batch-sized (broadcastable); ny is CANDIDATE-sided —
-    # one row per y, corpus-sized at 100 TB — so it joins by hash key.
+    # In batch mode nx is query-batch-sized (broadcastable); ny — and in
+    # blocked mode BOTH sides — are corpus-sized at 100 TB, so they join
+    # by hash key and AQE may still demote to broadcast when measured small.
+    nx_side = F.broadcast(nx) if pair_budget is None else nx
     ranked = (
-        scored.join(F.broadcast(nx), "x_id")
+        scored.join(nx_side, "x_id")
         .join(ny, "y_id")
         .select(
             F.col("x_id").alias("query_id"),

@@ -5912,7 +5912,7 @@ def embedding_coverage_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_margin_pairs",
-    """
+    f"""
     WITH vecs AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ), xs AS (
@@ -5921,13 +5921,30 @@ def embedding_coverage_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ys AS (
       SELECT vec_id AS y_id, v AS yv FROM vecs
       WHERE label = 1 AND list_dot_product(v, v) > 0
+    ), lsel AS (
+      SELECT least(
+        CASE WHEN (nx * ny + 1023) // 1024 <= 1 THEN 0
+             ELSE length(printf('%b', (nx * ny + 1023) // 1024 - 1)) END,
+        CASE WHEN ny // 8 < 1 THEN 0
+             ELSE length(printf('%b', ny // 8)) - 1 END,
+        16) AS l
+      FROM (SELECT (SELECT count(*) FROM xs) AS nx,
+                   (SELECT count(*) FROM ys) AS ny)
+    ), xc AS (
+      SELECT x_id, xv,
+             substr({_sql_sig_bits(16, 64, 'xv')}, 1, (SELECT l FROM lsel)) AS cell
+      FROM xs
+    ), yc AS (
+      SELECT y_id, yv,
+             substr({_sql_sig_bits(16, 64, 'yv')}, 1, (SELECT l FROM lsel)) AS cell
+      FROM ys
     ), scored AS (
       SELECT x_id, y_id,
              CAST(round(round(
                list_dot_product(xv, yv)
                / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))),
              6) * 1e6) AS BIGINT) AS c6
-      FROM ys CROSS JOIN xs
+      FROM yc JOIN xc USING (cell)
     ), nx AS (
       SELECT x_id, sum(c6) AS sx, count(*) AS kx FROM (
         SELECT x_id, c6,
@@ -5959,15 +5976,25 @@ def embedding_margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based best-match mining (Artetxe & Schwenk 2019 — the
     CCMatrix/LASER bitext scorer): each label-0 query's best label-1
     candidate by RATIO margin cos/((nx+ny)/2), emitted when the margin
-    clears 1.0. Margins collapse to integer-arithmetic numerators and
-    denominators with ONE IEEE division, so the oracle re-runs the full
-    scorer bit-exactly. See operators/similarity.py:margin_mined_pairs."""
+    clears 1.0. Registered in the BLOCKED corpus x corpus form: both
+    sides are assigned to hyperplane-LSH cells (prefix length from
+    integer bit-length arithmetic over the side counts — ~1024 expected
+    scored pairs, >= 8 expected candidates per cell) and the scorer runs
+    within cells, so the scored table no longer grows with |X| x |Y|.
+    Margins collapse to integer-arithmetic numerators and denominators
+    with ONE IEEE division, and the oracle re-runs the full blocked
+    scorer bit-exactly (same inlined hyperplane literals, same integer
+    prefix-length rule). See operators/similarity.py:margin_mined_pairs."""
     return similarity.margin_mined_pairs(
         _t(spark, sf_dir, "embeddings"),
         query_label=0,
         cand_label=1,
         k=4,
         min_margin=1.0,
+        pair_budget=1024,
+        min_cell_cands=8,
+        max_planes=16,
+        dim=64,
     )
 
 
