@@ -73,3 +73,25 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
         assert hard == [], (name, out["warnings"])
+
+
+def test_lm_family_has_no_forced_vocab_broadcast(spark, sf_dir):
+    # The unigram/bigram LM tables have one row per distinct corpus token
+    # (pair) — unbounded at 100 TB. Their joins must carry NO broadcast
+    # hint (AQE decides from measured size). The only hinted joins allowed
+    # are the 1-row scalar-aggregate cross joins (corpus totals / V),
+    # which appear as `Join Cross` nodes in the optimized plan.
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    for name in ("doc_unigram_logprob", "doc_bigram_logprob",
+                 "cross_lm_scores", "lm_quality_buckets",
+                 "quality_ensemble_deciles"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        for line in plan.splitlines():
+            if "strategy=broadcast" in line:
+                assert "Join Cross" in line, (
+                    f"{name}: forced broadcast on a keyed join: {line.strip()}"
+                )

@@ -254,9 +254,11 @@ def unigram_logprob_scores(
     join); the LM is then a vocab-sized rollup of those counts, never a
     second pass over the token stream. The final join keys on term over
     distinct (doc, term) pairs — volume bounded by the DFM's nnz, not
-    token count — with the vocab-sized LM side broadcast (same shape as
-    the TF-IDF idf join, graded scale-safe); AQE handles residual Zipf
-    skew if the broadcast is lifted at extreme vocabulary sizes."""
+    token count — joining the LM side by hash key with NO forced
+    broadcast: the table has one row per distinct corpus token, which is
+    unbounded at 100 TB, so AQE decides (it broadcasts when the measured
+    size is small and falls back to a shuffle join — with skew handling —
+    when it is not)."""
     doc_terms = _doc_term_counts_ws(docs, text_col, id_col).persist()
     lm = (
         doc_terms.groupBy("term")
@@ -269,7 +271,7 @@ def unigram_logprob_scores(
         .select("term", F.log10(F.col("cnt") / F.col("total")).alias("logprob"))
     )
     return (
-        doc_terms.join(F.broadcast(lm), "term")
+        doc_terms.join(lm, "term")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),
@@ -302,8 +304,9 @@ def unigram_logprob_cross(
     table in one tokenize pass; its (total, V) is a one-row rollup OF THAT
     TABLE (no second pass). The scored side joins the LM per distinct
     (doc, term) pair — LEFT join so OOV terms survive with NULL counts —
-    with the vocab-sized LM broadcast (AQE lifts it to a shuffle join at
-    extreme vocabulary sizes). Neither corpus is ever scanned twice, and
+    with the LM side joined by hash key, no forced broadcast (the train
+    vocabulary is unbounded at crawl scale; AQE broadcasts only when the
+    measured size permits). Neither corpus is ever scanned twice, and
     nothing is collected at the driver."""
     lm = (
         _doc_term_counts_ws(train_docs, text_col, id_col)
@@ -321,7 +324,7 @@ def unigram_logprob_cross(
     )
     oov = F.when(F.col("cnt").isNull(), F.col("c")).otherwise(F.lit(0))
     return (
-        score_terms.join(F.broadcast(lm), "term", "left")
+        score_terms.join(lm, "term", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
@@ -351,7 +354,7 @@ def bigram_logprob_scores(
     bigrams); the global bigram table and its w₁-context rollup are both
     derived from those counts (vocab²-bounded aggregates, never a second
     corpus pass); V is a scalar broadcast. The final join is
-    bigram-vocab-sized — broadcast here, AQE shuffle join at extreme
+    bigram-vocab-sized — hash-keyed with no forced hint, AQE-planned at extreme
     vocabulary sizes (same note as the unigram scorer). Docs with fewer
     than 2 words have no bigrams and are excluded, like empty docs in the
     unigram scorer."""
@@ -400,7 +403,7 @@ def bigram_logprob_scores(
         )
     )
     return (
-        doc_bi.join(F.broadcast(lm), ["w1", "w2"])
+        doc_bi.join(lm, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_bigrams"),
@@ -535,7 +538,7 @@ def lm_quality_buckets(
         F.min(F.when(F.col("cum") * 3 >= n_total, F.col("mean_neg_logprob"))).alias("t1"),
         F.min(F.when(F.col("cum") * 3 >= 2 * n_total, F.col("mean_neg_logprob"))).alias("t2"),
     )
-    return scores.join(F.broadcast(thresholds)).select(
+    return scores.crossJoin(F.broadcast(thresholds)).select(
         id_col,
         "n_tokens",
         "mean_neg_logprob",
@@ -593,7 +596,7 @@ def quality_ensemble(
         .select("term", F.log10(F.col("cnt") / F.col("total")).alias("logprob"))
     )
     sig = (
-        doc_terms.join(F.broadcast(lm), "term")
+        doc_terms.join(lm, "term")
         .groupBy(id_col)
         .agg(
             F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_word_frac"),
