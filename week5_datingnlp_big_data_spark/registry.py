@@ -767,12 +767,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast NULL), halving the JSON work vs the CASE WHEN rlike form.
     v = F.get_json_object("props", "$.k")
     k = F.regexp_extract(v, "^(-?[0-9]+)$", 1).try_cast("bigint")
+    # Result-preserving scan-side pre-filter: a row whose props string
+    # never contains '"k"' cannot yield a non-NULL $.k, and NULL is
+    # filtered by k > 50 anyway — so contains(props, '"k"') drops only
+    # rows the query would drop later. Unlike the JSON parse below, this
+    # cheap substring predicate sits ABOVE the scan (ordinary Filter), so
+    # it runs at scan parallelism, prunes row groups via the parquet
+    # StringContains pushdown, and shrinks the rows that reach the
+    # Generate barrier.
+    pre = ev.filter(F.col("props").contains('"k"'))
     # Generate barrier: filter(k > 50) on a plain Project alias gets
     # rewritten in terms of the expression and pushed below the Project,
     # parsing the JSON twice per row (measured +69% on this query).
     # Filters on a generator's OUTPUT attribute cannot be pushed below the
     # Generate, so explode(array(k)) pins exactly one parse per row.
-    parsed = ev.select("event_id", F.explode(F.array(k)).alias("k"))
+    parsed = pre.select("event_id", F.explode(F.array(k)).alias("k"))
     return parsed.filter(F.col("k") > 50)
 
 
@@ -880,14 +889,27 @@ def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: group-having on the fact join (volume customers)."""
+    """TPC-H Q18 shape: group-having on the fact join (volume customers).
+
+    Plan (round-4 rewrite): aggregate lineitem FIRST — one shuffle on
+    l_orderkey with map-side partial sums — and apply the HAVING before
+    the join, so only the handful of qualifying orders ever joins back
+    to the orders table (AQE broadcasts the tiny filtered side). The
+    naive join-then-group form shuffles the full |lineitem| x orders row
+    set and groups on two columns; at 100 TB the difference is the whole
+    fact-table join payload. Legal because o_orderkey is the orders PK:
+    grouping by (o_orderkey, o_totalprice) == grouping by l_orderkey
+    then attaching o_totalprice."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
+    agg = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
+    )
+    return (
+        agg.join(o, agg.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
