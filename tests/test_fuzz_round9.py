@@ -207,15 +207,20 @@ def fuzz_docs(spark):
     words = ["spark", "spork", "sparks", "engine", "enginee", "data",
              "big", "scale", "shuffle", "shuffl", "join", "joins",
              "中文", "naïve", "don't", "x"]
+    # source tags carry their own edit-1 variants (and a NULL) — the
+    # registered vocab_typo_pairs vocabulary is tokens UNION source tags
+    sources = ["webA", "webB", "web", None, "crawl1", "crawl2"]
     rows = []
     for i in range(250):
         n = rng.randint(0, 25)
-        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
-    rows += [(1000, ""), (1001, None), (1002, "   "),
-             (1003, "spark engine " * 30), (1004, "<p>spark&amp;engine</p>")]
-    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n)),
+                     rng.choice(sources)))
+    rows += [(1000, "", "webA"), (1001, None, None), (1002, "   ", "web"),
+             (1003, "spark engine " * 30, "crawl1"),
+             (1004, "<p>spark&amp;engine</p>", "crawl2")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, source string")
     con = duckdb.connect()
-    con.register("raw_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.register("raw_docs", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
     con.execute("CREATE VIEW documents AS SELECT * FROM raw_docs")
     return sdf.cache(), con
 
@@ -254,10 +259,19 @@ def test_typo_pairs_fuzz_vs_oracle(fuzz_docs):
         "doc_id",
         remove_stopwords(tokenize(clean_text("text"))).alias("tokens"),
     )
-    wf = (
+    words = (
         explode_tokens(toks, "tokens", "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    got = fuzzy.edit1_typo_pairs(wf)
+    # mirror the REGISTERED form: vocabulary = tokens UNION source tags,
+    # asymmetry gate open (the production gate stays the operator default,
+    # pinned by test_round9_ops)
+    srcs = (
+        sdf.filter(F.col("source").isNotNull())
+        .groupBy(F.col("source").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = words.unionByName(srcs).groupBy("word").agg(F.sum("n").alias("n"))
+    got = fuzzy.edit1_typo_pairs(wf, freq_ratio=1, min_canon_freq=1)
     _compare(got, con, ORACLE["vocab_typo_pairs"])

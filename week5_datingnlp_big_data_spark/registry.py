@@ -5237,11 +5237,16 @@ def events_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_typo_pairs",
     f"""
     WITH wf AS (
-      SELECT word, count(*) AS n
-      FROM (SELECT * FROM documents
-            WHERE length(trim(coalesce(text, ''))) > 0) documents,
-           unnest({_sql_tokens('text', stop=True)}) AS t(word)
-      GROUP BY 1
+      SELECT word, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT word, count(*) AS n
+        FROM (SELECT * FROM documents
+              WHERE length(trim(coalesce(text, ''))) > 0) documents,
+             unnest({_sql_tokens('text', stop=True)}) AS t(word)
+        GROUP BY 1
+        UNION ALL
+        SELECT source AS word, count(*) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY 1
+      ) GROUP BY word
     ), v AS (
       SELECT word, n,
              unnest(list_distinct(list_prepend(word,
@@ -5261,23 +5266,47 @@ def events_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(n_a, n_b) AS typo_n,
            greatest(n_a, n_b) AS canon_n
     FROM verified
-    WHERE greatest(n_a, n_b) >= 4 * least(n_a, n_b)
-      AND greatest(n_a, n_b) >= 5
+    WHERE greatest(n_a, n_b) >= 1 * least(n_a, n_b)
+      AND greatest(n_a, n_b) >= 1
     """,
 )
 def vocab_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 typo detection over the corpus vocabulary:
     SymSpell symmetric-delete blocking (pairs meet on shared {self} ∪
     {1-deletion} variants — exact distance-1 recall, linear explode) +
-    Levenshtein verify + frequency-asymmetry direction. The vocabulary
+    Levenshtein verify + frequency-direction labeling. The vocabulary
     cleanup primitive for OCR/typo noise at crawl scale.
-    See operators/fuzzy.py:edit1_typo_pairs."""
-    wf = (
+
+    Registered vocabulary = corpus tokens ∪ source tags: the driver's
+    synthetic corpus draws text from a fixed wordlist with NO edit-1
+    neighbors at any scale (verified: 0 distance-1 pairs in the token
+    vocabulary), which made the original token-only registration a
+    vacuous 0=0 hash match. Source tags (src0..src19) carry genuine
+    edit-1 variants, so the driver row now exercises the delete-variant
+    explode, the blocking join, the Levenshtein verify, and the
+    frequency-direction CASE on real rows. The asymmetry gate is opened
+    (ratio 1, min freq 1) for the same reason — the uniform synthetic
+    frequencies can never clear a 4x gate; the production gate (4x, >=5)
+    stays the operator default, pinned non-trivially by
+    tests/test_round9_ops.py and the fuzz oracle in
+    tests/test_fuzz_round9.py. See operators/fuzzy.py:edit1_typo_pairs."""
+    words = (
         corpus.explode_tokens(_docs_tokenized(spark, sf_dir), "tokens", "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return fuzzy.edit1_typo_pairs(wf)
+    docs = _t(spark, sf_dir, "documents")
+    srcs = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy(F.col("source").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = (
+        words.unionByName(srcs)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+    )
+    return fuzzy.edit1_typo_pairs(wf, freq_ratio=1, min_canon_freq=1)
 
 
 @query(
