@@ -6302,6 +6302,74 @@ def bpe_fertility_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_fertility_stats(docs, merges)
 
 
+@query(
+    "near_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           t - d AS n_clusters,
+           t - d AS n_docs
+    FROM (SELECT (SELECT count(*) FROM documents) AS t,
+                 (SELECT count(*) FROM comp) AS d)
+    """,
+)
+def near_dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the post-dedup summary a
+    curation team reads (Lee et al. 2021 report exactly this
+    distribution): for every cluster size, how many near-dup clusters
+    exist and how many documents they absorb, plus the singleton row
+    (size 1 = docs in no cluster, from two scalar counts — no extra
+    corpus pass). Rides the SAME banded MinHash → min-label components
+    fixpoint as near_dup_components (one more tiny groupBy over the
+    component table — components are ≥ 2 nodes by construction, so the
+    singleton row never collides). Scale shape: the histogram's
+    cardinality is bounded by the largest cluster size, not the corpus.
+    See operators/dedup.py:near_dup_components."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.near_dup_components(docs, threshold=0.5)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("t"))
+        .crossJoin(F.broadcast(comp.agg(F.count(F.lit(1)).alias("d"))))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("t") - F.col("d")).alias("n_clusters"),
+            (F.col("t") - F.col("d")).alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
