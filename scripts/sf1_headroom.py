@@ -104,8 +104,9 @@ QUERIES = [
     "quality_weighted_sample",
     "events_value_winsorized",
     # round-10 additions: cell-capped sampling (cell-key window), margin
-    # mining (BNLJ score table + two neighborhood windows), per-source
-    # report (sha-keyed window + rollup)
+    # mining (LSH-cell-blocked score table + two neighborhood windows;
+    # blocked in round 4 after this harness caught the unblocked form at
+    # 6.85x), per-source report (sha-keyed window + rollup)
     "embedding_coverage_sample",
     "embedding_margin_pairs",
     "source_quality_report",
@@ -199,10 +200,19 @@ def main() -> None:
             results.setdefault(name, {})[sf_label] = dt
             results[name][f"rows_{sf_label}"] = n
 
+    # Flag rule (tightened in round 4 — the old `ratio > FACTOR` let a
+    # measured 6.85x quadratic slip through unflagged): a query is
+    # super-linear when its wall ratio exceeds max(3, its own OUTPUT
+    # growth) — output growth is the legitimate reason for wall growth
+    # (e.g. a pair-emitting query whose result really is 10x larger).
+    # Sub-second sf1 walls are exempt: a 0.1s -> 0.4s move is JVM/GC
+    # noise, not a plan blowup.
     flagged = []
     for name, r in results.items():
         r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
-        if r["ratio"] > FACTOR:
+        rows_growth = r["rows_sf1"] / max(r["rows_sf0.1"], 1)
+        r["flag_threshold"] = round(max(3.0, rows_growth), 2)
+        if r["ratio"] > r["flag_threshold"] and r["sf1"] > 1.0:
             flagged.append(name)
 
     out = {
