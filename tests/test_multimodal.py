@@ -314,3 +314,51 @@ def test_phash_real_gate_raises_on_undecodable(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|external codec|decodable"):
         mm.image_phash(media, use_real_codec=True).collect()
+
+
+# ------------------------------------------------- register_codec seam
+
+
+def test_register_codec_plugs_jpeg_through_decode_media(spark):
+    # The stub decoder is defined INSIDE the test so cloudpickle ships it
+    # by value (a test-module top-level function pickles by reference and
+    # the Spark workers can't import test_multimodal).
+    def _stub_jpeg_decoder(payload: bytes):
+        import numpy as np
+
+        h, w = 4, 6
+        base = len(payload) % 200
+        return (
+            np.arange(h * w, dtype=np.uint8).reshape(h, w) + base
+        ).astype("uint8")
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"JFIF-ish payload bytes"
+    media = spark.createDataFrame(
+        [(1, "image", fake_jpeg, None)], mm.MEDIA_SCHEMA
+    )
+    # gated without the plug-in, and the gate NAMES the hook
+    with pytest.raises(Exception, match="register_codec"):
+        mm.decode_media(media, use_real_codec=True).collect()
+
+    mm.register_codec("jpeg", _stub_jpeg_decoder)
+    try:
+        rows = mm.decode_media(media, use_real_codec=True).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # dims come from the stub decoder's ndarray (W=6, H=4)
+        assert (r.width, r.height) == (6, 4)
+        expected = _stub_jpeg_decoder(fake_jpeg).mean()
+        assert abs(r.mean_byte - float(expected)) < 1e-9
+    finally:
+        mm.unregister_codec("jpeg")
+
+    # registry restored -> gated again (the snapshot ships per-plan)
+    with pytest.raises(Exception, match="register_codec"):
+        mm.decode_media(media, use_real_codec=True).collect()
+
+
+def test_sniff_external_format_magics():
+    assert mm.sniff_external_format(b"\xff\xd8\xff\xdb...") == "jpeg"
+    assert mm.sniff_external_format(b"\x89PNG\r\n\x1a\n....") == "png"
+    assert mm.sniff_external_format(b"GIF89a;") == "gif"
+    assert mm.sniff_external_format(b"plain bytes") is None

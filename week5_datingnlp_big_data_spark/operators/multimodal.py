@@ -61,6 +61,55 @@ _FEATURE_SCHEMA = f"media_id long, feature array<double>"
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_sha string"
 
 
+# ----------------------------------------------------------------------
+# External-codec plug-in seam. The bundled pure-NumPy codecs cover the
+# UNCOMPRESSED formats (BMP/PPM/WAV/YUV4MPEG2); compressed formats need
+# libraries this container doesn't ship (PIL, libav). register_codec
+# lets a real cluster plug them in without touching this module:
+#
+#     from PIL import Image; import io, numpy as np
+#     register_codec("jpeg", lambda b: np.asarray(Image.open(io.BytesIO(b))))
+#
+# decode_fn(payload: bytes) -> np.ndarray of shape (H, W) or (H, W, C),
+# dtype uint8. The registry is snapshotted into the mapInPandas closure
+# at PLAN BUILD time (module globals mutated on the driver never reach
+# the Python workers — the closure is what ships), so register before
+# building the plan.
+_CODECS: dict[str, object] = {}
+
+# magic-byte sniffers for the common compressed containers
+_EXTERNAL_MAGIC: list[tuple[bytes, str]] = [
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),       # AVI/WebP share the RIFF envelope
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),
+    (b"\x00\x00\x00", "mp4"),  # ftyp boxes start with a 4-byte length
+]
+
+
+def register_codec(fmt: str, decode_fn) -> None:
+    """Register an external decoder for a compressed format (``'jpeg'``,
+    ``'png'``, ...). ``decode_fn(payload: bytes)`` must return a uint8
+    ndarray ``(H, W)`` or ``(H, W, C)``. Call BEFORE building the decode
+    plan — the registry ships inside the mapInPandas closure."""
+    _CODECS[fmt.lower()] = decode_fn
+
+
+def unregister_codec(fmt: str) -> None:
+    _CODECS.pop(fmt.lower(), None)
+
+
+def sniff_external_format(payload: bytes) -> str | None:
+    """Magic-byte sniff for formats the bundled codecs DON'T cover."""
+    for magic, fmt in _EXTERNAL_MAGIC:
+        if payload[: len(magic)] == magic:
+            return fmt
+    return None
+
+
 def _fake_pixel_stats(payload: bytes) -> tuple[int, int, float]:
     """Deterministic pseudo-decode: dimensions + mean 'pixel' from the
     payload digest. Stands in for a real codec with stable outputs."""
@@ -71,18 +120,28 @@ def _fake_pixel_stats(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_byte
 
 
-def _real_pixel_stats(kind: str, payload: bytes) -> tuple[int, int, float]:
-    """Real decode for image payloads in the formats the bundled codec
-    understands (BMP/PPM); everything else stays gated."""
+def _real_pixel_stats(
+    kind: str, payload: bytes, codecs: dict | None = None
+) -> tuple[int, int, float]:
+    """Real decode for image payloads: bundled codec for BMP/PPM, then a
+    ``register_codec``-plugged external decoder for compressed formats;
+    everything else stays gated."""
     from week5_datingnlp_big_data_spark.functions import imagecodec
 
     if kind == "image" and imagecodec.sniff_format(payload):
         img = imagecodec.decode_image(payload)
         return img.shape[1], img.shape[0], float(img.mean())
+    ext = sniff_external_format(payload)
+    if codecs and ext in codecs:
+        img = np.asarray(codecs[ext](payload), dtype=np.uint8)
+        return img.shape[1], img.shape[0], float(img.mean())
     raise NotImplementedError(
-        f"real decode for kind={kind!r} payload needs an external codec "
-        "(PIL/pyav) — only uncompressed BMP/PPM images decode in-container "
-        "here; audio has its own real path (decode_audio, PCM WAV)"
+        f"real decode for kind={kind!r} "
+        f"(sniffed format: {ext or 'unknown'}) needs an external codec — "
+        "only uncompressed BMP/PPM images decode in-container; plug a "
+        "decoder in with multimodal.register_codec(fmt, decode_fn) BEFORE "
+        "building the plan (e.g. register_codec('jpeg', PIL-based fn)). "
+        "Audio has its own real path (decode_audio, PCM WAV)."
     )
 
 
@@ -92,11 +151,15 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     downstream stages shuffle only scalars. With ``use_real_codec`` the
     width/height/mean come from actually decoded pixels (BMP/PPM)."""
 
+    # snapshot the plug-in registry NOW: module globals mutated on the
+    # driver never reach the Python workers, the closure does
+    codecs = dict(_CODECS)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codec:
                 stats = [
-                    _real_pixel_stats(k, p if p is not None else b"")
+                    _real_pixel_stats(k, p if p is not None else b"", codecs)
                     for k, p in zip(pdf["kind"], pdf["payload"])
                 ]
             else:
