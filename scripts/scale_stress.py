@@ -117,8 +117,10 @@ def main() -> None:
     profiles = spark.read.parquet(OUT)
 
     t0 = time.perf_counter()
+    ep1_stages: dict[str, float] = {}
     r = pipelines.ep1_classification(
-        profiles, min_docfreq=25, min_termfreq=35, max_depth=5
+        profiles, min_docfreq=25, min_termfreq=35, max_depth=5,
+        stage_timings=ep1_stages,
     )
     n_vocab = len(r.vocabulary)
     confusion = {(row["predicted"], row["actual"]): row["n"] for row in r.confusion.collect()}
@@ -157,6 +159,7 @@ def main() -> None:
         "tfidf_rows": tfidf_rows,
         "distinctive_male_top5": male_top,
         "timings_sec": timings,
+        "ep1_stage_sec": ep1_stages,
         "reference_baseline": "27-30 min train, 33 GB RAM, single R process",
     }))
 

@@ -43,11 +43,22 @@ def ep1_classification(
     train_fraction: float = 0.7,
     max_depth: int = 5,
     seed: int = 32984,
+    stage_timings: dict[str, float] | None = None,
 ) -> EP1Result:
     """EP-1: corpus prep → tokens → trimmed DFM → vectorize → stratified
     split → decision tree → confusion matrix. Thresholds default lower
     than the reference's 25/35 (R:105) because test fixtures are ~500 docs
-    vs 60k; pass 25/35 at full scale."""
+    vs 60k; pass 25/35 at full scale.
+
+    Pass ``stage_timings={}`` to get a featurize / fit / evaluate
+    wall-clock breakdown written into the dict (used by
+    scripts/scale_stress.py). The breakdown forces the train/test caches
+    at the stage boundary — an action the tree fit would trigger anyway,
+    so the total is unchanged; with the default ``None`` no extra action
+    runs."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     docs = corpus.profiles_to_docs(profiles)
     # Tokenize WITHOUT stemming: the whole clean/tokenize/stopword chain is
     # JVM regex work. Stemming happens below on DISTINCT terms only — the
@@ -134,8 +145,20 @@ def ep1_classification(
     # vectorize chain (measured ~2x the whole pipeline at 60k docs).
     train = train.persist()
     test = test.persist()
+    if stage_timings is not None:
+        # materialize the featurize chain (tokenize → stem-map → vectorize
+        # → split) so the fit stage below times ONLY the tree
+        train.count(), test.count()
+        stage_timings["featurize"] = round(_time.perf_counter() - _t0, 1)
+        _t0 = _time.perf_counter()
     model = ml.train_decision_tree(train, max_depth=max_depth, seed=seed)
+    if stage_timings is not None:
+        stage_timings["tree_fit"] = round(_time.perf_counter() - _t0, 1)
+        _t0 = _time.perf_counter()
     pred = ml.predict(model, test).persist()
+    if stage_timings is not None:
+        pred.count()
+        stage_timings["predict_eval"] = round(_time.perf_counter() - _t0, 1)
     return EP1Result(
         tokenized=tokenized,
         counts=counts,
