@@ -433,3 +433,27 @@ def test_margin_pairs_no_unbounded_cartesian(spark, sf_dir):
     # must join back by hash key, not broadcast.
     plan = _plan(spark, sf_dir, "embedding_margin_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_lineitem_below_the_join(spark, sf_dir):
+    # Round-4 rewrite: the HashAggregate over lineitem (sum l_quantity by
+    # l_orderkey) plus its HAVING must sit BELOW the join with orders, so
+    # the join input is the handful of qualifying orders, never the full
+    # fact table. Read the formatted plan bottom-up: the aggregate node
+    # over l_quantity appears, the filter on the aggregated sum appears,
+    # and no aggregate consumes a join output containing o_totalprice.
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "CartesianProduct" not in plan
+    # the partial aggregate runs over the scan columns (l_orderkey,
+    # l_quantity) — i.e. before any join attached o_totalprice
+    agg_keys = [
+        ln for ln in plan.splitlines()
+        if "Keys" in ln and "l_orderkey" in ln
+    ]
+    assert agg_keys, "lineitem-side aggregate missing from the plan"
+    assert all("o_totalprice" not in ln for ln in agg_keys), (
+        "aggregate grouped on join output — lineitem no longer "
+        "pre-aggregated below the join"
+    )
+    # HAVING pushed against the aggregate output, not the join output
+    assert "150" in plan
