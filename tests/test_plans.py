@@ -85,10 +85,23 @@ def test_asof_two_table_single_exchange_per_side(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
-def test_idf_join_is_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "tfidf")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_idf_join_adaptive_broadcast_no_forced_hint(spark, sf_dir):
+    # Round 4 dropped the FORCED broadcast of the idf table — the distinct
+    # vocabulary grows with the corpus, so the hint becomes an OOM at
+    # crawl scale. Two properties replace the old static assertion:
+    # (1) the optimized logical plan carries no broadcast hint, and
+    # (2) AQE still converts the join to a broadcast at runtime when the
+    #     measured side is small (every local run) — the final adaptive
+    #     plan shows BroadcastHashJoin, no sort-merge join survives.
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    df = QUERIES["tfidf"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    df.count()  # run so AQE finalizes
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
 
 
 def test_spread_noop_on_well_partitioned_input(spark):

@@ -438,7 +438,7 @@ def winnow_dup_pairs(
         .filter(F.col("fp_df") <= max_fp_docfreq)
     )
     # Persist: both sides of the self-join read this (small) filtered set.
-    filtered = exploded.join(F.broadcast(rare.select("fp")), "fp", "left_semi").persist()
+    filtered = exploded.join(rare.select("fp"), "fp", "left_semi").persist()
     a, b = filtered.alias("a"), filtered.alias("b")
     return (
         a.join(

@@ -9,7 +9,7 @@ to 6.17 GB (its W2 anti-pattern); this engine NEVER densifies — the long
 only at the MLlib boundary (ml.py).
 
 Scale: one hash shuffle on (doc_id, term) for A1 with map-side partial
-counts; the A3 trim is a term-level aggregate + broadcast semi-join, so the
+counts; the A3 trim is a term-level aggregate + semi-join, so the
 doc×term table is filtered without a second full shuffle of the big side.
 """
 
@@ -43,7 +43,7 @@ def stem_counts(counts: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     |vocab| rows (~10⁵) instead of every token (~10⁷): the Zipf-aware
     formulation of reference operator N3.
 
-    One tiny pandas-UDF pass over the distinct vocabulary, a broadcast
+    One tiny pandas-UDF pass over the distinct vocabulary, a hash-keyed
     join, and a re-aggregation on (doc, stem) — all the heavy lifting
     stays JVM-side. Use ``functions.stemmer.stem_tokens`` instead when
     ordered token streams are needed (N5 inspection)."""
@@ -51,7 +51,7 @@ def stem_counts(counts: DataFrame, doc_col: str = "doc_id") -> DataFrame:
 
     vocab_stems = counts.select("term").distinct().withColumn("stem", stem_one_udf()("term"))
     return (
-        counts.join(F.broadcast(vocab_stems), "term")
+        counts.join(vocab_stems, "term")
         .groupBy(doc_col, F.col("stem").alias("term"))
         .agg(F.sum("count").alias("count"))
     )
@@ -76,11 +76,13 @@ def trim_vocabulary(
     reference R:105 removed 140,528 of 153,385 features).
 
     The kept-vocab side is small post-trim (12.8k terms for the reference
-    corpus) → broadcast semi-join, no shuffle of the counts table."""
+    corpus) → semi-join with no forced broadcast: the surviving vocabulary
+    still grows with the corpus, so AQE picks broadcast only when the
+    measured size permits."""
     kept = term_stats(counts).filter(
         (F.col("df") >= min_docfreq) & (F.col("tf") >= min_termfreq)
     )
-    return counts.join(F.broadcast(kept.select("term")), "term", "left_semi")
+    return counts.join(kept.select("term"), "term", "left_semi")
 
 
 def sparsity(counts: DataFrame, n_docs: int | None = None, n_terms: int | None = None) -> float:

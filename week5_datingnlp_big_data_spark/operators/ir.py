@@ -19,8 +19,10 @@ which a training-data curation stack uses for targeted corpus pulls
 Scale design (100 TB):
 - ``bm25_weights`` builds the full postings-weight table: dl is a window
   over doc_id (one hash exchange), df is a |vocab|-sized aggregate joined
-  back with a broadcast, and (N, avgdl) is a ONE-ROW aggregate attached
-  via crossJoin(broadcast(...)) — no driver collect anywhere.
+  back by hash key with no forced broadcast (the term table grows with
+  the corpus; AQE broadcasts it when measured small), and (N, avgdl) is a
+  ONE-ROW aggregate attached via crossJoin(broadcast(...)) — no driver
+  collect anywhere.
 - ``bm25_topk`` is the inverted-index query path: the term filter is
   applied to the postings FIRST (predicate on the scan side, so only the
   query terms' postings are ever joined or scored), df is computed for
@@ -76,7 +78,7 @@ def bm25_weights(
     df_ = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf, bm25 = _bm25_expr(k1, b)
     return (
-        with_dl.join(F.broadcast(df_), "term")
+        with_dl.join(df_, "term")
         .crossJoin(F.broadcast(_corpus_stats(counts)))
         .select("doc_id", "term", "count", "dl", "df", idf, bm25)
     )
@@ -115,7 +117,7 @@ def bm25_topk(
     _, bm25 = _bm25_expr(k1, b)
     scored = (
         matched.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
+        .join(df_, "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", bm25)
         .groupBy("doc_id")
@@ -153,7 +155,7 @@ def tfidf_topk(
     w = (F.col("count") / F.col("dl")) * F.log10(F.col("n_docs") / F.col("df"))
     scored = (
         matched.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
+        .join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(

@@ -11,7 +11,8 @@ kind 0.589, intellectu 1.362, either 0.9.
 
 Scale: TF is a doc-partitioned window (no cross-doc data motion beyond the
 one hash shuffle on doc_id); IDF is a small per-term aggregate that
-broadcasts back onto the counts table. No transposition — the reference's
+joins back onto the counts table (hash key, AQE-planned). No
+transposition — the reference's
 apply(MARGIN=1/2) gymnastics disappear in long form.
 """
 
@@ -44,7 +45,9 @@ def inverse_doc_frequency(counts: DataFrame, n_docs: int | None = None) -> DataF
 
 def tf_idf(counts: DataFrame, n_docs: int | None = None, persist: bool = True) -> DataFrame:
     """A9 — ``(doc_id, term, tf, idf, tfidf)``. The per-term IDF side is
-    |vocab|-sized → broadcast join onto the doc×term table.
+    |vocab|-sized and grows with the corpus → hash-keyed join onto the
+    doc×term table with no forced broadcast (AQE broadcasts it whenever
+    the measured size permits, which is every sub-crawl-scale run).
 
     The counts DAG feeds three consumers (TF window, IDF aggregate, and
     the N-docs count when ``n_docs`` is None) — without ``persist`` the
@@ -57,7 +60,7 @@ def tf_idf(counts: DataFrame, n_docs: int | None = None, persist: bool = True) -
     tf = term_frequency(counts)
     idf = inverse_doc_frequency(counts, n_docs)
     return (
-        tf.join(F.broadcast(idf.select("term", "idf")), "term")
+        tf.join(idf.select("term", "idf"), "term")
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .select("doc_id", "term", "count", "tf", "idf", "tfidf")
     )

@@ -76,13 +76,17 @@ def ep1_classification(
     stem_map = (
         exploded.select("_raw").distinct()
         .withColumn("_term", stemmer.stem_one_udf()("_raw"))
-        .persist()  # tiny (|vocab| rows); consumed by counts AND rebuild
+        .persist()  # |vocab| rows; consumed by counts AND rebuild
     )
     # Ordered stemmed token stream, post-stem length filter as in the
-    # reference chain. Recomputations of this frame only re-run the
-    # broadcast map join against the cached raw tokens — all JVM-side.
+    # reference chain. The stem map joins by hash key with NO forced
+    # broadcast: the distinct vocabulary grows with the corpus (Heaps'
+    # law, unbounded at 100 TB), so AQE decides — it broadcasts when the
+    # measured size is small (every local run) and shuffles otherwise.
+    # Recomputations of this frame only re-run that map join against the
+    # cached raw tokens — all JVM-side.
     stemmed = (
-        exploded.join(F.broadcast(stem_map), "_raw")
+        exploded.join(stem_map, "_raw")
         .filter(F.length("_term") >= 2)
         .select("doc_id", "_pos", "_term")
     )

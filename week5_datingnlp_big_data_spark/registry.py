@@ -403,7 +403,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
@@ -439,9 +439,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -568,7 +568,7 @@ def q14_promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )
 
@@ -865,7 +865,7 @@ def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2314,7 +2314,7 @@ def q7_nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
         .filter(pair)
@@ -2382,7 +2382,7 @@ def q17_small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")), li.l_partkey == p.p_partkey)
+        li.join(p.filter(F.col("p_brand") == "Brand#1"), li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
@@ -2411,7 +2411,7 @@ def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(q_lo, q_hi)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(
             arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
         )
@@ -2506,10 +2506,10 @@ def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("_crk") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_snk"))
         .join(
-            F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+            p.filter(F.col("p_type") == "PROMO"),
             li.l_partkey == p.p_partkey,
         )
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -2560,7 +2560,7 @@ def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -2586,7 +2586,7 @@ def q16_supplier_part_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
     )
     return (
-        li.join(F.broadcast(pf), li.l_partkey == p.p_partkey)
+        li.join(pf, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2614,7 +2614,7 @@ def q20_heavy_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     heavy = (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#2")), li.l_partkey == p.p_partkey)
+        li.join(p.filter(F.col("p_brand") == "Brand#2"), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 500)
@@ -2979,7 +2979,7 @@ def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     cost = (
-        li.join(F.broadcast(europe_supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(europe_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 6).alias("unit_cost"))
     )
@@ -2989,8 +2989,8 @@ def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pf = p.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
     return (
-        best.join(F.broadcast(pf), best.l_partkey == pf.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(pf, best.l_partkey == pf.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey",
             F.col("l_suppkey").alias("s_suppkey"),
@@ -3030,9 +3030,9 @@ def q9_product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 4).alias("profit"))
@@ -3066,7 +3066,7 @@ def q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("value"))
         .persist()
@@ -3128,7 +3128,7 @@ def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
     )
     return (
-        pero.join(F.broadcast(s), pero.late_supp == s.s_suppkey)
+        pero.join(s, pero.late_supp == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
