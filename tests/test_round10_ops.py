@@ -150,6 +150,21 @@ def test_margin_blocked_matches_oracle_with_active_cells(spark, tmp_path):
     con.close()
 
 
+def test_margin_blocked_layout_invariant(spark, sf_dir):
+    # The cell depth comes from two counts (layout-free) and every cell,
+    # cosine, and tiebreak is a pure function of the rows — so the blocked
+    # mining must return identical pairs under any partitioning.
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, similarity.margin_mined_pairs(
+        emb, min_margin=0.0, pair_budget=64, min_cell_cands=2).collect()))
+    b = sorted(map(tuple, similarity.margin_mined_pairs(
+        emb.repartition(7), min_margin=0.0, pair_budget=64,
+        min_cell_cands=2).collect()))
+    assert a == b and len(a) > 0
+
+
 # --------------------------------------------------- source_quality_report
 
 
