@@ -657,3 +657,48 @@ def test_leakage_safe_split_deterministic_and_both_sides(spark):
     assert splits == {"train", "test"}
     n_test = sum(1 for (_, _, s) in a if s == "test")
     assert 0.03 < n_test / 300 < 0.25              # ~1/10 bucket rule
+
+
+# ----------------------------------------------- cross-corpus incremental
+
+
+def test_batch_novelty_flags_near_dup_of_base(spark):
+    prose = ("the quick brown fox jumps over the lazy dog while the cat "
+             "sleeps on the warm windowsill in the afternoon sun today")
+    base = spark.createDataFrame(
+        [(1, prose), (2, "completely different text about spark shuffles "
+                         "and adaptive query execution plans at scale")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of base doc 1 (one word changed)
+            (10, prose.replace("lazy", "sleepy")),
+            # genuinely novel content
+            (11, "unrelated musings on distributed minhash banding and "
+                 "jaccard verification for web crawl corpora tonight"),
+            # contentless -> novel by contract (exact dedup owns it)
+            (12, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.batch_novelty(base, batch).collect()}
+    assert not out[10]["is_novel"] and out[10]["n_base_dups"] >= 1
+    assert out[11]["is_novel"] and out[11]["n_base_dups"] == 0
+    assert out[12]["is_novel"]
+    # pair form agrees and reports the jaccard
+    pairs = dedup.cross_corpus_near_dups(base, batch).collect()
+    assert {(p["batch_id"], p["base_id"]) for p in pairs} == {(10, 1)}
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+
+
+def test_batch_novelty_layout_invariant(spark, sf_dir):
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    a = sorted(map(tuple, dedup.batch_novelty(base, batch).collect()))
+    b = sorted(map(tuple, dedup.batch_novelty(
+        base.repartition(5), batch.repartition(3)).collect()))
+    assert a == b and len(a) > 0

@@ -222,6 +222,109 @@ def jaccard_near_dups(
     )
 
 
+def cross_corpus_near_dups(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus — the
+    production shape for continuously crawled data: nobody re-deduplicates
+    100 TB per ingest; the day's batch is banded and joined against the
+    accumulated corpus index. Same Kirsch-Mitzenmacher MinHash + banded
+    LSH + exact-Jaccard verify as jaccard_near_dups, but the candidate
+    join is batch x base (asymmetric — no self pairs, no `<` tiebreak,
+    and at scale the batch side is tiny relative to the corpus so AQE
+    broadcasts it into the band join).
+
+    Returns ``(batch_id, base_id, jaccard)`` with jaccard >= threshold.
+
+    Scale shape: the base-side signature/band table is exactly what an
+    incremental pipeline would keep materialized between ingests
+    (streaming/counts.py:streaming_minhash_near_dups accumulates the same
+    band table as stream state); here it is rebuilt from the frame so the
+    operator stays self-contained and oracle-checkable.
+    """
+    sig_base = minhash_signatures(base, text_col, id_col, num_hashes, shingle_n)
+    sig_batch = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+    bb = band_table(sig_base, id_col, num_hashes, num_bands)
+    nb = band_table(sig_batch, id_col, num_hashes, num_bands)
+    cands = (
+        nb.alias("n")
+        .join(
+            bb.alias("b"),
+            (F.col("n.band_idx") == F.col("b.band_idx"))
+            & (F.col("n.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("base_id"),
+        )
+        .distinct()
+        .persist()  # feeds both semi-joins and the verify join
+    )
+    shb = (
+        batch.join(
+            cands.select(F.col("batch_id").alias(id_col)), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("batch_id"),
+                word_shingles(text_col, shingle_n).alias("sh_n"))
+    )
+    sho = (
+        base.join(
+            cands.select(F.col("base_id").alias(id_col)), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("base_id"),
+                word_shingles(text_col, shingle_n).alias("sh_b"))
+    )
+    return (
+        cands.join(shb, "batch_id")
+        .join(sho, "base_id")
+        .withColumn(
+            "jaccard", F.round(jaccard_similarity(F.col("sh_n"), F.col("sh_b")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "base_id", "jaccard")
+    )
+
+
+def batch_novelty(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-batch-document novelty against the existing corpus: how many
+    base documents each batch document near-duplicates, and the is_novel
+    flag an ingest pipeline filters on (novel = no base near-dup; the
+    non-novel rows are the ingest's discard set). Contentless batch docs
+    have no shingles, so they count as novel here — exact dedup owns them.
+    """
+    dups = cross_corpus_near_dups(
+        base, batch, text_col, id_col, threshold, num_hashes, num_bands, shingle_n
+    )
+    per = dups.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_base_dups"))
+    return (
+        batch.select(id_col)
+        .join(per, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_base_dups"), F.lit(0).cast("bigint")).alias(
+                "n_base_dups"
+            ),
+            (F.coalesce(F.col("n_base_dups"), F.lit(0)) == 0).alias("is_novel"),
+        )
+    )
+
+
 def ngram_jaccard_near_dups(
     docs: DataFrame,
     text_col: str = "text",

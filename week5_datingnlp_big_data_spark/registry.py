@@ -6370,6 +6370,95 @@ def near_dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(singles)
 
 
+# Deterministic 20% "new ingest" slice of the documents table (md5 bucket,
+# the engine's standard layout-invariant split) — the batch side of the
+# incremental near-dedup query below.
+_SQL_INCR_PRED = (
+    "('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    " % 5 = 0"
+)
+
+_SQL_BAND_KEY = """CASE b.band_idx
+               WHEN 0 THEN mh0::VARCHAR || '|' || mh1::VARCHAR || '|' || mh2::VARCHAR
+               WHEN 1 THEN mh3::VARCHAR || '|' || mh4::VARCHAR || '|' || mh5::VARCHAR
+               WHEN 2 THEN mh6::VARCHAR || '|' || mh7::VARCHAR || '|' || mh8::VARCHAR
+               ELSE mh9::VARCHAR || '|' || mh10::VARCHAR || '|' || mh11::VARCHAR END"""
+
+
+@query(
+    "batch_near_dup_novelty",
+    f"""
+    WITH batch AS (
+      SELECT * FROM documents WHERE {_SQL_INCR_PRED}
+    ), base AS (
+      SELECT * FROM documents WHERE NOT ({_SQL_INCR_PRED})
+    ), nsh AS (
+      SELECT doc_id, s.shingle AS shingle
+      FROM (SELECT * FROM batch WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_SQL_SHINGLES}) AS s(shingle)
+    ), nsig AS (
+      SELECT doc_id, {_sql_minhash_cols(12)} FROM nsh GROUP BY doc_id
+    ), nband AS (
+      SELECT doc_id, b.band_idx, {_SQL_BAND_KEY} AS band_key
+      FROM nsig, unnest([0, 1, 2, 3]) AS b(band_idx)
+    ), osh AS (
+      SELECT doc_id, s.shingle AS shingle
+      FROM (SELECT * FROM base WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_SQL_SHINGLES}) AS s(shingle)
+    ), osig AS (
+      SELECT doc_id, {_sql_minhash_cols(12)} FROM osh GROUP BY doc_id
+    ), oband AS (
+      SELECT doc_id, b.band_idx, {_SQL_BAND_KEY} AS band_key
+      FROM osig, unnest([0, 1, 2, 3]) AS b(band_idx)
+    ), cands AS (
+      SELECT DISTINCT n.doc_id AS batch_id, o.doc_id AS base_id
+      FROM nband n JOIN oband o
+        ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+    ), shn AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM batch
+    ), sho AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+    ), verified AS (
+      SELECT batch_id, base_id
+      FROM cands JOIN shn sa ON cands.batch_id = sa.doc_id
+                 JOIN sho sb ON cands.base_id = sb.doc_id
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
+    )
+    SELECT b.doc_id, count(v.base_id) AS n_base_dups,
+           count(v.base_id) = 0 AS is_novel
+    FROM batch b LEFT JOIN verified v ON v.batch_id = b.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def batch_near_dup_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest near-dedup — the production shape for
+    continuously crawled corpora: the day's batch (a deterministic 20%
+    md5 slice here) is MinHash-banded and joined against the EXISTING
+    corpus's band table (asymmetric batch x base join — at 100 TB the
+    batch side is small and AQE broadcasts it; the base band table is
+    what an incremental pipeline keeps materialized between ingests).
+    Output: one row per batch doc with its count of base near-dups and
+    the is_novel flag the ingest filter keeps. See
+    operators/dedup.py:batch_novelty / cross_corpus_near_dups."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("incr"), F.col("doc_id").cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    batch = docs.filter(bucket == 0)
+    base = docs.filter(~(bucket == 0))
+    return dedup.batch_novelty(base, batch, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
