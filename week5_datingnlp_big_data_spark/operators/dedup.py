@@ -231,6 +231,7 @@ def cross_corpus_near_dups(
     num_hashes: int = 12,
     num_bands: int = 4,
     shingle_n: int = 3,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an EXISTING corpus — the
     production shape for continuously crawled data: nobody re-deduplicates
@@ -243,15 +244,21 @@ def cross_corpus_near_dups(
 
     Returns ``(batch_id, base_id, jaccard)`` with jaccard >= threshold.
 
-    Scale shape: the base-side signature/band table is exactly what an
-    incremental pipeline would keep materialized between ingests
-    (streaming/counts.py:streaming_minhash_near_dups accumulates the same
-    band table as stream state); here it is rebuilt from the frame so the
-    operator stays self-contained and oracle-checkable.
+    Scale shape: pass ``base_index`` (a band table from
+    ``build_near_dup_index`` — typically the parquet artifact a pipeline
+    keeps between ingests, partitioned by band_idx) to skip re-hashing
+    the corpus entirely; candidate generation then reads only the band
+    partitions the batch probes. Without it the base bands are rebuilt
+    from the frame so the operator stays self-contained and
+    oracle-checkable. (streaming/counts.py:streaming_minhash_near_dups
+    accumulates the same band table as stream state.)
     """
-    sig_base = minhash_signatures(base, text_col, id_col, num_hashes, shingle_n)
     sig_batch = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
-    bb = band_table(sig_base, id_col, num_hashes, num_bands)
+    if base_index is None:
+        sig_base = minhash_signatures(base, text_col, id_col, num_hashes, shingle_n)
+        bb = band_table(sig_base, id_col, num_hashes, num_bands)
+    else:
+        bb = base_index.select(id_col, "band_idx", "band_key")
     nb = band_table(sig_batch, id_col, num_hashes, num_bands)
     cands = (
         nb.alias("n")
@@ -290,6 +297,33 @@ def cross_corpus_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "base_id", "jaccard")
     )
+
+
+def build_near_dup_index(
+    docs: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTED side of incremental near-dedup: the corpus's exploded
+    LSH band table ``(doc_id, band_idx, band_key)`` — what an ingest
+    pipeline builds ONCE per corpus snapshot and joins every day's batch
+    against, instead of re-hashing 100 TB per ingest. When ``path`` is
+    given the table is written as parquet PARTITIONED BY band_idx and
+    read back, so successive ingests scan only the band partitions they
+    probe and the shuffle-free write layout survives restarts. (The
+    verify step still needs the base documents for exact Jaccard — the
+    index accelerates candidate generation, which is the expensive
+    part.)"""
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    bands = band_table(sig, id_col, num_hashes, num_bands)
+    if path is None:
+        return bands
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    return docs.sparkSession.read.parquet(path)
 
 
 def batch_novelty(
