@@ -712,8 +712,8 @@ def test_persisted_band_index_matches_self_contained(spark, sf_dir, tmp_path):
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     idx_path = str(tmp_path / "band_index.parquet")
     idx = dedup.build_near_dup_index(base, idx_path)
-    # the artifact is band_idx-partitioned on disk (partition pruning for
-    # every future probe)
+    # the artifact is band_idx-partitioned on disk (each band's probe
+    # join confined to its own files)
     import os
     assert any(d.startswith("band_idx=") for d in os.listdir(idx_path))
     via_index = sorted(map(tuple, dedup.cross_corpus_near_dups(

@@ -313,11 +313,12 @@ def build_near_dup_index(
     pipeline builds ONCE per corpus snapshot and joins every day's batch
     against, instead of re-hashing 100 TB per ingest. When ``path`` is
     given the table is written as parquet PARTITIONED BY band_idx and
-    read back, so successive ingests scan only the band partitions they
-    probe and the shuffle-free write layout survives restarts. (The
-    verify step still needs the base documents for exact Jaccard — the
-    index accelerates candidate generation, which is the expensive
-    part.)"""
+    read back: the big win is skipping the corpus re-hash entirely; the
+    band_idx layout additionally confines each band's probe join to its
+    own files (and lets a restricted probe — e.g. re-checking one band
+    after a parameter change — prune the rest). The verify step still
+    needs the base documents for exact Jaccard — the index accelerates
+    candidate generation, which is the expensive part."""
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     bands = band_table(sig, id_col, num_hashes, num_bands)
     if path is None:
