@@ -95,6 +95,13 @@ FUZZED_QUERIES = (
     # genuinely different; the dense 10-bin grid + smoothing arithmetic
     # is value-verified per cell
     "source_quality_drift",
+    # round-4 surface: cluster-size histogram (mutated-copy clusters give
+    # sizes >= 2; singleton arithmetic covers the empty/NULL rows) and
+    # incremental batch-vs-base near-dedup (the md5 %5 slice puts some
+    # mutated copies on opposite sides of the split, so non-novel rows
+    # appear; the asymmetric band join + LEFT-join rollup is value-pinned)
+    "near_dup_cluster_sizes",
+    "batch_near_dup_novelty",
 )
 
 VOCAB = [
