@@ -98,3 +98,21 @@ def test_round10_surface(eng):
     assert chunks.count() > 0
     trip = eng.contrastive_triples(emb, anchor_ids=[0, 1, 2], pos_threshold=0.3)
     assert {"anchor_id", "pos_id", "neg_id"} <= set(trip.columns)
+
+
+def test_facade_round4_surfaces(eng, spark):
+    from pyspark.sql import functions as F
+
+    docs = eng.table("documents")
+    hist = eng.dup_cluster_sizes(docs)
+    rows = {r["cluster_size"]: r for r in hist.collect()}
+    assert 1 in rows  # singleton row always present
+    total_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows.values()) == total_docs
+
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = eng.build_near_dup_index(base)
+    nov = eng.batch_novelty(base, batch)
+    assert {"doc_id", "n_base_dups", "is_novel"} <= set(nov.columns)
+    assert set(idx.columns) == {"doc_id", "band_idx", "band_key"}

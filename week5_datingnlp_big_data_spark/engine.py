@@ -394,3 +394,33 @@ class Engine:
         from week5_datingnlp_big_data_spark.plans import datapipe as _dp
 
         return _dp.source_quality_drift(docs, **kw)
+
+    def dup_cluster_sizes(self, docs: DataFrame, **kw) -> DataFrame:
+        """Duplicate-cluster size histogram over the MinHash components
+        (plus the singleton row) — the post-dedup mass summary."""
+        from week5_datingnlp_big_data_spark.operators import dedup as _d
+
+        return _d.dup_cluster_sizes(docs, **kw)
+
+    def build_near_dup_index(self, docs: DataFrame, path: str | None = None,
+                             **kw) -> DataFrame:
+        """Corpus LSH band table — build once per snapshot, join every
+        ingest batch against it (parquet-partitioned by band_idx when a
+        path is given)."""
+        from week5_datingnlp_big_data_spark.operators import dedup as _d
+
+        return _d.build_near_dup_index(docs, path, **kw)
+
+    def batch_novelty(self, base: DataFrame, batch: DataFrame, **kw) -> DataFrame:
+        """Incremental ingest near-dedup: per-batch-doc count of base
+        near-dups + the is_novel keep flag."""
+        from week5_datingnlp_big_data_spark.operators import dedup as _d
+
+        return _d.batch_novelty(base, batch, **kw)
+
+    def register_media_codec(self, fmt: str, decode_fn) -> None:
+        """Plug an external compressed-format decoder (PIL/libav style)
+        into the multimodal decode path; see multimodal.register_codec."""
+        from week5_datingnlp_big_data_spark.operators import multimodal as _mm
+
+        _mm.register_codec(fmt, decode_fn)

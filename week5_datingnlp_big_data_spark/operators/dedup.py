@@ -360,6 +360,43 @@ def batch_novelty(
     )
 
 
+def dup_cluster_sizes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Duplicate-cluster size histogram over the MinHash components, plus
+    the singleton row (docs in no cluster, from two scalar counts): for
+    each cluster size, how many clusters and how many documents. The
+    post-dedup mass summary (Lee et al. 2021 report this distribution).
+    Histogram cardinality is bounded by the largest cluster, not the
+    corpus; components are >= 2 nodes so the singleton row never
+    collides."""
+    comp = near_dup_components(docs, text_col=text_col, id_col=id_col,
+                               threshold=threshold)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("t"))
+        .crossJoin(F.broadcast(comp.agg(F.count(F.lit(1)).alias("d"))))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("t") - F.col("d")).alias("n_clusters"),
+            (F.col("t") - F.col("d")).alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 def ngram_jaccard_near_dups(
     docs: DataFrame,
     text_col: str = "text",

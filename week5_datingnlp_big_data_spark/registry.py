@@ -6346,28 +6346,9 @@ def near_dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton row never collides). Scale shape: the histogram's
     cardinality is bounded by the largest cluster size, not the corpus.
     See operators/dedup.py:near_dup_components."""
-    docs = _t(spark, sf_dir, "documents")
-    comp = dedup.near_dup_components(docs, threshold=0.5)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    return dedup.dup_cluster_sizes(
+        _t(spark, sf_dir, "documents"), threshold=0.5
     )
-    hist = (
-        sizes.groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .withColumn(
-            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
-        )
-    )
-    singles = (
-        docs.agg(F.count(F.lit(1)).alias("t"))
-        .crossJoin(F.broadcast(comp.agg(F.count(F.lit(1)).alias("d"))))
-        .select(
-            F.lit(1).cast("bigint").alias("cluster_size"),
-            (F.col("t") - F.col("d")).alias("n_clusters"),
-            (F.col("t") - F.col("d")).alias("n_docs"),
-        )
-    )
-    return hist.unionByName(singles)
 
 
 # Deterministic 20% "new ingest" slice of the documents table (md5 bucket,
