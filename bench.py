@@ -112,6 +112,11 @@ HEADLINE = [
     "sentence_chunks",
     "contrastive_triples",
     "source_quality_drift",
+    # driver-round-4 additions: dup-mass histogram (components + bounded
+    # rollup) and incremental batch-vs-base near-dedup (asymmetric banded
+    # join)
+    "near_dup_cluster_sizes",
+    "batch_near_dup_novelty",
 ]
 
 
