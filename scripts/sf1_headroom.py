@@ -114,6 +114,9 @@ QUERIES = [
     "sentence_chunks",
     "contrastive_triples",
     "source_quality_drift",
+    # driver-round-4 additions: components rollup + asymmetric banded join
+    "near_dup_cluster_sizes",
+    "batch_near_dup_novelty",
 ]
 
 

@@ -318,7 +318,11 @@ def build_near_dup_index(
     own files (and lets a restricted probe — e.g. re-checking one band
     after a parameter change — prune the rest). The verify step still
     needs the base documents for exact Jaccard — the index accelerates
-    candidate generation, which is the expensive part."""
+    candidate generation, which is the expensive part.
+
+    Probe with the SAME num_hashes/num_bands/shingle_n the index was
+    built with: band keys are opaque concatenations, so mismatched
+    parameters produce an empty candidate set, not an error."""
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     bands = band_table(sig, id_col, num_hashes, num_bands)
     if path is None:
