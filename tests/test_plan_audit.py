@@ -64,11 +64,14 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  "session_error_exposure", "funnel_conversion",
                  "session_concurrency",
                  # round-10: join-free scan+window shapes stay clean
-                 # (embedding_margin_pairs is deliberately absent — its
-                 # bounded-broadcast x candidate scoring is a BNLJ by
-                 # design, the same shape as cosine_topk)
                  "embedding_coverage_sample", "source_quality_report",
-                 "inference_batch_plan", "source_quality_drift"):
+                 "inference_batch_plan", "source_quality_drift",
+                 # driver-round-4: the blocked margin (cell equi-join — no
+                 # longer the BNLJ the round-10 note excused), the
+                 # asymmetric batch-vs-base band join, and the components
+                 # histogram must never plan cartesian
+                 "embedding_margin_pairs", "batch_near_dup_novelty",
+                 "near_dup_cluster_sizes"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
