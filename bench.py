@@ -117,6 +117,7 @@ HEADLINE = [
     # join)
     "near_dup_cluster_sizes",
     "batch_near_dup_novelty",
+    "doc_boilerplate_stats",
 ]
 
 

@@ -117,6 +117,7 @@ QUERIES = [
     # driver-round-4 additions: components rollup + asymmetric banded join
     "near_dup_cluster_sizes",
     "batch_near_dup_novelty",
+    "doc_boilerplate_stats",
 ]
 
 

@@ -102,6 +102,10 @@ FUZZED_QUERIES = (
     # appear; the asymmetric band join + LEFT-join rollup is value-pinned)
     "near_dup_cluster_sizes",
     "batch_near_dup_novelty",
+    # per-source boilerplate: fuzz dup docs repeat whole body lines within
+    # a source (df >= 3 fires beyond the always-boiler derived footer);
+    # NULL/blank docs pin the 0-line total-row contract
+    "doc_boilerplate_stats",
 )
 
 VOCAB = [

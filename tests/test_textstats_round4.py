@@ -376,3 +376,35 @@ def test_pq_index_save_load_roundtrip_same_results(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert inline == reloaded and len(inline) == 15
+
+
+def test_boilerplate_line_stats_flags_per_source_repeats(spark):
+    from week5_datingnlp_big_data_spark.operators.textstats import (
+        boilerplate_line_stats,
+    )
+
+    footer = "Cookie notice: we use cookies"
+    docs = spark.createDataFrame(
+        [
+            # srcA: three docs share the footer (df=3 -> boilerplate);
+            # each unique body line stays clean
+            (1, f"unique body one\n{footer}", "srcA"),
+            (2, f"unique body two\n{footer}\n\n  ", "srcA"),
+            (3, f"unique body three\nCOOKIE   notice: we use cookies", "srcA"),
+            # srcB: the SAME footer appears only once -> NOT boilerplate
+            # there (per-source isolation)
+            (4, f"other text\n{footer}", "srcB"),
+            # line-less doc -> total row with 0.0 fraction
+            (5, None, "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_line_stats(docs).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["boiler_frac"] == 0.5
+    # blank lines don't count; case/whitespace variants normalize together
+    assert out[2]["n_lines"] == 2 and out[2]["n_boiler"] == 1
+    assert out[3]["n_boiler"] == 1
+    # same footer in srcB is NOT boilerplate (df=1 within that source)
+    assert out[4]["n_boiler"] == 0
+    assert out[5]["n_lines"] == 0 and out[5]["boiler_frac"] == 0.0

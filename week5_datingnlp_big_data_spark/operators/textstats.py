@@ -787,3 +787,72 @@ def char_entropy(
             F.round(ent, 6).alias("char_entropy_bits"),
         )
     )
+
+
+def boilerplate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_docfreq: int = 3,
+) -> DataFrame:
+    """Per-source boilerplate-line detection (the CCNet/C4 per-domain
+    pass): a line is boilerplate when its NORMALIZED form (lowercased,
+    whitespace-collapsed) appears in >= ``min_docfreq`` distinct
+    documents of the SAME source — headers, footers, nav chrome, cookie
+    banners. Reported per document: non-blank line count, boilerplate
+    line count, and the boilerplate fraction a curation filter thresholds
+    on (0.0 for line-less docs — total, never NULL, per the driver
+    compare's sort contract).
+
+    Scale shape: one explode over lines, one distinct on
+    (source, doc, norm) so within-doc repeats count once toward
+    doc-frequency, one aggregate to the (source, norm) df table, and one
+    hash join back — NO broadcast hint on the line table (one row per
+    distinct line per source: unbounded at crawl scale, AQE decides).
+    Per-source partitioning means a domain's boilerplate never shuffles
+    against another domain's lines.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(
+                F.split(F.coalesce(_col(text_col), F.lit("")), "\n")
+            ).alias("line"),
+        )
+        .withColumn(
+            "norm",
+            F.trim(F.regexp_replace(F.lower(F.col("line")), "\\s+", " ")),
+        )
+        .filter(F.col("norm") != "")
+        .select(id_col, source_col, "norm")
+    )
+    df_tab = (
+        lines.distinct()
+        .groupBy(source_col, "norm")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    per_line = lines.join(df_tab, [source_col, "norm"])
+    per_doc = per_line.groupBy(id_col, source_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("line_df") >= min_docfreq, 1).otherwise(0)
+        ).alias("n_boiler"),
+    )
+    return (
+        docs.select(id_col, source_col)
+        .join(per_doc, [id_col, source_col], "left")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_lines"), F.lit(0)) > 0,
+                F.round(F.col("n_boiler") / F.col("n_lines"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )

@@ -6440,6 +6440,66 @@ def batch_near_dup_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.batch_novelty(base, batch, threshold=0.5)
 
 
+@query(
+    "doc_boilerplate_stats",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             concat_ws(chr(10), text, 'footer ' || source,
+                       'banner ' || CAST(doc_id % 11 AS INT)) AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source, string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM m
+    ), l AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(ls[i + 1]), '\\s+', ' ', 'g')) AS norm
+      FROM d, unnest(range(len(ls))) t(i)
+    ), nz AS (
+      SELECT * FROM l WHERE norm <> ''
+    ), dfq AS (
+      SELECT source, norm, count(*) AS line_df
+      FROM (SELECT DISTINCT doc_id, source, norm FROM nz)
+      GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT nz.doc_id, nz.source,
+             count(*) AS n_lines,
+             sum(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+      FROM nz JOIN dfq USING (source, norm)
+      GROUP BY 1, 2
+    )
+    SELECT documents.doc_id, documents.source,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN coalesce(n_lines, 0) > 0
+                THEN round(n_boiler * 1.0 / n_lines, 6)
+                ELSE 0.0 END AS boiler_frac
+    FROM documents LEFT JOIN per_doc USING (doc_id, source)
+    """,
+)
+def doc_boilerplate_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line detection (CCNet/C4 per-domain pass):
+    a normalized line appearing in >= 3 distinct documents of the SAME
+    source is boilerplate (headers, footers, cookie banners); each doc
+    reports its non-blank line count and boilerplate fraction. The corpus
+    ships single-line documents, so the query derives a deterministic
+    multi-line corpus (original text + a per-source footer that is
+    always boilerplate + a doc_id%11 banner that straddles the df >= 3
+    threshold — mirrored in the oracle, same pattern as
+    line_dedup_rewrite). See operators/textstats.py:boilerplate_line_stats."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("footer "), F.col("source")),
+            F.concat(F.lit("banner "), (F.col("doc_id") % 11).cast("int")),
+        ).alias("text"),
+    )
+    return textstats.boilerplate_line_stats(docs, min_docfreq=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
