@@ -424,3 +424,32 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import multimodal as _mm
 
         _mm.register_codec(fmt, decode_fn)
+
+    def compaction_plan(self, manifest: DataFrame, **kw) -> DataFrame:
+        """Bin-pack a file manifest into target-size rewrite groups
+        (lakehouse small-file compaction); see layout.compaction_plan."""
+        from week5_datingnlp_big_data_spark.operators import layout as _l
+
+        return _l.compaction_plan(manifest, **kw)
+
+    def reshard_moves(self, df: DataFrame, id_col: str, n_old: int,
+                      n_new: int, **kw) -> DataFrame:
+        """Movement matrix for growing n_old → n_new shards under
+        rendezvous vs mod hashing; see layout.reshard_moves."""
+        from week5_datingnlp_big_data_spark.operators import layout as _l
+
+        return _l.reshard_moves(df, id_col, n_old, n_new, **kw)
+
+    def zorder_stats(self, df: DataFrame, x, y, **kw) -> DataFrame:
+        """Z-order locality audit: per-bucket (x, y) bounding boxes of
+        the Morton layout; see layout.zorder_bucket_stats."""
+        from week5_datingnlp_big_data_spark.operators import layout as _l
+
+        return _l.zorder_bucket_stats(df, x, y, **kw)
+
+    def running_distinct(self, events: DataFrame, **kw) -> DataFrame:
+        """Running distinct-key estimate per day from merged KMV
+        sketches; see sketches.kmv_running_distinct."""
+        from week5_datingnlp_big_data_spark.operators import sketches as _sk
+
+        return _sk.kmv_running_distinct(events, **kw)

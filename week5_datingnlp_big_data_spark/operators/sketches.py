@@ -300,3 +300,89 @@ def kmv_group_overlap(sketch: DataFrame, k: int = 256) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
         ).alias("est_jaccard"),
     )
+
+
+def kmv_running_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Running (cumulative) distinct-key estimate per day from MERGED
+    per-day KMV sketches — the incremental-reporting shape: each day's
+    ingest builds a bounded k-row sketch once, and "distinct users up to
+    day d" for EVERY d comes from merging sketches, never from
+    rescanning history. KMV's union-closure (Beyer et al., SIGMOD 2007)
+    is what makes the merge valid: the k smallest hashes of a union of
+    sketches form a KMV sketch of the union of the underlying sets.
+
+    Estimator: with hashes uniform on [0, 2^56) (14 md5 hex chars), a
+    full sketch estimates (k−1)·2^56 / h_(k); a sketch with fewer than
+    k hashes IS the distinct set, so the estimate is exact there. The
+    output carries ``true_distinct`` (distinct hashes seen so far —
+    exact modulo md5 collisions) purely as the audit column the
+    accuracy tests pin; a production rollup drops it.
+
+    Deterministic end to end (seedless md5, ties impossible after the
+    per-day hash distinct), so the DuckDB oracle value-matches it —
+    unlike HLL/approx_percentile, whose estimates are
+    implementation-defined.
+
+    Scale shape: one distinct over (day, hash) — the only corpus-sized
+    shuffle — then a per-day top-k window over day-local distinct
+    hashes. The merge self-join runs over the SKETCH table (#days × k
+    rows, kilobytes at any corpus size); Spark plans it as a broadcast
+    range join whose cost is calendar-sized, not data-sized."""
+    hspace = float(1 << 56)
+    day = F.to_date(F.col(ts_col)).alias("day")
+    hashed = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            day,
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w_day = Window.partitionBy("day").orderBy("h")
+    daily = (
+        hashed.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= k)
+        .select("day", "h")
+    )
+    days = hashed.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(daily.alias("s"), F.col("s.day") <= F.col("d.day"))
+        .select(F.col("d.day").alias("day"), F.col("s.h").alias("h"))
+        .distinct()
+    )
+    topk = (
+        merged.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= k)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("hk"))
+    )
+    first_day = hashed.groupBy("h").agg(F.min("day").alias("fday"))
+    true_running = (
+        days.alias("d")
+        .join(first_day.alias("f"), F.col("f.fday") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("true_distinct"))
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1) * hspace) / F.col("hk"), 6))
+    return (
+        topk.join(true_running, "day")
+        .select(
+            "day",
+            "n_sketch",
+            est.alias("est_distinct"),
+            "true_distinct",
+            F.round(
+                F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

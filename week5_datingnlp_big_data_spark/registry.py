@@ -37,10 +37,12 @@ from week5_datingnlp_big_data_spark.operators import (
     fuzzy,
     graph,
     ir,
+    layout,
     ml,
     relational,
     shards,
     similarity,
+    sketches,
     skew,
     textstats,
     tfidf,
@@ -6498,6 +6500,274 @@ def doc_boilerplate_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textstats.boilerplate_line_stats(docs, min_docfreq=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: physical-layout / table-maintenance operators
+# (compaction planning, elastic resharding, Z-order clustering), the
+# temporal mergeable-sketch rollup, and the shuffle-skew profiler.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 8192  # bytes per compaction bin at bench scale
+
+
+@query(
+    "shard_compaction_plan",
+    f"""
+    WITH m AS (
+      SELECT source || '/' || lang AS file,
+             CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, lang
+    ), p AS (
+      SELECT file, bytes,
+             CAST(floor(coalesce(sum(bytes) OVER (
+                    ORDER BY file
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {_COMPACT_TARGET}) AS BIGINT) AS bin_id
+      FROM m
+    ), t AS (
+      SELECT bin_id, CAST(count(*) AS BIGINT) AS bin_files,
+             CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      FROM p GROUP BY bin_id
+    )
+    SELECT p.file, p.bytes, p.bin_id, t.bin_files, t.bin_bytes
+    FROM p JOIN t USING (bin_id)
+    """,
+)
+def shard_compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance job:
+    bin-pack a file manifest into target-size rewrite groups by
+    sequential fill, preserving manifest order (Iceberg
+    rewrite_data_files / Delta OPTIMIZE shape). The manifest here is
+    derived deterministically from the data (one "file" per
+    (source, lang) partition, bytes = its character mass) so the plan
+    value-matches the oracle; the operator itself takes any real
+    manifest (unit-tested against shards.shard_manifest output). See
+    operators/layout.py:compaction_plan for the catalog-scale shape."""
+    manifest = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("bigint")
+            .alias("bytes")
+        )
+        .select(
+            F.concat_ws("/", "source", "lang").alias("file"), "bytes"
+        )
+    )
+    return layout.compaction_plan(
+        manifest, bytes_col="bytes", order_col="file",
+        target_bytes=_COMPACT_TARGET,
+    ).select("file", "bytes", "bin_id", "bin_files", "bin_bytes")
+
+
+@query(
+    "reshard_movement",
+    """
+    WITH ids AS (
+      SELECT o_orderkey AS id,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 14))::BIGINT AS b
+      FROM orders
+    ), sc AS (
+      SELECT id, b, s,
+             md5('hrw:' || CAST(id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+      FROM ids, unnest(range(10)) t(s)
+    ), asg AS (
+      SELECT id,
+             arg_max(s, h) FILTER (WHERE s < 8) AS hrw_old,
+             arg_max(s, h) AS hrw_new,
+             any_value(b) % 8 AS mod_old,
+             any_value(b) % 10 AS mod_new
+      FROM sc GROUP BY id
+    )
+    SELECT 'hrw' AS scheme, CAST(hrw_old AS INT) AS old_shard,
+           CAST(hrw_new AS INT) AS new_shard,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM asg GROUP BY 2, 3
+    UNION ALL
+    SELECT 'mod' AS scheme, CAST(mod_old AS INT) AS old_shard,
+           CAST(mod_new AS INT) AS new_shard,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM asg GROUP BY 2, 3
+    """,
+)
+def reshard_movement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-resharding movement matrix, 8 → 10 shards, rendezvous
+    (HRW) vs mod-hash: one row per (scheme, old_shard, new_shard) with
+    its row count. The off-diagonal mass is the data a rebalance must
+    physically move — HRW moves an expected 1 − 8/10 = 20% (all onto
+    the two ADDED shards), mod-hash reshuffles ~90% of everything. See
+    operators/layout.py:reshard_moves / rendezvous_shard."""
+    return layout.reshard_moves(
+        _t(spark, sf_dir, "orders"), "o_orderkey", n_old=8, n_new=10
+    )
+
+
+@query(
+    "events_distinct_kmv_running",
+    f"""
+    WITH dk AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), daily AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM dk
+      ) WHERE rn <= 64
+    ), days AS (
+      SELECT DISTINCT day FROM dk
+    ), merged AS (
+      SELECT DISTINCT d.day, s.h
+      FROM days d JOIN daily s ON s.day <= d.day
+    ), topk AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+      FROM (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= 64 GROUP BY day
+    ), fd AS (
+      SELECT h, min(day) AS fday FROM dk GROUP BY h
+    ), tr AS (
+      SELECT d.day, CAST(count(*) AS BIGINT) AS true_distinct
+      FROM days d JOIN fd ON fd.fday <= d.day GROUP BY d.day
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day, t.n_sketch,
+           CASE WHEN t.n_sketch < 64 THEN CAST(t.n_sketch AS DOUBLE)
+                ELSE round({float(63 * (1 << 56))!r} / t.hk, 6) END
+             AS est_distinct,
+           tr.true_distinct,
+           round(abs(CASE WHEN t.n_sketch < 64 THEN CAST(t.n_sketch AS DOUBLE)
+                          ELSE round({float(63 * (1 << 56))!r} / t.hk, 6) END
+                     - tr.true_distinct) / tr.true_distinct, 6) AS rel_err
+    FROM topk t JOIN tr USING (day)
+    """,
+)
+def events_distinct_kmv_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user estimate per day from merged per-day KMV
+    sketches (k=64) — the incremental-cardinality shape: each day
+    contributes one bounded sketch, and every "distinct so far" answer
+    comes from merging sketches, never rescanning history. Deterministic
+    (seedless md5), so unlike HLL the estimate itself value-matches the
+    DuckDB oracle; true_distinct/rel_err are the audit columns the
+    accuracy tests pin. See operators/sketches.py:kmv_running_distinct."""
+    return sketches.kmv_running_distinct(
+        _t(spark, sf_dir, "events"), ts_col="ts", key_col="user_id", k=64
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+def _sql_zorder(x: str, y: str, bits: int) -> str:
+    parts = [
+        f"((({x} >> {i}) & 1) << {2 * i + 1}) | ((({y} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(parts) + ")"
+
+
+@query(
+    "events_zorder_buckets",
+    f"""
+    WITH b AS (
+      SELECT user_id % 256 AS xv,
+             (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) // 6 AS yv
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), z AS (
+      SELECT xv, yv, {_sql_zorder('xv', 'yv', 8)} >> 8 AS z_bucket FROM b
+    )
+    SELECT z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(xv) AS x_min, max(xv) AS x_max,
+           min(yv) AS y_min, max(yv) AS y_max,
+           max(xv) - min(xv) AS x_span, max(yv) - min(yv) AS y_span
+    FROM z GROUP BY z_bucket
+    """,
+)
+def events_zorder_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave two independent
+    dimensions (user bucket × time-of-day bucket) into one sort key,
+    cut the keyspace into coarse buckets (≈ output files under a
+    sort-by-z write), and report each bucket's (x, y) bounding box —
+    the min/max-statistics rectangle that decides data skipping. Both
+    span columns stay bounded, which is the Z-curve's win over a plain
+    sort (tight on one axis, full-range on the other). See
+    operators/layout.py:zorder_value / zorder_bucket_stats."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return layout.zorder_bucket_stats(
+        ev,
+        x=(F.col("user_id") % 256),
+        y=F.floor((F.hour("ts") * 60 + F.minute("ts")) / 6),
+        bits=8,
+        bucket_shift=8,
+    ).select(
+        "z_bucket", "n_rows", "x_min", "x_max", "y_min", "y_max",
+        "x_span", "y_span",
+    )
+
+
+@query(
+    "shuffle_skew_profile",
+    """
+    WITH kc AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    ), top AS (
+      SELECT key, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+      FROM kc QUALIFY rank <= 8
+    )
+    SELECT top.key, top.cnt, top.rank,
+           round(top.cnt * 1.0 / s.total_rows, 6) AS share,
+           s.n_keys, s.total_rows, s.max_cnt,
+           round(s.max_cnt * 1.0 * s.n_keys / s.total_rows, 6) AS skew_factor
+    FROM top, s
+    """,
+)
+def shuffle_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the diagnostic every big join/agg
+    tuning session starts with: per-key multiplicities of the would-be
+    shuffle key, the top-8 heavy hitters with their row share, and the
+    skew factor (max key count ÷ mean key count; 1.0 = perfectly
+    uniform). Feeds the salting / AQE-skew-join decision the engine's
+    skew operators implement (operators/skew.py). One groupBy on the
+    key (map-side partials), a bounded top-8 window, and a scalar
+    cross join — output is 8 rows regardless of corpus size."""
+    kc = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    top = (
+        kc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 8)
+    )
+    return top.crossJoin(F.broadcast(s)).select(
+        "key",
+        "cnt",
+        "rank",
+        F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        F.round(
+            F.col("max_cnt") * F.col("n_keys") / F.col("total_rows"), 6
+        ).alias("skew_factor"),
+    )
 
 
 # ---------------------------------------------------------------------------
