@@ -453,3 +453,18 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import sketches as _sk
 
         return _sk.kmv_running_distinct(events, **kw)
+
+    def audio_near_dups(self, media: DataFrame, **kw) -> DataFrame:
+        """Audio near-dup pairs from Goertzel spectral fingerprints
+        through the Hamming pigeonhole join; see
+        multimodal.audio_near_dups."""
+        from week5_datingnlp_big_data_spark.operators import multimodal as _mm
+
+        return _mm.audio_near_dups(media, **kw)
+
+    def scene_changes(self, media: DataFrame, **kw) -> DataFrame:
+        """Per-video scene-change stats from consecutive-frame luma
+        diffs; see multimodal.scene_changes."""
+        from week5_datingnlp_big_data_spark.operators import multimodal as _mm
+
+        return _mm.scene_changes(media, **kw)

@@ -547,3 +547,223 @@ def image_near_dups(
         id_col="media_id",
         max_hamming=max_hamming,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprint (Goertzel probe bank) + Hamming near-dup
+# ---------------------------------------------------------------------------
+
+# 15 blocks x 4 probe frequencies; each block contributes the ONE-HOT
+# nibble of its dominant probe, so two fingerprints differ by exactly 2
+# bits per mismatched block — Hamming <= 2*m tolerates m block
+# mismatches through the generic pigeonhole join. 15 blocks (bits 0-59)
+# keep the signature positive in a signed BIGINT (same rationale as
+# PHASH_BITS = 63). Probes sit at fixed fractions of the sample rate so
+# 8 kHz and 16 kHz payloads of the same relative tone fingerprint
+# identically.
+AFP_BLOCKS, AFP_PROBES = 15, 4
+AFP_PROBE_FRACS = (0.05, 0.10, 0.20, 0.35)  # of sample rate; all < Nyquist
+
+
+def _goertzel_symbols(samples: np.ndarray) -> list[int]:
+    """Dominant probe index per block: split the mono waveform into
+    AFP_BLOCKS equal blocks and take, per block, the argmax of DFT-bin
+    power at the AFP_PROBE_FRACS frequencies (one complex dot product
+    per probe — the Goertzel/single-bin-DFT shortcut; Shazam-style
+    constellation fingerprints use the same dominant-peak idea). The
+    probe frequency is frac*rate, so the exponential e^{-2πi·frac·n}
+    is rate-free — 8 kHz and 16 kHz encodings of the same relative
+    tone fingerprint identically."""
+    x = samples.astype(np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = len(x)
+    if n == 0:
+        return [0] * AFP_BLOCKS
+    edges = np.linspace(0, n, AFP_BLOCKS + 1).astype(int)
+    out = []
+    for b in range(AFP_BLOCKS):
+        seg = x[edges[b]: max(edges[b + 1], edges[b] + 1)]
+        t = np.arange(len(seg))
+        powers = [
+            np.abs(np.dot(seg, np.exp(-2j * np.pi * frac * t)))
+            for frac in AFP_PROBE_FRACS
+        ]
+        out.append(int(np.argmax(powers)))
+    return out
+
+
+def _fake_audio_symbols(payload: bytes) -> list[int]:
+    """Deterministic pseudo-fingerprint for the plumbing path: block b's
+    symbol is byte b of md5(md5(payload)) mod AFP_PROBES — same
+    md5-chain discipline as _fake_gray_tile."""
+    d = hashlib.md5(hashlib.md5(payload).digest()).digest()
+    return [d[b % 16] % AFP_PROBES for b in range(AFP_BLOCKS)]
+
+
+def _symbols_to_sig(symbols: list[int]) -> int:
+    sig = 0
+    for b, s in enumerate(symbols):
+        sig |= (1 << s) << (4 * b)
+    return sig
+
+
+def audio_fingerprint(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Per-clip 60-bit spectral fingerprint ``(media_id, afp)``: 15
+    time blocks x one-hot nibble of the block's dominant probe
+    frequency. With ``use_real_codec`` the symbols come from actually
+    decoded PCM (functions/audiocodec) through the Goertzel probe bank —
+    amplitude-invariant (argmax of linearly scaled powers) and
+    rate-invariant (probes are fractions of the sample rate); the
+    default fake path is md5-derived so the plumbing stays testable
+    without a codec. Arrow-batched mapInPandas, blobs dropped on
+    output — the audio-side analog of image_phash."""
+    from week5_datingnlp_big_data_spark.functions import audiocodec
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                p = p if p is not None else b""
+                if use_real_codec:
+                    if k != "audio" or not audiocodec.sniff_wav(p):
+                        raise NotImplementedError(
+                            "real audio fingerprint needs a PCM WAV payload "
+                            "(compressed formats: plug a codec in via "
+                            "register_codec on a real cluster)"
+                        )
+                    samples, _rate = audiocodec.decode_wav(p)
+                    syms = _goertzel_symbols(samples)
+                else:
+                    syms = _fake_audio_symbols(p)
+                sigs.append(_symbols_to_sig(syms))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": pd.array(sigs, dtype="int64")}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        op, "media_id long, afp long"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame, max_block_mismatch: int = 2, use_real_codec: bool = False
+) -> DataFrame:
+    """Audio near-dup pairs: spectral fingerprints through the generic
+    Hamming pigeonhole join (dedup.hamming_near_dup_pairs). One-hot
+    block nibbles make Hamming distance = 2 x mismatched blocks, so
+    ``max_block_mismatch`` blocks of tolerance = Hamming 2*m.
+
+    Pigeonhole validity: the generic rule wants max_hamming <
+    num_blocks, but one-hot mismatches flip 2 bits INSIDE one nibble,
+    and the 4 x 16-bit join keys are nibble-aligned — so m mismatched
+    audio blocks dirty at most m of the 4 keys, and any m <= 3 leaves
+    a clean key. Never an n^2 cross join; the candidate table is one
+    narrow (id, long) row per clip regardless of payload size. Key
+    entropy is bounded by the 4-symbol alphabet (256 values per
+    16-bit key) — at planet scale widen the fingerprint (more
+    probes/blocks over longer clips) before raising the corpus size."""
+    if max_block_mismatch > 3:
+        raise ValueError("max_block_mismatch > 3 breaks the 4-key pigeonhole")
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    return dedup.hamming_near_dup_pairs(
+        audio_fingerprint(media, use_real_codec=use_real_codec),
+        "afp",
+        id_col="media_id",
+        max_hamming=2 * max_block_mismatch,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video temporal segmentation: scene-change detection over luma frames
+# ---------------------------------------------------------------------------
+
+def scene_changes(
+    media: DataFrame,
+    threshold: float = 25.0,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Per-video temporal segmentation stats: decode the frame stream,
+    compute the mean absolute luma difference between consecutive
+    frames, and count cuts (diff > ``threshold`` of 255) — the
+    shot-boundary pass a video training pipeline runs before
+    scene-level sampling/dedup. Output one row per video:
+    ``(media_id, n_frames, n_cuts, mean_diff, max_diff)``.
+
+    With ``use_real_codec`` frames come from the bundled YUV4MPEG2
+    decoder (functions/videocodec); the fake path derives a
+    deterministic per-frame gray level from the payload md5 chain so
+    the plumbing is testable without a codec. Arrow-batched
+    mapInPandas; payloads never leave the stage (only the 5 stat
+    columns ship), so executor memory is bounded by the Arrow batch
+    size x payload size, not the corpus."""
+    from week5_datingnlp_big_data_spark.functions import videocodec
+
+    def frame_means(k: str, p: bytes) -> np.ndarray:
+        if use_real_codec:
+            if k != "video" or not videocodec.sniff_y4m(p):
+                raise NotImplementedError(
+                    "real scene detection needs a YUV4MPEG2 payload "
+                    "(compressed formats: plug a codec in via "
+                    "register_codec on a real cluster)"
+                )
+            frames, _w, _h, _fps = videocodec.decode_y4m(p)
+            return np.array(
+                [float(f.astype(np.float64).mean()) for f in frames]
+            )
+        base = hashlib.md5(p).hexdigest()
+        n = 4 + hashlib.md5(p).digest()[0] % 12
+        return np.array(
+            [
+                float(hashlib.md5(f"{base}:{i}".encode()).digest()[0])
+                for i in range(n)
+            ]
+        )
+
+    def diffs(k: str, p: bytes) -> tuple[int, int, float, float]:
+        if use_real_codec and k == "video" and videocodec.sniff_y4m(p):
+            frames, _w, _h, _fps = videocodec.decode_y4m(p)
+            if len(frames) < 2:
+                return len(frames), 0, 0.0, 0.0
+            stack = np.stack([f.astype(np.float64) for f in frames])
+            d = np.abs(stack[1:] - stack[:-1]).mean(axis=(1, 2))
+        else:
+            means = frame_means(k, p)
+            if len(means) < 2:
+                return len(means), 0, 0.0, 0.0
+            d = np.abs(means[1:] - means[:-1])
+            return (
+                len(means),
+                int((d > threshold).sum()),
+                round(float(d.mean()), 6),
+                round(float(d.max()), 6),
+            )
+        return (
+            len(frames),
+            int((d > threshold).sum()),
+            round(float(d.mean()), 6),
+            round(float(d.max()), 6),
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                diffs(k, p if p is not None else b"")
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array([r[0] for r in rows], dtype="int64"),
+                    "n_cuts": pd.array([r[1] for r in rows], dtype="int64"),
+                    "mean_diff": [r[2] for r in rows],
+                    "max_diff": [r[3] for r in rows],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        op,
+        "media_id long, n_frames long, n_cuts long, "
+        "mean_diff double, max_diff double",
+    )

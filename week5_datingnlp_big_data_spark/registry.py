@@ -6770,6 +6770,112 @@ def shuffle_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_audio_dup_pairs")
+def media_audio_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs through the REAL codec path: synthesize one
+    PCM WAV per document — groups of 5 consecutive doc_ids share a
+    15-block tone sequence (per-block probe frequency from an md5
+    chain), each doc gets its own phase, and every 5th doc detunes one
+    block — encode with functions/audiocodec, decode back, Goertzel
+    probe-bank fingerprint, Hamming pigeonhole join with 2-block
+    tolerance. Expected: complete within-group pair cliques (including
+    the detuned member), nothing across groups. Rows-only (DuckDB has
+    no WAV parser or DFT to twin); the fingerprint invariants are
+    unit-pinned in tests/test_multimodal_r5.py. See
+    operators/multimodal.py:audio_fingerprint / audio_near_dups."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import audiocodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    fracs = mm.AFP_PROBE_FRACS
+    n_blocks = mm.AFP_BLOCKS
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 5
+                syms = [
+                    hashlib.md5(f"afp:{g}:{b}".encode()).digest()[0] % len(fracs)
+                    for b in range(n_blocks)
+                ]
+                if did % 5 == 4:
+                    syms[0] = (syms[0] + 1) % len(fracs)
+                t = np.arange(100)
+                phase = (did % 97) / 97.0 * 2.0 * np.pi
+                wave = np.concatenate(
+                    [0.5 * np.sin(2 * np.pi * fracs[s] * t + phase) for s in syms]
+                )
+                payloads.append(
+                    audiocodec.encode_wav(
+                        (wave * 32767).astype(np.int16), 8000
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, kind string, payload binary")
+    return mm.audio_near_dups(media, max_block_mismatch=2, use_real_codec=True)
+
+
+@query("media_scene_change_stats")
+def media_scene_change_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal segmentation through the REAL codec path:
+    synthesize one YUV4MPEG2 stream per document (2-4 scenes of 3
+    constant-luma frames each, alternating dark/bright bands so every
+    scene boundary clears the threshold), decode with
+    functions/videocodec, and report per-video cut counts and luma-diff
+    stats. n_cuts == n_scenes − 1 and within-scene diff 0 by
+    construction — pinned by units. Rows-only (no y4m parser in
+    DuckDB). See operators/multimodal.py:scene_changes."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import videocodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_scenes = 2 + did % 3
+                frames = []
+                for s in range(n_scenes):
+                    jitter = hashlib.md5(f"sc:{did}:{s}".encode()).digest()[0] % 20
+                    gray = 30 + 160 * (s % 2) + jitter
+                    frames.extend([np.full((8, 8), gray, dtype=np.uint8)] * 3)
+                payloads.append(
+                    videocodec.encode_y4m_mono(np.stack(frames), fps=(10, 1))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                }
+            )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, kind string, payload binary")
+    return mm.scene_changes(media, threshold=25.0, use_real_codec=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
