@@ -43,7 +43,11 @@ def test_driver_window_holds_flagships():
     oracles = all_oracles()
     assert all(n in oracles for n in window)
     for flagship in (
-        "minhash_near_dups", "winnow_dup_pairs", "embedding_cosine_topk",
+        "minhash_near_dups", "embedding_cosine_topk",
+        # (winnow_dup_pairs / exact_dedup / user_event_lag /
+        # q21_waiting_suppliers ceded their slots in round 5 to the
+        # layout/sketch shape families; each is covered by an in-window
+        # sibling — see registry.DEMOTED — and stays parity-gated below)
         # (embedding_near_dup_pairs ceded its slot in round 10 — the
         # hyperplane-signature machinery is driver-verified via
         # embedding_coverage_sample; the pairs form stays parity-gated)
@@ -51,14 +55,14 @@ def test_driver_window_holds_flagships():
         # carried by quality_scores + inference_batch_plan, both in-window)
         "quality_scores", "lang_id_confusion",
         "orders_price_percentiles",
-        "ngram_jaccard_near_dups", "near_dup_components", "exact_dedup",
+        "ngram_jaccard_near_dups", "near_dup_components",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
         # (q9/q11 ceded their slots in round 10: q9's profit rollup shares
         # q8's join tree, q11's scalar-subquery HAVING is q15's shape)
         "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
         "q20_heavy_suppliers", "q2_min_cost_supplier",
-        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "q22_global_sales_opportunity",
         # round-3 training-data flagships
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
         "lm_quality_buckets", "pii_redaction_stats",
@@ -74,5 +78,8 @@ def test_driver_window_holds_flagships():
         "embedding_coverage_sample", "embedding_margin_pairs",
         "source_quality_report", "inference_batch_plan",
         "source_quality_drift",
+        # round-5 flagships (table maintenance + temporal sketch)
+        "shard_compaction_plan", "reshard_movement",
+        "events_distinct_kmv_running", "events_zorder_buckets",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

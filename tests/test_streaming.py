@@ -629,3 +629,50 @@ def test_streaming_source_drift_equals_batch(spark, tmp_path):
     for row in datapipe.drift_cells_from_counts(final_counts).collect():
         psi[row["source"]] = psi.get(row["source"], 0.0) + row["contribution"]
     assert psi["spam"] > 0.5
+
+
+def test_streaming_kmv_state_merges_across_batches(spark, sf_dir, tmp_path):
+    """Two micro-batches that SPLIT each day's users must drain to the
+    same per-day KMV partials as one batch pass — the sketch is a pure
+    function of each day's key set, not of how it arrived."""
+    from week5_datingnlp_big_data_spark.operators import sketches as sk
+
+    events = load_table(spark, sf_dir, "events")
+    _drop_file(events.filter(F.col("user_id") % 2 == 0), tmp_path, "kmv", "b1.parquet")
+    _drop_file(events.filter(F.col("user_id") % 2 == 1), tmp_path, "kmv", "b2.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "kmv"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_daily_kmv(stream, k=32), "kmv_state", output_mode="update"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    snap = spark.table("kmv_state")
+    from pyspark.sql import Window
+
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("day").orderBy(F.desc("upd"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("day", F.explode("hs").alias("h"))
+    )
+    streamed = {
+        (r["day"], r["h"]) for r in latest.collect()
+    }
+    # batch twin: per-day rank window over distinct (day, hash)
+    hashed = sk.daily_key_hashes(events)
+    w = Window.partitionBy("day").orderBy("h")
+    batch = {
+        (r["day"], r["h"])
+        for r in hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .select("day", "h")
+        .collect()
+    }
+    assert streamed == batch
+    # at least one day must have actually merged state across batches
+    assert snap.filter(F.col("upd") >= 2).count() > 0

@@ -153,6 +153,14 @@ def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
     need to prune BOTH dimensions (Morton 1966; the same layout behind
     Delta/Iceberg ZORDER BY).
 
+    This is the RAW 2-D interleave primitive over already-integer
+    columns — exact integer arithmetic with a bit-exact SQL twin, which
+    is what the oracle-verified audit query needs.
+    ``sources/sinks.zorder_key`` is the production n-D wrapper (min-max
+    quantizes arbitrary numeric columns first) and
+    ``sources/sinks.write_zordered`` the writer that materializes the
+    layout this function audits.
+
     Unrolled shift-mask-or per bit — whole-stage-codegen integer ops,
     no UDF, no lookup table."""
     z = F.lit(0).cast("bigint")

@@ -333,29 +333,76 @@ def kmv_running_distinct(
     hashes. The merge self-join runs over the SKETCH table (#days × k
     rows, kilobytes at any corpus size); Spark plans it as a broadcast
     range join whose cost is calendar-sized, not data-sized."""
-    hspace = float(1 << 56)
-    day = F.to_date(F.col(ts_col)).alias("day")
-    hashed = (
-        events.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
-        .select(
-            day,
-            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .distinct()
-    )
+    hashed = daily_key_hashes(events, ts_col=ts_col, key_col=key_col)
     w_day = Window.partitionBy("day").orderBy("h")
     daily = (
         hashed.withColumn("rn", F.row_number().over(w_day))
         .filter(F.col("rn") <= k)
         .select("day", "h")
     )
-    days = hashed.select("day").distinct()
+    est_df = running_estimate_from_daily(daily, k)
+    first_day = hashed.groupBy("h").agg(F.min("day").alias("fday"))
+    true_running = (
+        hashed.select("day").distinct().alias("d")
+        .join(first_day.alias("f"), F.col("f.fday") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("true_distinct"))
+    )
+    return (
+        est_df.join(true_running, "day")
+        .select(
+            "day",
+            "n_sketch",
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def daily_key_hashes(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """``(day, h)`` rows — the shared front end of the batch and
+    streaming KMV paths: seedless md5-derived 56-bit hashes so any
+    engine/run/layout (and the DuckDB oracle) agrees bit-for-bit.
+    ``distinct=False`` for streaming callers: a pre-aggregation here
+    would be a second stateful operator ahead of the sketch state, and
+    the sketch's set-union update dedups anyway."""
+    hashed = events.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.distinct() if distinct else hashed
+
+
+def running_estimate_from_daily(daily: DataFrame, k: int) -> DataFrame:
+    """The KMV MERGE step, shared by batch and streaming: given per-day
+    partial sketches as ``(day, h)`` rows (≤ k smallest distinct hashes
+    per day), produce ``(day, n_sketch, est_distinct)`` running
+    union-cardinality estimates for every day. The join runs over the
+    SKETCH table (#days × k rows), so its cost is calendar-sized — the
+    whole point of keeping partials mergeable."""
+    hspace = float(1 << 56)
+    w_day = Window.partitionBy("day").orderBy("h")
+    # rename the probe side so the self-derived join resolves by NAME,
+    # not by dataset alias — `days` shares lineage with `daily`, and
+    # shared attribute ids make string aliases ambiguous
+    days = daily.select(F.col("day").alias("_qday")).distinct()
     merged = (
-        days.alias("d")
-        .join(daily.alias("s"), F.col("s.day") <= F.col("d.day"))
-        .select(F.col("d.day").alias("day"), F.col("s.h").alias("h"))
+        days.join(daily, F.col("day") <= F.col("_qday"))
+        .select(F.col("_qday").alias("day"), "h")
         .distinct()
     )
     topk = (
@@ -364,25 +411,7 @@ def kmv_running_distinct(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("hk"))
     )
-    first_day = hashed.groupBy("h").agg(F.min("day").alias("fday"))
-    true_running = (
-        days.alias("d")
-        .join(first_day.alias("f"), F.col("f.fday") <= F.col("d.day"))
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.count(F.lit(1)).alias("true_distinct"))
-    )
     est = F.when(
         F.col("n_sketch") < k, F.col("n_sketch").cast("double")
     ).otherwise(F.round(F.lit(float(k - 1) * hspace) / F.col("hk"), 6))
-    return (
-        topk.join(true_running, "day")
-        .select(
-            "day",
-            "n_sketch",
-            est.alias("est_distinct"),
-            "true_distinct",
-            F.round(
-                F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 6
-            ).alias("rel_err"),
-        )
-    )
+    return topk.select("day", "n_sketch", est.alias("est_distinct"))

@@ -6876,6 +6876,76 @@ def media_scene_change_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.scene_changes(media, threshold=25.0, use_real_codec=True)
 
 
+@query(
+    "streaming_kmv_distinct_parity",
+    f"""
+    WITH dk AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), daily AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM dk
+      ) WHERE rn <= 64
+    ), days AS (
+      SELECT DISTINCT day FROM dk
+    ), merged AS (
+      SELECT DISTINCT d.day, s.h
+      FROM days d JOIN daily s ON s.day <= d.day
+    ), topk AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+      FROM (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= 64 GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_sketch,
+           CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                ELSE round({float(63 * (1 << 56))!r} / hk, 6) END
+             AS est_distinct
+    FROM topk
+    """,
+)
+def streaming_kmv_distinct_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-batch sketch equivalence through the driver contract: the
+    per-day KMV partials run as ARBITRARY STREAMING STATE
+    (streaming/counts.streaming_daily_kmv via applyInPandasWithState,
+    file source → update-mode memory sink, drained), then the shared
+    merge step (sketches.running_estimate_from_daily) turns the drained
+    state into running distinct estimates that must hash-match the batch
+    DuckDB oracle — a KMV sketch is a pure function of each day's key
+    SET, so batching/order cannot change it. The 4th stream-batch gate
+    (wordcount, event windows, exact dedup are the other three)."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_events(spark, f"{sf_dir}/events.parque*")
+    name = "streaming_kmv_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_daily_kmv(stream, k=64), name, output_mode="update"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(name)
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("day").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("day", F.explode("hs").alias("h"))
+    )
+    return sketches.running_estimate_from_daily(latest, k=64).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
@@ -6963,6 +7033,14 @@ DEMOTED: tuple[str, ...] = (
     "embedding_near_dup_pairs",   # hyperplane-bucket self-join machinery now driver-verified via embedding_coverage_sample (same signature) + media_phash/minhash banded self-joins in-window
     "token_counts",               # ws/BPE-ish scan counts ⊂ quality_scores (scan stats) + inference_batch_plan (ws counts feed the bucketing); still parity+fuzz gated
     "events_range_attribution",   # point-in-interval bucket join ⊂ session_error_exposure's interval×interval form (same bucketization + meet rule, in-window)
+    # round-5 swaps: four window slots freed for the new shape families
+    # (global-cumsum bin packing, inline argmax resharding, temporal
+    # sketch merge, bit-interleave layout audit); every demoted query's
+    # shape is carried by an in-window sibling and stays parity+fuzz gated
+    "exact_dedup",                # sha2 hash-key keeper election ⊂ line_dedup_rewrite (same elect rule) + near_dup_keep_best + bloom_dedup_incremental (all in-window)
+    "winnow_dup_pairs",           # banded self-join + verify ⊂ minhash_near_dups / ngram_jaccard_near_dups / media_phash_near_dups (in-window)
+    "user_event_lag",             # lag window ⊂ session_concurrency's sweep-line windows + events_distinct_kmv_running's per-day rank windows
+    "q21_waiting_suppliers",      # exists/not-exists multi-join; q20 (semi), q22 (anti + scalar), q16 (NOT IN) keep the family's driver rows
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -7007,6 +7085,11 @@ PROMOTED: tuple[str, ...] = (
     "source_quality_report",
     "inference_batch_plan",
     "source_quality_drift",
+    # round-5 flagships: the new shape families take the freed slots
+    "shard_compaction_plan",
+    "reshard_movement",
+    "events_distinct_kmv_running",
+    "events_zorder_buckets",
 )
 
 

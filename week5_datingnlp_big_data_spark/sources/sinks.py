@@ -164,7 +164,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     HOF arithmetic inside codegen. ``bits`` × len(cols) must stay ≤ 62;
     16 bits × 2-3 dims is the practical sweet spot — pruning acts at
     file/row-group granularity, so finer quantization buys nothing.
-    NULLs quantize to level 0 (they cluster together at curve start)."""
+    NULLs quantize to level 0 (they cluster together at curve start).
+    (``operators/layout.zorder_value`` is the raw 2-D integer-column
+    primitive with a bit-exact SQL twin; ``layout.zorder_bucket_stats``
+    audits the bounding boxes of the layout this key produces.)"""
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
     levels = (1 << bits) - 1

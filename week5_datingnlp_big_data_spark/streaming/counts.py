@@ -733,3 +733,56 @@ def streaming_source_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_daily_kmv(events_stream: DataFrame, k: int = 64) -> DataFrame:
+    """Per-day KMV sketch partials as ARBITRARY STREAMING STATE
+    (``applyInPandasWithState``): each day's state is its ≤ k smallest
+    distinct md5-derived user hashes, updated per micro-batch and
+    emitted as ``(day, upd, hs)`` — ``upd`` counts state updates so a
+    consumer of an update-mode sink can keep the latest row per day.
+
+    This is the streaming half of the lambda-free cardinality pipeline:
+    the batch path (operators/sketches.kmv_running_distinct) builds the
+    SAME per-day partials with a rank window; the shared merge step
+    (sketches.running_estimate_from_daily) turns either side's partials
+    into running distinct estimates — bit-identical because the hash is
+    seedless md5 and a KMV sketch is a pure function of the day's key
+    SET (order/batching invariant). State is O(k) longs per day; the
+    watermark-free accumulate-forever shape matches a calendar-keyed
+    dimension (add state TTL for unbounded key spaces)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from week5_datingnlp_big_data_spark.operators.sketches import (
+        daily_key_hashes,
+    )
+
+    hashed = daily_key_hashes(events_stream, distinct=False)
+
+    out_schema = T.StructType([
+        T.StructField("day", T.DateType()),
+        T.StructField("upd", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            hs, upd = state.get
+            seen = set(hs)
+        else:
+            seen, upd = set(), 0
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"])
+        merged = sorted(seen)[:k]
+        upd += 1
+        state.update((merged, upd))
+        yield pd.DataFrame({"day": [key[0]], "upd": [upd], "hs": [merged]})
+
+    return hashed.groupBy("day").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
