@@ -118,6 +118,20 @@ HEADLINE = [
     "near_dup_cluster_sizes",
     "batch_near_dup_novelty",
     "doc_boilerplate_stats",
+    # driver-round-5 additions: table-maintenance planners (bin packing,
+    # resharding, Z-order audit), the temporal KMV rollup, the skew
+    # profiler, and the two real-codec media passes (streaming parity
+    # queries stay out of the bench by convention)
+    "shard_compaction_plan",
+    "reshard_movement",
+    "events_distinct_kmv_running",
+    "events_zorder_buckets",
+    "shuffle_skew_profile",
+    "media_audio_dup_pairs",
+    "media_scene_change_stats",
+    "events_daily_anomalies",
+    "session_top_paths",
+    "doc_script_stats",
 ]
 
 

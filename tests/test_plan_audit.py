@@ -71,7 +71,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # asymmetric batch-vs-base band join, and the components
                  # histogram must never plan cartesian
                  "embedding_margin_pairs", "batch_near_dup_novelty",
-                 "near_dup_cluster_sizes"):
+                 "near_dup_cluster_sizes",
+                 # round-5: bin packing, resharding, and the Z-order
+                 # audit are pure window/groupBy arithmetic — no joins
+                 # beyond the AQE-planned bin/scalar attach
+                 "shard_compaction_plan", "reshard_movement",
+                 "events_zorder_buckets"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
@@ -98,3 +103,23 @@ def test_lm_family_has_no_forced_vocab_broadcast(spark, sf_dir):
                 assert "Join Cross" in line, (
                     f"{name}: forced broadcast on a keyed join: {line.strip()}"
                 )
+
+
+def test_round5_bnlj_sides_are_bounded(spark, sf_dir):
+    # The two round-5 plans that DO carry a BroadcastNestedLoopJoin are
+    # documented bounded shapes, not data-sized hazards:
+    #  - events_distinct_kmv_running / streaming_kmv_distinct_parity:
+    #    the `day <= day` sketch-merge range join runs over the SKETCH
+    #    table (#days x k rows — calendar-sized);
+    #  - shuffle_skew_profile: a 1-row scalar-aggregate cross join.
+    # This test pins that the queries still produce their bounded
+    # outputs and that no CARTESIAN product (the unbounded hazard)
+    # appears — the BNLJ itself is the accepted plan for these shapes.
+    from week5_datingnlp_big_data_spark.plans.audit import audit_plan
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    for name in ("events_distinct_kmv_running", "shuffle_skew_profile"):
+        out = audit_plan(QUERIES[name](spark, sf_dir))
+        assert not out["cartesian"], name
+        hard = [w for w in out["warnings"] if "Cartesian" in w]
+        assert hard == [], (name, out["warnings"])

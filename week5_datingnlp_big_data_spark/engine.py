@@ -468,3 +468,24 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import multimodal as _mm
 
         return _mm.scene_changes(media, **kw)
+
+    def daily_anomalies(self, events: DataFrame, **kw) -> DataFrame:
+        """Weekday-cohort median/MAD robust z-scores on daily volume;
+        see relational.daily_count_anomalies."""
+        from week5_datingnlp_big_data_spark.operators import relational as _r
+
+        return _r.daily_count_anomalies(events, **kw)
+
+    def session_paths(self, events: DataFrame, **kw) -> DataFrame:
+        """Top-k session event-type paths (flow/Sankey source data); see
+        relational.session_paths."""
+        from week5_datingnlp_big_data_spark.operators import relational as _r
+
+        return _r.session_paths(events, **kw)
+
+    def script_stats(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-doc Unicode-script composition (Latin/CJK/Cyrillic/digit);
+        see textstats.script_stats."""
+        from week5_datingnlp_big_data_spark.operators import textstats as _ts
+
+        return _ts.script_stats(docs, **kw)

@@ -700,7 +700,8 @@ def scene_changes(
     size x payload size, not the corpus."""
     from week5_datingnlp_big_data_spark.functions import videocodec
 
-    def frame_means(k: str, p: bytes) -> np.ndarray:
+    def frame_diffs(k: str, p: bytes) -> tuple[int, np.ndarray]:
+        """(n_frames, per-boundary mean-abs luma diffs)."""
         if use_real_codec:
             if k != "video" or not videocodec.sniff_y4m(p):
                 raise NotImplementedError(
@@ -709,38 +710,28 @@ def scene_changes(
                     "register_codec on a real cluster)"
                 )
             frames, _w, _h, _fps = videocodec.decode_y4m(p)
-            return np.array(
-                [float(f.astype(np.float64).mean()) for f in frames]
-            )
+            if len(frames) < 2:
+                return len(frames), np.empty(0)
+            stack = np.stack([f.astype(np.float64) for f in frames])
+            return len(frames), np.abs(stack[1:] - stack[:-1]).mean(axis=(1, 2))
+        # fake path: deterministic per-frame gray level from the payload
+        # md5 chain (same discipline as _fake_gray_tile)
         base = hashlib.md5(p).hexdigest()
         n = 4 + hashlib.md5(p).digest()[0] % 12
-        return np.array(
+        means = np.array(
             [
                 float(hashlib.md5(f"{base}:{i}".encode()).digest()[0])
                 for i in range(n)
             ]
         )
+        return n, np.abs(means[1:] - means[:-1])
 
     def diffs(k: str, p: bytes) -> tuple[int, int, float, float]:
-        if use_real_codec and k == "video" and videocodec.sniff_y4m(p):
-            frames, _w, _h, _fps = videocodec.decode_y4m(p)
-            if len(frames) < 2:
-                return len(frames), 0, 0.0, 0.0
-            stack = np.stack([f.astype(np.float64) for f in frames])
-            d = np.abs(stack[1:] - stack[:-1]).mean(axis=(1, 2))
-        else:
-            means = frame_means(k, p)
-            if len(means) < 2:
-                return len(means), 0, 0.0, 0.0
-            d = np.abs(means[1:] - means[:-1])
-            return (
-                len(means),
-                int((d > threshold).sum()),
-                round(float(d.mean()), 6),
-                round(float(d.max()), 6),
-            )
+        n, d = frame_diffs(k, p)
+        if len(d) == 0:
+            return n, 0, 0.0, 0.0
         return (
-            len(frames),
+            n,
             int((d > threshold).sum()),
             round(float(d.mean()), 6),
             round(float(d.max()), 6),

@@ -803,3 +803,118 @@ def range_join_point_in_interval(
         & (F.unix_micros(F.col(left_point).cast("timestamp"))
            < F.unix_micros(F.col(right_end).cast("timestamp")))
     )
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Pipeline-health anomaly detection on daily ingest volume — the
+    data-quality monitor every production feed runs: each day's event
+    count is compared against its WEEKDAY cohort (volume is weekly-
+    seasonal, so Monday compares to Mondays) with the robust
+    median/MAD z-score (Iglewicz & Hoaglin 1993: |x − median| / MAD,
+    flag above ``z_threshold``; means/stddevs would let one outage day
+    poison its own baseline).
+
+    Determinism discipline: the weekday index is pure integer
+    arithmetic (days-since-epoch mod 7 — locale/engine-independent,
+    unlike dayofweek functions that disagree on week start), and
+    median/MAD over integer counts produce exactly-representable
+    halves, so the DuckDB oracle value-matches bit-for-bit. Degenerate
+    cohorts (MAD = 0: all counts equal) report z = 0 and never flag —
+    a constant feed is not anomalous.
+
+    Scale shape: one groupBy day (map-side partials at scan
+    parallelism) collapses the corpus to a CALENDAR-sized table;
+    everything after — the weekday-cohort median window, the MAD
+    window, the flag — runs over #days rows. At 100 TB the cost is the
+    scan, exactly where it should be."""
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "wd",
+            (
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("wd")
+    med = F.percentile(F.col("n_events"), F.lit(0.5)).over(w)
+    scored = daily.withColumn("med", med).withColumn(
+        "abs_dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = F.percentile(F.col("abs_dev"), F.lit(0.5)).over(w)
+    flagged = scored.withColumn("mad", mad).withColumn(
+        "z",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.col("abs_dev") / F.col("mad"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    return flagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "wd",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "z",
+        (F.col("z") > z_threshold).alias("is_anomaly"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: float = 30.0,
+    max_steps: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k session paths — the product-analytics path-mining query
+    (the data behind every Sankey/flow diagram): sessionize, take each
+    session's first ``max_steps`` event types in time order, join them
+    into a '>'-delimited path string, and rank paths by session count.
+    Output: ``(path, n_sessions, n_users, rank)``, rank ≤ ``top_k``.
+
+    Deterministic: within-session order ties break on event_id, path
+    ties in the ranking break lexicographically — the DuckDB oracle
+    re-runs the whole pipeline (sessionize CTE, step windows,
+    string_agg) and value-matches.
+
+    Scale shape: sessionize + step numbering share ONE hash exchange on
+    the user (same-partitioning windows), the path rollup is a second
+    exchange on (user, session), the count a third on the path string —
+    all with map-side partials; the final rank window sees only the
+    DISTINCT-path table (bounded by event-type^max_steps, not corpus
+    size)."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    w_sess = Window.partitionBy(user_col, "session_seq").orderBy(
+        ts_col, "event_id"
+    )
+    stepped = s.withColumn("step", F.row_number().over(w_sess)).filter(
+        F.col("step") <= max_steps
+    )
+    paths = stepped.groupBy(user_col, "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", type_col))),
+                lambda x: x[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(user_col).alias("n_users"),
+    )
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("path", "n_sessions", "n_users", "rank")
+    )

@@ -856,3 +856,40 @@ def boilerplate_line_stats(
             .alias("boiler_frac"),
         )
     )
+
+
+# Unicode script classes as LITERAL character ranges, so the Java-regex
+# (Spark) and RE2 (DuckDB oracle) dialects see byte-identical patterns —
+# the same cross-dialect discipline as the ASCII \b pin in functions/text.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿ]",  # Latin-1 letters, excluding × and ÷
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "digit": "[0-9]",
+}
+
+
+def script_stats(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode-script composition — the multilingual-corpus
+    curation signal (mixed-script spam, mislabeled language rows, CJK
+    content routed to a Latin tokenizer): counts and fractions of
+    Latin/CJK/Cyrillic/digit characters plus a cjk_dominant flag.
+    Scan-speed ``regexp_count`` built-ins over literal char-range
+    patterns — no UDF, one pass, no shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+    counts = {
+        k: F.regexp_count(text, F.lit(pat)) for k, pat in SCRIPT_RANGES.items()
+    }
+    safe_n = F.greatest(n, F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        *[c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()],
+        *[
+            F.round(c / safe_n, 6).alias(f"{k}_frac")
+            for k, c in counts.items()
+        ],
+        (counts["cjk"] > counts["latin"]).alias("cjk_dominant"),
+    )

@@ -6946,6 +6946,130 @@ def streaming_kmv_distinct_parity_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "events_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), wdt AS (
+      SELECT day, n_events,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS wd
+      FROM daily
+    ), m AS (
+      SELECT *, median(n_events) OVER (PARTITION BY wd) AS med FROM wdt
+    ), a AS (
+      SELECT *, abs(n_events - med) AS abs_dev FROM m
+    ), md AS (
+      SELECT *, median(abs_dev) OVER (PARTITION BY wd) AS mad FROM a
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events, wd,
+           round(med, 6) AS med, round(mad, 6) AS mad,
+           CASE WHEN mad > 0 THEN round(abs_dev / mad, 6)
+                ELSE 0.0 END AS z,
+           (CASE WHEN mad > 0 THEN round(abs_dev / mad, 6)
+                 ELSE 0.0 END) > 3.5 AS is_anomaly
+    FROM md
+    """,
+)
+def events_daily_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health volume monitoring: robust median/MAD z-score of
+    each day's event count against its weekday cohort (weekly
+    seasonality), flagging days past 3.5 — the Iglewicz-Hoaglin rule a
+    production feed alerts on. Weekday = days-since-epoch mod 7 (pure
+    integer arithmetic — engines disagree on week-start conventions);
+    median/MAD over integer counts are exactly-representable halves, so
+    the oracle value-matches. See
+    operators/relational.py:daily_count_anomalies."""
+    return relational.daily_count_anomalies(
+        _t(spark, sf_dir, "events"), ts_col="ts", z_threshold=3.5
+    )
+
+
+@query(
+    "session_top_paths",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM s
+    ), stepped AS (
+      SELECT user_id, session_seq, event_type,
+             row_number() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS step
+      FROM numbered
+    ), p AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM stepped WHERE step <= 5 GROUP BY user_id, session_seq
+    ), c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p GROUP BY path
+    )
+    SELECT path, n_sessions, n_users, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path)
+                    AS rank FROM c)
+    WHERE rank <= 20
+    """,
+)
+def session_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (first 5 event types per 30-min session,
+    '>'-joined) ranked by session count — the path-mining query behind
+    product flow/Sankey views. The oracle re-runs sessionize, the step
+    windows, and the ordered string_agg end to end. See
+    operators/relational.py:session_paths for the one-exchange-per-stage
+    shape."""
+    return relational.session_paths(
+        _t(spark, sf_dir, "events"), gap_minutes=30.0, max_steps=5, top_k=20
+    )
+
+
+def _sql_script_counts() -> str:
+    parts = [
+        f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT)"
+        f" AS n_{k}"
+        for k, pat in textstats.SCRIPT_RANGES.items()
+    ]
+    return ", ".join(parts)
+
+
+@query(
+    "doc_script_stats",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+             {_sql_script_counts()}
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic, n_digit,
+           round(n_latin * 1.0 / greatest(n_chars, 1), 6) AS latin_frac,
+           round(n_cjk * 1.0 / greatest(n_chars, 1), 6) AS cjk_frac,
+           round(n_cyrillic * 1.0 / greatest(n_chars, 1), 6) AS cyrillic_frac,
+           round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_frac,
+           n_cjk > n_latin AS cjk_dominant
+    FROM c
+    """,
+)
+def doc_script_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition (Latin/CJK/Cyrillic/digit
+    counts + fractions + cjk_dominant) — the multilingual curation
+    signal for mixed-script spam and mislabeled-language rows. Script
+    classes are LITERAL char ranges so the Java-regex and RE2 dialects
+    match byte-for-byte. See operators/textstats.py:script_stats."""
+    return textstats.script_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
