@@ -132,6 +132,7 @@ HEADLINE = [
     "events_daily_anomalies",
     "session_top_paths",
     "doc_script_stats",
+    "purchase_attribution",
 ]
 
 

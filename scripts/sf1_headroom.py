@@ -131,6 +131,11 @@ QUERIES = [
     "shuffle_skew_profile",
     "media_audio_dup_pairs",
     "media_scene_change_stats",
+    # session paths / attribution: sessionize windows + the bucketized
+    # range join under 10x touches AND 10x conversions per user replica
+    "session_top_paths",
+    "events_daily_anomalies",
+    "purchase_attribution",
 ]
 
 

@@ -112,3 +112,45 @@ def test_script_stats_classifies_mixed_text(spark):
     assert out[2]["n_latin"] == 3 and out[2]["n_cjk"] == 2
     assert out[2]["n_digit"] == 3 and out[2]["n_cyrillic"] == 2
     assert out[3]["n_chars"] == 0 and out[3]["latin_frac"] == 0.0
+
+
+def test_attribution_rules_and_conservation(spark):
+    rows = [
+        # user 1: three touches inside the window, purchase of 12.0
+        (1, 1, "2024-01-02 11:00:00", "view", 0.0),
+        (2, 1, "2024-01-02 11:30:00", "click", 0.0),
+        (3, 1, "2024-01-02 11:45:00", "view", 0.0),
+        (4, 1, "2024-01-02 12:00:00", "purchase", 12.0),
+        # user 2: purchase with NO touches
+        (5, 2, "2024-01-02 12:00:00", "purchase", 7.0),
+        # user 3: only touch is OUTSIDE the 24h lookback
+        (6, 3, "2024-01-01 11:00:00", "view", 0.0),
+        (7, 3, "2024-01-02 12:00:00", "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    out = relational.attribution_credits(ev, lookback_hours=24).collect()
+    by = {}
+    for r in out:
+        by[(r["conv_id"], r["scheme"], r["touch_type"])] = r
+    # linear: 2 views of 3 touches -> 8.0; 1 click -> 4.0
+    assert by[(4, "linear", "view")]["credit"] == 8.0
+    assert by[(4, "linear", "view")]["n_touches"] == 2
+    assert by[(4, "linear", "click")]["credit"] == 4.0
+    # first touch was the 11:00 view; last the 11:45 view
+    assert by[(4, "first", "view")]["credit"] == 12.0
+    assert by[(4, "last", "view")]["credit"] == 12.0
+    # users 2 and 3 are unattributed (no touch / stale touch)
+    assert by[(5, "unattributed", "none")]["credit"] == 7.0
+    assert by[(7, "unattributed", "none")]["credit"] == 5.0
+    # conservation: every scheme's credits sum to total purchase value
+    total = 12.0 + 7.0 + 5.0
+    for scheme in ("linear", "first", "last"):
+        s = sum(
+            r["credit"] for r in out
+            if r["scheme"] in (scheme, "unattributed")
+        )
+        assert abs(s - total) < 1e-6, scheme

@@ -489,3 +489,11 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import textstats as _ts
 
         return _ts.script_stats(docs, **kw)
+
+    def attribution(self, events: DataFrame, **kw) -> DataFrame:
+        """Multi-touch conversion attribution (linear/first/last +
+        unattributed, conservation-preserving); see
+        relational.attribution_credits."""
+        from week5_datingnlp_big_data_spark.operators import relational as _r
+
+        return _r.attribution_credits(events, **kw)

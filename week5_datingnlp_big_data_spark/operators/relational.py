@@ -918,3 +918,114 @@ def session_paths(
         .filter(F.col("rank") <= top_k)
         .select("path", "n_sessions", "n_users", "rank")
     )
+
+
+def attribution_credits(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing attribution over an event stream: every conversion's
+    value is credited to the user's touches (``touch_types``) in the
+    preceding ``lookback_hours`` under the three standard rules —
+    'linear' (value split across touches in proportion to each type's
+    count), 'first' and 'last' (full value to the first/last touch's
+    type); conversions with no in-window touch emit one
+    'unattributed' row, so every scheme's credits sum to total
+    conversion value (conservation — unit-pinned).
+
+    Output: one row per (conversion, scheme, touch_type) —
+    ``(conv_id, scheme, touch_type, n_touches, credit)``. Per-cell rows
+    instead of corpus-wide credit sums keep every float a ONE-STEP
+    product of input values, so the DuckDB oracle value-matches (the
+    lang_source_contingency discipline: no cross-engine float SUM).
+
+    Scale shape: the touch-conversion pairing is the bucketized
+    point-in-interval equi-join reduction (range_join_point_in_interval
+    — never a per-user cross product); the credit rules are two
+    grouped aggregates and one rank window over the PAIRS table, whose
+    size is bounded by touches-per-lookback x conversions, the
+    quantity attribution inherently needs."""
+    lookback_us = int(lookback_hours) * 3_600 * 1_000_000
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).alias("value"),
+    ).withColumn(
+        "win_start",
+        F.timestamp_micros(F.unix_micros(F.col("conv_ts")) - lookback_us),
+    )
+    touches = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+    )
+    pairs = range_join_point_in_interval(
+        touches,
+        conv,
+        key=user_col,
+        left_point="touch_ts",
+        right_start="win_start",
+        right_end="conv_ts",
+        bucket_micros=lookback_us,
+    ).select("conv_id", "value", "touch_id", "touch_ts", "touch_type")
+
+    totals = pairs.groupBy("conv_id", "value").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    linear = (
+        pairs.groupBy("conv_id", "value", "touch_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+        .join(totals.drop("value"), "conv_id")
+        .select(
+            "conv_id",
+            F.lit("linear").alias("scheme"),
+            "touch_type",
+            F.col("n_type").alias("n_touches"),
+            F.round(
+                F.col("value") * F.col("n_type") / F.col("n_total"), 6
+            ).alias("credit"),
+        )
+    )
+    w_first = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    ranked = pairs.withColumn("rn_f", F.row_number().over(w_first)).withColumn(
+        "rn_l", F.row_number().over(w_last)
+    )
+    ends = []
+    for scheme, rn in (("first", "rn_f"), ("last", "rn_l")):
+        ends.append(
+            ranked.filter(F.col(rn) == 1)
+            .join(totals.drop("value"), "conv_id")
+            .select(
+                "conv_id",
+                F.lit(scheme).alias("scheme"),
+                "touch_type",
+                F.col("n_total").alias("n_touches"),
+                F.round("value", 6).alias("credit"),
+            )
+        )
+    unattributed = (
+        conv.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            "conv_id",
+            F.lit("unattributed").alias("scheme"),
+            F.lit("none").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.round("value", 6).alias("credit"),
+        )
+    )
+    out = linear
+    for df in ends + [unattributed]:
+        out = out.unionByName(df)
+    return out

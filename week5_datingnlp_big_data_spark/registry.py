@@ -7070,6 +7070,73 @@ def doc_script_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.script_stats(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "purchase_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+      SELECT c.conv_id, c.value, t.touch_id, t.touch_ts, t.touch_type
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+        AND epoch_us(t.touch_ts) >= epoch_us(c.conv_ts) - 86400000000
+        AND epoch_us(t.touch_ts) < epoch_us(c.conv_ts)
+    ), totals AS (
+      SELECT conv_id, any_value(value) AS value,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM pairs GROUP BY conv_id
+    ), linear AS (
+      SELECT p.conv_id, 'linear' AS scheme, p.touch_type,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             round(any_value(p.value) * count(*) / any_value(t.n_total), 6)
+               AS credit
+      FROM pairs p JOIN totals t USING (conv_id)
+      GROUP BY p.conv_id, p.touch_type
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts, touch_id) AS rn_f,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts DESC, touch_id DESC) AS rn_l
+      FROM pairs
+    ), firsts AS (
+      SELECT r.conv_id, 'first' AS scheme, r.touch_type,
+             t.n_total AS n_touches, round(r.value, 6) AS credit
+      FROM ranked r JOIN totals t USING (conv_id) WHERE r.rn_f = 1
+    ), lasts AS (
+      SELECT r.conv_id, 'last' AS scheme, r.touch_type,
+             t.n_total AS n_touches, round(r.value, 6) AS credit
+      FROM ranked r JOIN totals t USING (conv_id) WHERE r.rn_l = 1
+    ), unattr AS (
+      SELECT c.conv_id, 'unattributed' AS scheme, 'none' AS touch_type,
+             CAST(0 AS BIGINT) AS n_touches, round(c.value, 6) AS credit
+      FROM conv c WHERE c.conv_id NOT IN (SELECT conv_id FROM pairs)
+    )
+    SELECT * FROM linear UNION ALL SELECT * FROM firsts
+    UNION ALL SELECT * FROM lasts UNION ALL SELECT * FROM unattr
+    """,
+)
+def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: each purchase's value credited
+    to the user's view/click touches in the prior 24 h under the linear
+    / first-touch / last-touch rules, plus conservation-preserving
+    unattributed rows. One row per credit cell so no corpus-wide float
+    sum crosses the engine boundary; the Spark side pairs touches to
+    conversions with the bucketized range-join reduction while the
+    oracle uses a direct theta join. See
+    operators/relational.py:attribution_credits."""
+    return relational.attribution_credits(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        lookback_hours=24,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
