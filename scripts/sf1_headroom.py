@@ -263,6 +263,18 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
+    def _join_lines(name: str, sf_dir: str) -> list[str]:
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.count()  # run, so AQE finalizes the physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(
+            {
+                line.strip().split("[")[0].strip("+- ").strip()
+                for line in plan.splitlines()
+                if "Join" in line or "CartesianProduct" in line
+            }
+        )
+
     confirmed = []
     for name in flagged:
         r = results[name]
@@ -270,6 +282,12 @@ def main() -> None:
         r["adjudicated_ratio"] = adj
         if adj > r["flag_threshold"]:
             confirmed.append(name)
+            # record join-strategy evidence so the artifact shows whether
+            # a plan TRANSITION (broadcast->SMJ, cartesian) explains the
+            # ratio or the work is scan-bound linear (see
+            # docs/BENCH_ADJUDICATION_r5.md for the q12 reading)
+            r["plan_joins_sf0.1"] = _join_lines(name, SRC)
+            r["plan_joins_sf1"] = _join_lines(name, DST)
     flagged = confirmed
 
     out = {
