@@ -133,6 +133,7 @@ HEADLINE = [
     "session_top_paths",
     "doc_script_stats",
     "purchase_attribution",
+    "media_jpeg_decode_stats",
 ]
 
 

@@ -136,6 +136,7 @@ QUERIES = [
     "session_top_paths",
     "events_daily_anomalies",
     "purchase_attribution",
+    "media_jpeg_decode_stats",
 ]
 
 

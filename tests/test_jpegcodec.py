@@ -1,0 +1,122 @@
+"""Bundled pure-NumPy baseline JPEG codec (functions/jpegcodec): encode →
+decode round-trips within quantization error, restart-marker
+resynchronization, honest gates for unsupported JPEG features, and the
+register_codec seam end to end through decode_media."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from week5_datingnlp_big_data_spark.functions import jpegcodec as jc
+
+
+def _gradient(h, w):
+    return (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+
+
+def test_roundtrip_quality_ladder():
+    rng = np.random.default_rng(3)
+    imgs = {
+        "gradient": _gradient(24, 40),
+        "noise": rng.integers(0, 256, (17, 23)).astype(np.uint8),
+        "tiny": np.array([[0, 255], [128, 64]], dtype=np.uint8),
+        "flat": np.full((8, 8), 77, dtype=np.uint8),
+    }
+    for name, img in imgs.items():
+        enc = jc.encode_jpeg_gray(img, quality=100)
+        assert jc.sniff_jpeg(enc)
+        dec = jc.decode_jpeg_gray(enc)
+        assert dec.shape == img.shape
+        # quality 100 -> all-ones quant table: error is DCT rounding only
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1, name
+        # lossy qualities still bound mean error on smooth content
+        lossy = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, quality=50))
+        assert lossy.shape == img.shape
+
+
+def test_lossy_compresses_smooth_content():
+    img = _gradient(64, 64)
+    hi = jc.encode_jpeg_gray(img, quality=100)
+    lo = jc.encode_jpeg_gray(img, quality=50)
+    assert len(lo) < len(hi)
+    err = np.abs(
+        jc.decode_jpeg_gray(lo).astype(int) - img.astype(int)
+    ).mean()
+    assert err < 3.0  # smooth gradients survive q50 nearly intact
+
+
+def test_restart_markers_resynchronize():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)  # 35 MCUs
+    base = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, quality=100))
+    for ri in (1, 3, 8, 100):
+        enc = jc.encode_jpeg_gray(img, quality=100, restart_interval=ri)
+        assert np.array_equal(jc.decode_jpeg_gray(enc), base)
+
+
+def test_non_multiple_of_8_dimensions():
+    for h, w in ((1, 1), (7, 9), (8, 8), (9, 17), (33, 1)):
+        img = _gradient(h, w)
+        dec = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, quality=100))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_gates_name_unsupported_features():
+    img = _gradient(8, 8)
+    enc = bytearray(jc.encode_jpeg_gray(img))
+    # patch SOF0 (0xFFC0) into SOF2 (progressive)
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="BASELINE"):
+        jc.decode_jpeg_gray(bytes(enc))
+    # a fake 3-component SOF0 must gate as color
+    color = bytearray(jc.encode_jpeg_gray(img))
+    i = bytes(color).find(b"\xff\xc0")
+    seg = struct.pack(">HBHHB", 8 + 9, 8, 8, 8, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    color[i + 2: i + 2 + 11] = seg
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        jc.decode_jpeg_gray(bytes(color))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jc.decode_jpeg_gray(b"BM000")
+
+
+def test_truncated_stream_raises():
+    img = _gradient(16, 16)
+    enc = jc.encode_jpeg_gray(img)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg_gray(enc[: len(enc) // 2])
+
+
+def test_seam_end_to_end_through_decode_media(spark):
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    img0, img1 = _gradient(12, 20), np.full((9, 9), 200, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "image", jc.encode_jpeg_gray(img0, restart_interval=2)),
+            (1, "image", jc.encode_jpeg_gray(img1)),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    mm.register_bundled_jpeg_codec()
+    try:
+        out = {
+            r["media_id"]: r
+            for r in mm.decode_media(media, use_real_codec=True).collect()
+        }
+    finally:
+        mm.unregister_codec("jpeg")
+    assert out[0]["width"] == 20 and out[0]["height"] == 12
+    assert out[1]["width"] == 9 and out[1]["height"] == 9
+    assert abs(out[1]["mean_byte"] - 200.0) <= 1.0
+    # without the registration the same plan gates honestly
+    with pytest.raises(Exception, match="register"):
+        mm.decode_media(media, use_real_codec=True).collect()

@@ -497,3 +497,11 @@ class Engine:
         from week5_datingnlp_big_data_spark.operators import relational as _r
 
         return _r.attribution_credits(events, **kw)
+
+    def register_bundled_jpeg_codec(self) -> None:
+        """Plug the bundled pure-NumPy baseline grayscale JPEG decoder
+        into the media codec seam; see
+        multimodal.register_bundled_jpeg_codec."""
+        from week5_datingnlp_big_data_spark.operators import multimodal as _mm
+
+        _mm.register_bundled_jpeg_codec()

@@ -98,6 +98,17 @@ def register_codec(fmt: str, decode_fn) -> None:
     _CODECS[fmt.lower()] = decode_fn
 
 
+def register_bundled_jpeg_codec() -> None:
+    """Plug the bundled pure-NumPy BASELINE grayscale JPEG decoder
+    (functions/jpegcodec, ITU-T T.81) into the external-codec seam —
+    a REAL entropy-coded format through the same hook a PIL/libav
+    decoder would use, so the seam is proven end to end in-container.
+    Color/progressive JPEG still raises with the feature named."""
+    from week5_datingnlp_big_data_spark.functions import jpegcodec
+
+    register_codec("jpeg", jpegcodec.decode_jpeg_gray)
+
+
 def unregister_codec(fmt: str) -> None:
     _CODECS.pop(fmt.lower(), None)
 
@@ -138,10 +149,12 @@ def _real_pixel_stats(
     raise NotImplementedError(
         f"real decode for kind={kind!r} "
         f"(sniffed format: {ext or 'unknown'}) needs an external codec — "
-        "only uncompressed BMP/PPM images decode in-container; plug a "
-        "decoder in with multimodal.register_codec(fmt, decode_fn) BEFORE "
-        "building the plan (e.g. register_codec('jpeg', PIL-based fn)). "
-        "Audio has its own real path (decode_audio, PCM WAV)."
+        "uncompressed BMP/PPM images decode in-container, and BASELINE "
+        "grayscale JPEG via register_bundled_jpeg_codec(); plug other "
+        "decoders in with multimodal.register_codec(fmt, decode_fn) "
+        "BEFORE building the plan (e.g. register_codec('jpeg', "
+        "PIL-based fn) for color). Audio has its own real path "
+        "(decode_audio, PCM WAV)."
     )
 
 

@@ -7137,6 +7137,60 @@ def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_jpeg_decode_stats")
+def media_jpeg_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode through the plug-in seam: each
+    document's UTF-8 bytes become a grayscale pixel tile, encoded as
+    BASELINE JPEG (bundled pure-NumPy ITU-T T.81 encoder, quality 90,
+    restart markers every 4 MCUs), then decoded back through
+    decode_media(use_real_codec=True) with the bundled JPEG decoder
+    registered on the seam — entropy decode, dequantize, IDCT, restart
+    resynchronization, all in-container. Rows-only (no JPEG bitstream
+    twin in SQL); the codec itself is pinned by round-trip units in
+    tests/test_jpegcodec.py. See functions/jpegcodec.py and
+    operators/multimodal.py:register_bundled_jpeg_codec."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import jpegcodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                raw = text.encode("utf-8") or b"\x80"
+                w = 16 + int(did) % 17
+                h = max(1, min(len(raw) // w, 48))
+                tile = np.frombuffer(
+                    raw[: w * h].ljust(w * h, b"\x20"), dtype=np.uint8
+                ).reshape(h, w)
+                payloads.append(
+                    jpegcodec.encode_jpeg_gray(
+                        tile, quality=90, restart_interval=4
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    mm.register_bundled_jpeg_codec()
+    try:
+        docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+        media = docs.mapInPandas(
+            encode, "media_id long, kind string, payload binary"
+        )
+        return mm.decode_media(media, use_real_codec=True)
+    finally:
+        mm.unregister_codec("jpeg")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
