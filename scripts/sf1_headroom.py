@@ -276,19 +276,31 @@ def main() -> None:
             }
         )
 
-    confirmed = []
+    # Classification after adjudication (rationale in
+    # docs/BENCH_ADJUDICATION_r5.md): a CONFIRMED super-linear hazard
+    # needs the adjudicated ratio to clear FACTOR/2 (the round-3
+    # margin-mining quadratic measured 6.85 > 5 — the class this list
+    # exists to catch) OR a join-strategy change between scales
+    # (broadcast->SMJ/cartesian transition). Queries that pass
+    # adjudication but scale at-most-linearly (ratio well under the
+    # data factor, identical plans, constant output) are WATCHLISTED
+    # with full evidence instead — round 5 measured q5/q12 oscillating
+    # at 3.0-3.4x for 10x data, which is linear join work emerging
+    # from under the sf0.1 fixed overhead, not plan growth.
+    confirmed, watchlist = [], []
     for name in flagged:
         r = results[name]
         adj = round(_min_of(name, DST) / max(_min_of(name, SRC), 1e-9), 2)
         r["adjudicated_ratio"] = adj
-        if adj > r["flag_threshold"]:
+        if adj <= r["flag_threshold"]:
+            continue  # adjudication cleared it: sweep-timing noise
+        r["plan_joins_sf0.1"] = _join_lines(name, SRC)
+        r["plan_joins_sf1"] = _join_lines(name, DST)
+        plan_changed = r["plan_joins_sf0.1"] != r["plan_joins_sf1"]
+        if adj > FACTOR / 2 or plan_changed:
             confirmed.append(name)
-            # record join-strategy evidence so the artifact shows whether
-            # a plan TRANSITION (broadcast->SMJ, cartesian) explains the
-            # ratio or the work is scan-bound linear (see
-            # docs/BENCH_ADJUDICATION_r5.md for the q12 reading)
-            r["plan_joins_sf0.1"] = _join_lines(name, SRC)
-            r["plan_joins_sf1"] = _join_lines(name, DST)
+        else:
+            watchlist.append(name)
     flagged = confirmed
 
     out = {
@@ -297,6 +309,7 @@ def main() -> None:
         "total_sf0.1": round(sum(r["sf0.1"] for r in results.values()), 3),
         "total_sf1": round(sum(r["sf1"] for r in results.values()), 3),
         "flagged_superlinear": flagged,
+        "flagged_watchlist": watchlist,
     }
     Path("BENCH_SF1.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
