@@ -88,6 +88,39 @@ def test_gates_name_unsupported_features():
         jc.decode_jpeg_gray(b"BM000")
 
 
+def test_zigzag_matches_spec_sequence():
+    # ITU-T T.81 §A.3.6 zigzag in natural (row-major) indices — the
+    # interop pin: a transposed table round-trips internally but makes
+    # every stream non-compliant for standard decoders.
+    natural = [r * 8 + c for r, c in jc.ZIGZAG]
+    assert natural[:16] == [0, 1, 8, 16, 9, 2, 3, 10,
+                            17, 24, 32, 25, 18, 11, 4, 5]
+    assert natural[-4:] == [47, 55, 62, 63]
+    assert sorted(natural) == list(range(64))
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+    # marker; TEM (0xFF01) is a length-less standalone marker.
+    img = _gradient(8, 8)
+    enc = jc.encode_jpeg_gray(img)
+    base = jc.decode_jpeg_gray(enc)
+    i = enc.find(b"\xff\xdb")
+    patched = enc[:i] + b"\xff\x01" + b"\xff\xff" + enc[i:]
+    assert np.array_equal(jc.decode_jpeg_gray(patched), base)
+
+
+def test_undefined_table_id_raises_valueerror():
+    # SOS referencing a table id no DQT/DHT defined is a corrupt
+    # stream: ValueError, never a bare KeyError.
+    img = _gradient(8, 8)
+    enc = bytearray(jc.encode_jpeg_gray(img))
+    i = bytes(enc).find(b"\xff\xda")
+    enc[i + 6] = 0x33  # component's Td/Ta -> undefined table 3
+    with pytest.raises(ValueError, match="corrupt"):
+        jc.decode_jpeg_gray(bytes(enc))
+
+
 def test_truncated_stream_raises():
     img = _gradient(16, 16)
     enc = jc.encode_jpeg_gray(img)

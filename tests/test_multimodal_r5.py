@@ -46,12 +46,15 @@ def test_audio_fingerprint_phase_and_amplitude_invariant(spark):
         ],
     )
     fp = {
-        r["media_id"]: r["afp"]
+        r["media_id"]: list(r["afp"])
         for r in mm.audio_fingerprint(media, use_real_codec=True).collect()
     }
     assert fp[0] == fp[1] == fp[2]  # phase + gain invariant
     assert fp[0] != fp[3]           # different tone sequence
-    assert all(v >= 0 for v in fp.values())  # 60-bit: signed-positive
+    assert all(
+        len(v) == mm.AFP_BLOCKS and all(0 <= s < mm.AFP_PROBES for s in v)
+        for v in fp.values()
+    )
 
 
 def test_audio_fingerprint_rate_invariant(spark):
@@ -64,7 +67,7 @@ def test_audio_fingerprint_rate_invariant(spark):
         ],
     )
     fp = [
-        r["afp"]
+        list(r["afp"])
         for r in mm.audio_fingerprint(media, use_real_codec=True)
         .orderBy("media_id")
         .collect()
@@ -89,20 +92,20 @@ def test_audio_near_dups_tolerates_block_detune(spark):
         ],
     )
     pairs = {
-        (r["id_a"], r["id_b"]): r["hamming"]
+        (r["id_a"], r["id_b"]): r["n_mismatch"]
         for r in mm.audio_near_dups(
             media, max_block_mismatch=2, use_real_codec=True
         ).collect()
     }
     assert pairs[(0, 1)] == 0
-    assert pairs[(0, 2)] == 2 and pairs[(1, 2)] == 2
+    assert pairs[(0, 2)] == 1 and pairs[(1, 2)] == 1
     assert not any(3 in p for p in pairs)
 
 
 def test_audio_near_dups_rejects_wide_tolerance(spark):
     media = _media(spark, [(0, "audio", _tone_wav(_seq(0)))])
     with pytest.raises(ValueError, match="pigeonhole"):
-        mm.audio_near_dups(media, max_block_mismatch=4)
+        mm.audio_near_dups(media, max_block_mismatch=8)
 
 
 def test_audio_fake_path_deterministic(spark):
@@ -110,15 +113,57 @@ def test_audio_fake_path_deterministic(spark):
         spark, [(i, "audio", bytes([i] * 40)) for i in range(6)]
     )
     a = sorted(
-        (r["media_id"], r["afp"])
+        (r["media_id"], tuple(r["afp"]))
         for r in mm.audio_fingerprint(media).collect()
     )
     b = sorted(
-        (r["media_id"], r["afp"])
+        (r["media_id"], tuple(r["afp"]))
         for r in mm.audio_fingerprint(media).collect()
     )
     assert a == b
     assert len({v for _, v in a}) == 6  # distinct payloads -> distinct fps
+
+
+def test_audio_pigeonhole_key_entropy_defeats_random_corpus(spark):
+    # The round-5 hazard: nibble-window join keys took ≤256 values, so
+    # ANY corpus produced ~n²/256 candidate pairs. The group-hash keys
+    # span AFP_PROBES^(AFP_BLOCKS/3) ≈ 1.7e7 values, so 400 random
+    # fingerprints (expected pairwise mismatch ≈ 21 of 24 blocks)
+    # produce ZERO pairs — while planted ≤2-mismatch near-dups are all
+    # still recovered exactly.
+    assert mm.AFP_PROBES ** (mm.AFP_BLOCKS // 3) >= 1_000_000
+    media = _media(
+        spark,
+        [(i, "audio", f"clip:{i}".encode()) for i in range(400)],
+    )
+    assert mm.audio_near_dups(media, max_block_mismatch=2).count() == 0
+
+
+def test_symbol_pigeonhole_recovers_planted_near_dups(spark):
+    from week5_datingnlp_big_data_spark.operators import dedup
+
+    base = [(i * 3 + 1) % 8 for i in range(24)]
+    mut1 = list(base)
+    mut1[5] = (mut1[5] + 1) % 8                      # 1 mismatch
+    mut2 = list(base)
+    mut2[0], mut2[23] = (mut2[0] + 3) % 8, (mut2[23] + 5) % 8  # 2
+    mut3 = list(base)
+    for j in (2, 9, 17):                              # 3: past tolerance
+        mut3[j] = (mut3[j] + 1) % 8
+    sig = spark.createDataFrame(
+        [(0, base), (1, mut1), (2, mut2), (3, mut3)],
+        "doc_id long, syms array<int>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_mismatch"]
+        for r in dedup.symbol_near_dup_pairs(
+            sig, "syms", n_symbols=24, max_mismatch=2
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 2
+    assert (0, 3) not in pairs
+    # mut1 vs mut2: 3 mismatches -> out; mut1 vs mut3: 4 -> out
+    assert (1, 2) not in pairs and (1, 3) not in pairs
 
 
 def test_audio_real_codec_gates_non_wav(spark):

@@ -64,11 +64,14 @@ AC_VALS = [
 ]
 
 # §A.3.6 zigzag: ZIGZAG[k] = (row, col) of the k-th coefficient.
+# Odd anti-diagonals run top-right → bottom-left (row ascending), even
+# ones bottom-left → top-right (col ascending), giving the spec
+# sequence 0,1,8,16,9,2,3,10,... in natural (row-major) indices.
 def _zigzag_order() -> list[tuple[int, int]]:
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
         key=lambda rc: (rc[0] + rc[1],
-                        rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+                        rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return order
 
@@ -291,7 +294,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload")
     try:
         return _decode_jpeg_gray(payload)
-    except (IndexError, struct.error) as ex:
+    except (IndexError, KeyError, struct.error) as ex:
+        # KeyError covers an SOS referencing an undefined quant/Huffman
+        # table id — a structural defect of the stream, not of the codec.
         raise ValueError(f"corrupt JPEG stream: {ex}") from ex
 
 
@@ -306,10 +311,15 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # §B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                                # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:      # TEM/RSTn/SOI
+            continue                                       # length-less
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         body = payload[pos + 2: pos + seg_len]
         if marker == 0xDB:                                # DQT

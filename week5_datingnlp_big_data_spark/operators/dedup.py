@@ -720,6 +720,85 @@ def hamming_near_dup_pairs(
     )
 
 
+def symbol_near_dup_pairs(
+    sig: DataFrame,
+    syms_col: str,
+    n_symbols: int,
+    id_col: str = "doc_id",
+    max_mismatch: int = 2,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Near-dup pair join over fixed-length SYMBOL-ARRAY fingerprints
+    (any alphabet size): split the array into ``num_groups`` (default
+    ``max_mismatch + 1``) contiguous groups, join on
+    ``xxhash64(group_idx, group_slice)`` — by pigeonhole, a pair with
+    ≤ max_mismatch differing symbols agrees on at least one WHOLE
+    group, and a hash collision can only add a candidate (the exact
+    verify below removes it), never lose a true pair — then verify the
+    exact mismatch count JVM-side with zip_with + aggregate.
+
+    Scale: this is the wide-fingerprint successor of
+    ``hamming_near_dup_pairs``'s fixed 16-bit bit-windows. The join
+    key hashes a whole group of symbols, so per-group key cardinality
+    is alphabet^(n_symbols/num_groups) — e.g. 8^8 ≈ 1.7e7 for the
+    audio fingerprint, vs. the old nibble-window's hard 256 cap —
+    and candidate pairs stay ~linear in corpus size until the corpus
+    approaches the group keyspace. Both knobs (alphabet, array length)
+    widen that keyspace exponentially, so the "widen the fingerprint
+    before the corpus" rule costs O(1) extra symbols per decade of
+    corpus growth.
+
+    Output: ``(id_a, id_b, n_mismatch)`` with id_a < id_b."""
+    k = num_groups if num_groups is not None else max_mismatch + 1
+    if k <= max_mismatch:
+        raise ValueError("pigeonhole needs num_groups > max_mismatch")
+    if k > n_symbols:
+        raise ValueError("pigeonhole needs num_groups <= n_symbols")
+    bounds = [round(i * n_symbols / k) for i in range(k + 1)]
+    groups = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("grp"),
+                F.xxhash64(
+                    F.lit(g),
+                    F.slice(
+                        F.col(syms_col), bounds[g] + 1, bounds[g + 1] - bounds[g]
+                    ),
+                ).alias("gkey"),
+            )
+            for g in range(k)
+        ]
+    )
+    blocked = sig.select(id_col, syms_col, F.explode(groups).alias("b")).select(
+        id_col, syms_col, "b.grp", "b.gkey"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    mism = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{syms_col}"),
+            F.col(f"b.{syms_col}"),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.gkey") == F.col("b.gkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            mism.alias("n_mismatch"),
+        )
+        .distinct()
+        .filter(F.col("n_mismatch") <= max_mismatch)
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     text_col: str = "text",

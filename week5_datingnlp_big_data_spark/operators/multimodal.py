@@ -566,16 +566,22 @@ def image_near_dups(
 # Audio spectral fingerprint (Goertzel probe bank) + Hamming near-dup
 # ---------------------------------------------------------------------------
 
-# 15 blocks x 4 probe frequencies; each block contributes the ONE-HOT
-# nibble of its dominant probe, so two fingerprints differ by exactly 2
-# bits per mismatched block — Hamming <= 2*m tolerates m block
-# mismatches through the generic pigeonhole join. 15 blocks (bits 0-59)
-# keep the signature positive in a signed BIGINT (same rationale as
-# PHASH_BITS = 63). Probes sit at fixed fractions of the sample rate so
-# 8 kHz and 16 kHz payloads of the same relative tone fingerprint
-# identically.
-AFP_BLOCKS, AFP_PROBES = 15, 4
-AFP_PROBE_FRACS = (0.05, 0.10, 0.20, 0.35)  # of sample rate; all < Nyquist
+# 24 blocks x 8 probe frequencies; the fingerprint is the SYMBOL ARRAY
+# of each block's dominant probe (array<int>, values 0..7), and near-dup
+# pairing goes through dedup.symbol_near_dup_pairs: m+1 contiguous
+# symbol groups, join key = xxhash64 of the WHOLE group, so per-group
+# key cardinality is 8^(24/(m+1)) — 8^8 ≈ 1.7e7 at the default m=2 —
+# instead of the 256-value cap a fixed 16-bit bit-window would impose
+# on a 4-symbol one-hot packing (the round-5 scheme's documented
+# quadratic hazard). Candidate pairs stay ~linear in corpus size until
+# the corpus approaches the group keyspace; widen AFP_BLOCKS /
+# AFP_PROBES (O(1) symbols per decade of corpus) before the corpus.
+# Probes sit at fixed fractions of the sample rate so 8 kHz and 16 kHz
+# payloads of the same relative tone fingerprint identically.
+AFP_BLOCKS, AFP_PROBES = 24, 8
+# of sample rate; all < Nyquist, ≥0.03 apart (≥3 cycles of separation
+# over a 100-sample block — past the single-bin DFT's leakage lobe)
+AFP_PROBE_FRACS = (0.04, 0.07, 0.11, 0.16, 0.22, 0.28, 0.35, 0.43)
 
 
 def _goertzel_symbols(samples: np.ndarray) -> list[int]:
@@ -608,29 +614,28 @@ def _goertzel_symbols(samples: np.ndarray) -> list[int]:
 
 def _fake_audio_symbols(payload: bytes) -> list[int]:
     """Deterministic pseudo-fingerprint for the plumbing path: block b's
-    symbol is byte b of md5(md5(payload)) mod AFP_PROBES — same
-    md5-chain discipline as _fake_gray_tile."""
-    d = hashlib.md5(hashlib.md5(payload).digest()).digest()
-    return [d[b % 16] % AFP_PROBES for b in range(AFP_BLOCKS)]
-
-
-def _symbols_to_sig(symbols: list[int]) -> int:
-    sig = 0
-    for b, s in enumerate(symbols):
-        sig |= (1 << s) << (4 * b)
-    return sig
+    symbol is byte b of the md5 chain md5(md5(payload)) ∥
+    md5(md5(md5(payload))) mod AFP_PROBES — same md5-chain discipline
+    as _fake_gray_tile, extended to 32 bytes so all AFP_BLOCKS symbols
+    are independent (no byte reuse across pigeonhole groups)."""
+    d1 = hashlib.md5(hashlib.md5(payload).digest()).digest()
+    d = d1 + hashlib.md5(d1).digest()
+    return [d[b] % AFP_PROBES for b in range(AFP_BLOCKS)]
 
 
 def audio_fingerprint(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
-    """Per-clip 60-bit spectral fingerprint ``(media_id, afp)``: 15
-    time blocks x one-hot nibble of the block's dominant probe
-    frequency. With ``use_real_codec`` the symbols come from actually
-    decoded PCM (functions/audiocodec) through the Goertzel probe bank —
-    amplitude-invariant (argmax of linearly scaled powers) and
-    rate-invariant (probes are fractions of the sample rate); the
-    default fake path is md5-derived so the plumbing stays testable
-    without a codec. Arrow-batched mapInPandas, blobs dropped on
-    output — the audio-side analog of image_phash."""
+    """Per-clip spectral fingerprint ``(media_id, afp: array<int>)``:
+    AFP_BLOCKS time blocks x the index (0..AFP_PROBES-1) of each
+    block's dominant probe frequency. With ``use_real_codec`` the
+    symbols come from actually decoded PCM (functions/audiocodec)
+    through the Goertzel probe bank — amplitude-invariant (argmax of
+    linearly scaled powers) and rate-invariant (probes are fractions
+    of the sample rate); the default fake path is md5-derived so the
+    plumbing stays testable without a codec. Arrow-batched
+    mapInPandas, blobs dropped on output — the audio-side analog of
+    image_phash. The symbol-array form (not a packed bit signature)
+    feeds dedup.symbol_near_dup_pairs' group-hash pigeonhole, whose
+    join-key entropy grows with the fingerprint width."""
     from week5_datingnlp_big_data_spark.functions import audiocodec
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -649,42 +654,47 @@ def audio_fingerprint(media: DataFrame, use_real_codec: bool = False) -> DataFra
                     syms = _goertzel_symbols(samples)
                 else:
                     syms = _fake_audio_symbols(p)
-                sigs.append(_symbols_to_sig(syms))
+                sigs.append(syms)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "afp": pd.array(sigs, dtype="int64")}
+                {"media_id": pdf["media_id"], "afp": sigs}
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        op, "media_id long, afp long"
+        op, "media_id long, afp array<int>"
     )
 
 
 def audio_near_dups(
     media: DataFrame, max_block_mismatch: int = 2, use_real_codec: bool = False
 ) -> DataFrame:
-    """Audio near-dup pairs: spectral fingerprints through the generic
-    Hamming pigeonhole join (dedup.hamming_near_dup_pairs). One-hot
-    block nibbles make Hamming distance = 2 x mismatched blocks, so
-    ``max_block_mismatch`` blocks of tolerance = Hamming 2*m.
+    """Audio near-dup pairs: spectral symbol-array fingerprints through
+    the group-hash pigeonhole join (dedup.symbol_near_dup_pairs):
+    max_block_mismatch+1 contiguous symbol groups, join key =
+    xxhash64(group_idx, whole group), exact mismatch-count verify.
+    Output ``(id_a, id_b, n_mismatch)`` with n_mismatch ≤
+    ``max_block_mismatch``.
 
-    Pigeonhole validity: the generic rule wants max_hamming <
-    num_blocks, but one-hot mismatches flip 2 bits INSIDE one nibble,
-    and the 4 x 16-bit join keys are nibble-aligned — so m mismatched
-    audio blocks dirty at most m of the 4 keys, and any m <= 3 leaves
-    a clean key. Never an n^2 cross join; the candidate table is one
-    narrow (id, long) row per clip regardless of payload size. Key
-    entropy is bounded by the 4-symbol alphabet (256 values per
-    16-bit key) — at planet scale widen the fingerprint (more
-    probes/blocks over longer clips) before raising the corpus size."""
-    if max_block_mismatch > 3:
-        raise ValueError("max_block_mismatch > 3 breaks the 4-key pigeonhole")
+    Scale: per-group key cardinality is AFP_PROBES^(AFP_BLOCKS/(m+1))
+    — 8^8 ≈ 1.7e7 at the default m=2 — so candidate pairs stay
+    ~linear in corpus size (the round-5 one-hot/bit-window scheme
+    capped every join key at 256 values, growing candidates ~n²/256).
+    Never an n² cross join; the candidate table is one narrow
+    (id, array<int>) row per clip regardless of payload size. The
+    mismatch guard keeps every pigeonhole group ≥3 symbols so the
+    group keyspace never degrades below alphabet³."""
+    if (max_block_mismatch + 1) > AFP_BLOCKS // 3:
+        raise ValueError(
+            "max_block_mismatch too wide: pigeonhole groups need >= 3 "
+            "symbols each to keep join-key entropy"
+        )
     from week5_datingnlp_big_data_spark.operators import dedup
 
-    return dedup.hamming_near_dup_pairs(
+    return dedup.symbol_near_dup_pairs(
         audio_fingerprint(media, use_real_codec=use_real_codec),
         "afp",
+        n_symbols=AFP_BLOCKS,
         id_col="media_id",
-        max_hamming=2 * max_block_mismatch,
+        max_mismatch=max_block_mismatch,
     )
 
 

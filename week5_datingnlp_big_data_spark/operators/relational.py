@@ -813,16 +813,19 @@ def daily_count_anomalies(
     """Pipeline-health anomaly detection on daily ingest volume — the
     data-quality monitor every production feed runs: each day's event
     count is compared against its WEEKDAY cohort (volume is weekly-
-    seasonal, so Monday compares to Mondays) with the robust
-    median/MAD z-score (Iglewicz & Hoaglin 1993: |x − median| / MAD,
-    flag above ``z_threshold``; means/stddevs would let one outage day
-    poison its own baseline).
+    seasonal, so Monday compares to Mondays) with the robust modified
+    z-score (Iglewicz & Hoaglin 1993: 0.6745·|x − median| / MAD — the
+    0.6745 factor normalizes MAD to the stddev of a normal, so the 3.5
+    default threshold is the cited rule's cutoff in its own units;
+    means/stddevs would let one outage day poison its own baseline).
 
     Determinism discipline: the weekday index is pure integer
     arithmetic (days-since-epoch mod 7 — locale/engine-independent,
     unlike dayofweek functions that disagree on week start), and
     median/MAD over integer counts produce exactly-representable
-    halves, so the DuckDB oracle value-matches bit-for-bit. Degenerate
+    halves; the z-score evaluates ``0.6745 * abs_dev / mad`` with the
+    identical association in the DuckDB oracle, so the same IEEE ops
+    value-match bit-for-bit. Degenerate
     cohorts (MAD = 0: all counts equal) report z = 0 and never flag —
     a constant feed is not anomalous.
 
@@ -852,7 +855,7 @@ def daily_count_anomalies(
         "z",
         F.when(
             F.col("mad") > 0,
-            F.round(F.col("abs_dev") / F.col("mad"), 6),
+            F.round(F.lit(0.6745) * F.col("abs_dev") / F.col("mad"), 6),
         ).otherwise(F.lit(0.0)),
     )
     return flagged.select(

@@ -6773,15 +6773,19 @@ def shuffle_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("media_audio_dup_pairs")
 def media_audio_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs through the REAL codec path: synthesize one
-    PCM WAV per document — groups of 5 consecutive doc_ids share a
-    15-block tone sequence (per-block probe frequency from an md5
-    chain), each doc gets its own phase, and every 5th doc detunes one
-    block — encode with functions/audiocodec, decode back, Goertzel
-    probe-bank fingerprint, Hamming pigeonhole join with 2-block
-    tolerance. Expected: complete within-group pair cliques (including
-    the detuned member), nothing across groups. Rows-only (DuckDB has
-    no WAV parser or DFT to twin); the fingerprint invariants are
-    unit-pinned in tests/test_multimodal_r5.py. See
+    PCM WAV per document — groups of 5 consecutive doc_ids share an
+    AFP_BLOCKS-block tone sequence (per-block probe frequency from an
+    md5 chain), each doc gets its own phase, and every 5th doc detunes
+    one block — encode with functions/audiocodec, decode back, Goertzel
+    probe-bank symbol fingerprint, group-hash pigeonhole join
+    (dedup.symbol_near_dup_pairs) with 2-block tolerance. Join-key
+    entropy is AFP_PROBES^(AFP_BLOCKS/3) ≈ 1.7e7 per group — candidates
+    stay ~linear in corpus size (the round-5 one-hot packing capped keys
+    at 256 values). Expected: complete within-group pair cliques
+    (including the detuned member), nothing across groups. Rows-only
+    (DuckDB has no WAV parser or DFT to twin); the fingerprint
+    invariants and the key-entropy bound are unit-pinned in
+    tests/test_multimodal_r5.py. See
     operators/multimodal.py:audio_fingerprint / audio_near_dups."""
     import hashlib
     from collections.abc import Iterator
@@ -6965,22 +6969,22 @@ def streaming_kmv_distinct_parity_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_events, wd,
            round(med, 6) AS med, round(mad, 6) AS mad,
-           CASE WHEN mad > 0 THEN round(abs_dev / mad, 6)
+           CASE WHEN mad > 0 THEN round(0.6745 * abs_dev / mad, 6)
                 ELSE 0.0 END AS z,
-           (CASE WHEN mad > 0 THEN round(abs_dev / mad, 6)
+           (CASE WHEN mad > 0 THEN round(0.6745 * abs_dev / mad, 6)
                  ELSE 0.0 END) > 3.5 AS is_anomaly
     FROM md
     """,
 )
 def events_daily_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline-health volume monitoring: robust median/MAD z-score of
-    each day's event count against its weekday cohort (weekly
-    seasonality), flagging days past 3.5 — the Iglewicz-Hoaglin rule a
-    production feed alerts on. Weekday = days-since-epoch mod 7 (pure
-    integer arithmetic — engines disagree on week-start conventions);
-    median/MAD over integer counts are exactly-representable halves, so
-    the oracle value-matches. See
-    operators/relational.py:daily_count_anomalies."""
+    """Pipeline-health volume monitoring: robust modified z-score
+    (Iglewicz-Hoaglin 1993, 0.6745·|x − med| / MAD) of each day's event
+    count against its weekday cohort (weekly seasonality), flagging
+    days past the rule's 3.5 cutoff. Weekday = days-since-epoch mod 7
+    (pure integer arithmetic — engines disagree on week-start
+    conventions); the z expression uses the identical association
+    (0.6745 * abs_dev / mad) in both engines, so the oracle
+    value-matches. See operators/relational.py:daily_count_anomalies."""
     return relational.daily_count_anomalies(
         _t(spark, sf_dir, "events"), ts_col="ts", z_threshold=3.5
     )
@@ -7286,6 +7290,17 @@ DEMOTED: tuple[str, ...] = (
     "winnow_dup_pairs",           # banded self-join + verify ⊂ minhash_near_dups / ngram_jaccard_near_dups / media_phash_near_dups (in-window)
     "user_event_lag",             # lag window ⊂ session_concurrency's sweep-line windows + events_distinct_kmv_running's per-day rank windows
     "q21_waiting_suppliers",      # exists/not-exists multi-join; q20 (semi), q22 (anti + scalar), q16 (NOT IN) keep the family's driver rows
+    # round-6 swaps: six window slots freed for the round-5 families'
+    # first driver-green rows (attribution, session paths, script stats,
+    # daily anomalies, streaming KMV parity, skew profiler); every
+    # demoted query's shape is carried by an in-window sibling and stays
+    # parity+fuzz gated
+    "doc_repetition_scores",      # repetition fractions ⊂ gopher_quality_flags (same dup-word/dup-ngram family, in-window)
+    "benchmark_ngram_overlap",    # n-gram collision join ⊂ ngram_jaccard_near_dups (same shingle-join machinery, in-window)
+    "source_quality_report",      # per-source report ⊂ source_quality_drift (same report + the temporal drift dimension, in-window)
+    "quality_scores",             # per-doc scan stats ⊂ gopher/c4/lm quality rows (in-window) + incoming doc_script_stats scan-stat row
+    "q2_min_cost_supplier",       # correlated-min multi-join ⊂ q15 (scalar-subquery = extremum) + q8 (same join tree), both in-window
+    "q20_heavy_suppliers",        # semi-join + nested agg; q22 (anti + scalar avg), q16 (NOT IN), q18 (join+group+HAVING) keep the family
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -7335,6 +7350,14 @@ PROMOTED: tuple[str, ...] = (
     "reshard_movement",
     "events_distinct_kmv_running",
     "events_zorder_buckets",
+    # round-6 flagships: the round-5 families get their first
+    # driver-green rows (the verdict's item 2)
+    "purchase_attribution",
+    "session_top_paths",
+    "doc_script_stats",
+    "events_daily_anomalies",
+    "streaming_kmv_distinct_parity",
+    "shuffle_skew_profile",
 )
 
 
