@@ -156,13 +156,24 @@ LINE_BUDGET = 1800
 CORE = 20  # first 20 HEADLINE entries == the r01/r02 comparable set
 
 
-def _emit(timings: dict[str, float], names: list[str], sf: float) -> None:
+def _emit(
+    timings: dict[str, float],
+    names: list[str],
+    sf: float,
+    details: dict[str, dict[str, float]] | None = None,
+) -> None:
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query {best, spread}: spread = slowest/fastest of the
+        # timed passes, so future cross-round comparisons can separate
+        # noise (spread >~ 1.5 on this VM) from a real plan regression
+        # without re-running the bench.
+        "queries_detail": details
+        or {n: {"best": t, "spread": 1.0} for n, t in timings.items()},
         "sf": sf,
     }
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
@@ -224,15 +235,21 @@ def main() -> None:
     # minimum of repeated passes is the standard low-noise estimator of
     # steady-state cost and is what cross-round comparisons need.
     timings: dict[str, float] = {}
+    details: dict[str, dict[str, float]] = {}
     for n in names:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             _force(queries[n](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
         timings[n] = round(best, 3)
+        details[n] = {
+            "best": round(best, 3),
+            "spread": round(max(samples) / best, 3) if best > 0 else 1.0,
+        }
 
-    _emit(timings, names, sf)
+    _emit(timings, names, sf, details)
 
 
 if __name__ == "__main__":

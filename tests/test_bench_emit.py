@@ -39,6 +39,30 @@ def test_emit_line_fits_driver_tail_with_many_queries(tmp_path, monkeypatch):
     # the complete map landed on disk
     full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
     assert set(full["queries"]) == set(timings)
+    # per-query {best, spread} ships so judges can separate timing
+    # noise from plan regressions without re-running
+    assert set(full["queries_detail"]) == set(timings)
+    assert all(
+        set(d) == {"best", "spread"} and d["spread"] >= 1.0
+        for d in full["queries_detail"].values()
+    )
+
+
+def test_emit_records_best_and_spread(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench, "__file__", str(tmp_path / "bench.py"), raising=False
+    )
+    names = bench.HEADLINE[: bench.CORE]
+    timings = {n: 0.5 for n in names}
+    details = {n: {"best": 0.5, "spread": 2.4} for n in names}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(timings, names, sf=0.1, details=details)
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert full["queries_detail"][names[0]] == {"best": 0.5, "spread": 2.4}
+    # the summary line stays unchanged (budgeted, no detail map)
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "queries_detail" not in line
 
 
 def test_emit_reports_slowest_of_the_rest_first(tmp_path, monkeypatch):
