@@ -134,6 +134,9 @@ HEADLINE = [
     "doc_script_stats",
     "purchase_attribution",
     "media_jpeg_decode_stats",
+    # round-6 additions: color JPEG + PNG through the codec seam
+    "media_jpeg_color_stats",
+    "media_png_decode_stats",
 ]
 
 

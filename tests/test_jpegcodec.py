@@ -75,17 +75,85 @@ def test_gates_name_unsupported_features():
     enc[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="BASELINE"):
         jc.decode_jpeg_gray(bytes(enc))
-    # a fake 3-component SOF0 must gate as color
+    # a 3-component SOF0 whose scan holds only 1 component is a
+    # non-interleaved multi-scan stream: gated by name
     color = bytearray(jc.encode_jpeg_gray(img))
     i = bytes(color).find(b"\xff\xc0")
     seg = struct.pack(">HBHHB", 8 + 9, 8, 8, 8, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     color[i + 2: i + 2 + 11] = seg
-    with pytest.raises(NotImplementedError, match="grayscale"):
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
         jc.decode_jpeg_gray(bytes(color))
+    # 4-component (CMYK-style) SOF0 gates by component count
+    cmyk = bytearray(jc.encode_jpeg_gray(img))
+    i = bytes(cmyk).find(b"\xff\xc0")
+    seg4 = struct.pack(">HBHHB", 8 + 12, 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    cmyk[i + 2: i + 2 + 14] = seg4
+    with pytest.raises(NotImplementedError, match="component"):
+        jc.decode_jpeg_gray(bytes(cmyk))
+    # the grayscale entry point gates a real color stream by name
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="decode_jpeg"):
+        jc.decode_jpeg_gray(jc.encode_jpeg_color(rgb))
     with pytest.raises(ValueError, match="not a JPEG"):
         jc.decode_jpeg_gray(b"BM000")
+
+
+def _rgb_gradient(h, w):
+    r = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256)
+    g = (np.add.outer(np.arange(h) * 5, np.arange(w) * 1) % 256)
+    b = (np.add.outer(np.arange(h) * 2, np.arange(w) * 4) % 256)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_color_roundtrip_all_subsamplings():
+    # constant-chroma image (R=G=B): chroma planes are flat 128, so
+    # subsampling is exact and the round-trip error is luma-only
+    gray3 = np.repeat(_gradient(24, 40)[..., None], 3, axis=-1)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        dec = jc.decode_jpeg(jc.encode_jpeg_color(gray3, 100, sub))
+        assert dec.shape == gray3.shape
+        err = np.abs(dec.astype(int) - gray3.astype(int)).max()
+        assert err <= 2, (sub, err)
+
+
+def test_color_roundtrip_smooth_content():
+    img = _rgb_gradient(33, 41)  # non-multiple-of-MCU dims
+    for sub, bound in (("4:4:4", 3.0), ("4:2:2", 6.0), ("4:2:0", 8.0)):
+        dec = jc.decode_jpeg(jc.encode_jpeg_color(img, 95, sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < bound, (sub, err)
+
+
+def test_color_restart_markers_resynchronize():
+    img = _rgb_gradient(32, 48)
+    base = jc.decode_jpeg(jc.encode_jpeg_color(img, 100, "4:2:0"))
+    for ri in (1, 2, 5):
+        enc = jc.encode_jpeg_color(img, 100, "4:2:0", restart_interval=ri)
+        assert np.array_equal(jc.decode_jpeg(enc), base)
+
+
+def test_color_block_constant_chroma_exact_under_420():
+    # 16x16 blocks of solid saturated colors: every 2x2 chroma average
+    # equals the pixel value, so 4:2:0 loses nothing at quality 100
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:16, :16] = (200, 30, 30)
+    img[:16, 16:] = (30, 200, 30)
+    img[16:, :16] = (30, 30, 200)
+    img[16:, 16:] = (180, 180, 40)
+    dec = jc.decode_jpeg(jc.encode_jpeg_color(img, 100, "4:2:0"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_decode_jpeg_handles_gray_too():
+    img = _gradient(17, 23)
+    out = jc.decode_jpeg(jc.encode_jpeg_gray(img, quality=100))
+    assert out.ndim == 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
 def test_zigzag_matches_spec_sequence():

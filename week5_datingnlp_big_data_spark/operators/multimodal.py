@@ -99,14 +99,26 @@ def register_codec(fmt: str, decode_fn) -> None:
 
 
 def register_bundled_jpeg_codec() -> None:
-    """Plug the bundled pure-NumPy BASELINE grayscale JPEG decoder
+    """Plug the bundled pure-NumPy BASELINE JPEG decoder
     (functions/jpegcodec, ITU-T T.81) into the external-codec seam —
     a REAL entropy-coded format through the same hook a PIL/libav
     decoder would use, so the seam is proven end to end in-container.
-    Color/progressive JPEG still raises with the feature named."""
+    Handles grayscale AND interleaved YCbCr color (4:4:4 / 4:2:2 /
+    4:2:0); progressive/arithmetic/CMYK still raise with the feature
+    named."""
     from week5_datingnlp_big_data_spark.functions import jpegcodec
 
-    register_codec("jpeg", jpegcodec.decode_jpeg_gray)
+    register_codec("jpeg", jpegcodec.decode_jpeg)
+
+
+def register_bundled_png_codec() -> None:
+    """Plug the bundled PNG decoder (functions/pngcodec: stdlib-zlib
+    inflate + spec unfiltering, 8-bit gray/RGB/palette/alpha) into the
+    external-codec seam. 16-bit and Adam7-interlaced streams still
+    raise with the feature named."""
+    from week5_datingnlp_big_data_spark.functions import pngcodec
+
+    register_codec("png", pngcodec.decode_png)
 
 
 def unregister_codec(fmt: str) -> None:

@@ -7195,6 +7195,120 @@ def media_jpeg_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.unregister_codec("jpeg")
 
 
+@query("media_png_decode_stats")
+def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode through the plug-in seam: each document's UTF-8 bytes
+    fill a tile whose color type cycles gray / RGB / RGBA by doc_id,
+    encoded with the bundled PNG encoder (filter type cycling 0-4 so
+    every unfilter path — None/Sub/Up/Average/Paeth — runs), then
+    decoded back through decode_media(use_real_codec=True) with the
+    bundled stdlib-zlib + spec-unfilter decoder on the seam. Lossless,
+    so width/height/mean are exactly the synthesized tile's. Rows-only
+    (no PNG bitstream twin in SQL); the codec is pinned by lossless
+    round-trip units in tests/test_pngcodec.py. See
+    functions/pngcodec.py and
+    operators/multimodal.py:register_bundled_png_codec."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import pngcodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                did = int(did)
+                raw = text.encode("utf-8") or b"\x80"
+                ch = (1, 3, 4)[did % 3]
+                w = 12 + did % 13
+                h = max(1, min(len(raw) // w, 32))
+                need = w * h * ch
+                buf = (raw * (need // max(len(raw), 1) + 1))[:need]
+                tile = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    (h, w) if ch == 1 else (h, w, ch)
+                )
+                payloads.append(pngcodec.encode_png(tile, filter_type=did % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    mm.register_bundled_png_codec()
+    try:
+        docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+        media = docs.mapInPandas(
+            encode, "media_id long, kind string, payload binary"
+        )
+        return mm.decode_media(media, use_real_codec=True)
+    finally:
+        mm.unregister_codec("png")
+
+
+@query("media_jpeg_color_stats")
+def media_jpeg_color_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR compressed-codec decode through the plug-in seam: each
+    document's UTF-8 bytes fill an RGB tile (three planes offset into
+    the byte stream), encoded as interleaved baseline YCbCr JPEG with
+    the subsampling cycling 4:4:4 / 4:2:2 / 4:2:0 by doc_id (bundled
+    pure-NumPy ITU-T T.81 encoder, quality 90, restart markers every 3
+    MCUs), then decoded back through decode_media(use_real_codec=True)
+    — multi-component interleaved entropy decode, per-component
+    predictors, chroma upsampling, YCbCr→RGB, all in-container.
+    Rows-only (no JPEG bitstream twin in SQL); the codec is pinned by
+    color round-trip units in tests/test_jpegcodec.py. See
+    functions/jpegcodec.py:encode_jpeg_color / decode_jpeg."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import jpegcodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    subs = ("4:4:4", "4:2:2", "4:2:0")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                did = int(did)
+                raw = text.encode("utf-8") or b"\x80"
+                w = 16 + did % 9
+                h = max(1, min(len(raw) // w, 32))
+                need = w * h * 3
+                buf = (raw * (need // max(len(raw), 1) + 1))[:need]
+                tile = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+                payloads.append(
+                    jpegcodec.encode_jpeg_color(
+                        tile, quality=90, subsampling=subs[did % 3],
+                        restart_interval=3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    mm.register_bundled_jpeg_codec()
+    try:
+        docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+        media = docs.mapInPandas(
+            encode, "media_id long, kind string, payload binary"
+        )
+        return mm.decode_media(media, use_real_codec=True)
+    finally:
+        mm.unregister_codec("jpeg")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
