@@ -52,16 +52,19 @@ def test_driver_window_holds_flagships():
         # hyperplane-signature machinery is driver-verified via
         # embedding_coverage_sample; the pairs form stays parity-gated)
         # (token_counts ceded its slot in round 10 — scan-count shape
-        # carried by quality_scores + inference_batch_plan, both in-window)
-        "quality_scores", "lang_id_confusion",
+        # carried by quality_scores + inference_batch_plan; quality_scores
+        # itself ceded in round 6 to the gopher/c4/lm rows + the incoming
+        # doc_script_stats scan-stat row)
+        "lang_id_confusion",
         "orders_price_percentiles",
         "ngram_jaccard_near_dups", "near_dup_components",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
         # (q9/q11 ceded their slots in round 10: q9's profit rollup shares
-        # q8's join tree, q11's scalar-subquery HAVING is q15's shape)
+        # q8's join tree, q11's scalar-subquery HAVING is q15's shape;
+        # q2/q20 ceded in round 6 — correlated-min is q15's extremum shape
+        # over q8's join tree, semi-join family kept by q16/q18/q22)
         "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
-        "q20_heavy_suppliers", "q2_min_cost_supplier",
         "q22_global_sales_opportunity",
         # round-3 training-data flagships
         "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
@@ -73,13 +76,17 @@ def test_driver_window_holds_flagships():
         # destructive line_dedup_rewrite form already in-window)
         "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
         "part_copurchase_pairs", "textrank_keywords",
-        # round-10 flagships (coverage sampling, margin mining, source
-        # report, batch planning, PSI drift)
+        # round-10 flagships (coverage sampling, margin mining, batch
+        # planning, PSI drift; source_quality_report ceded in round 6 —
+        # source_quality_drift is the same report + the drift dimension)
         "embedding_coverage_sample", "embedding_margin_pairs",
-        "source_quality_report", "inference_batch_plan",
-        "source_quality_drift",
+        "inference_batch_plan", "source_quality_drift",
         # round-5 flagships (table maintenance + temporal sketch)
         "shard_compaction_plan", "reshard_movement",
         "events_distinct_kmv_running", "events_zorder_buckets",
+        # round-6 flagships: the round-5 families' first driver rows
+        "purchase_attribution", "session_top_paths", "doc_script_stats",
+        "events_daily_anomalies", "streaming_kmv_distinct_parity",
+        "shuffle_skew_profile",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"
