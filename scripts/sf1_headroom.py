@@ -254,6 +254,16 @@ def main() -> None:
     # ISOLATION with min-of-4 cache-cold passes at both scales; keep the
     # flag only if the adjudicated ratio still exceeds the threshold.
     # Both numbers are recorded so the artifact shows its work.
+    #
+    # The isolation re-time runs in a FRESH SparkSession: after a
+    # 122-query two-scale sweep the JVM heap/GC state contaminates
+    # same-session re-timings — round 6 measured winnow_dup_pairs at
+    # 7.86x adjudicated INSIDE the sweep session vs 3.26x (matching
+    # round 5's 3.58) in a fresh one. A restart makes "isolation"
+    # actually isolated.
+    if flagged:
+        spark.stop()
+        spark = get_spark("sf1-adjudicate")
     def _min_of(name: str, sf_dir: str, reps: int = 4) -> float:
         best = None
         for _ in range(reps):

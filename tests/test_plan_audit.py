@@ -83,6 +83,43 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
         assert hard == [], (name, out["warnings"])
 
 
+def test_symbol_pigeonhole_join_plans_equi(spark):
+    # The round-6 audio fix routes near-dups through
+    # dedup.symbol_near_dup_pairs: the candidate join MUST be an
+    # equi-join on (group_idx, group hash) — never a cartesian/BNLJ —
+    # and the mismatch verify must stay JVM-side (no Python stage
+    # between the join and the filter).
+    from week5_datingnlp_big_data_spark.operators import dedup
+    from week5_datingnlp_big_data_spark.plans.audit import audit_plan
+
+    sig = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[(F.col("id") * (i + 3) % 8).cast("int") for i in range(24)])
+        .alias("syms"),
+    )
+    df = dedup.symbol_near_dup_pairs(sig, "syms", n_symbols=24, max_mismatch=2)
+    out = audit_plan(df)
+    assert not out["cartesian"] and not out["broadcast_nested_loop"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan.lower()
+    assert "pythonudf" not in plan.lower().replace(" ", "")
+
+
+def test_round6_media_queries_plan_clean(spark, sf_dir):
+    # The new codec-seam queries (color JPEG, PNG) and the rewritten
+    # audio near-dup must never plan cartesian; the media queries are
+    # single mapInPandas passes with no join at all.
+    from week5_datingnlp_big_data_spark.plans.audit import audit_plan
+    from week5_datingnlp_big_data_spark.registry import QUERIES
+
+    for name in ("media_jpeg_color_stats", "media_png_decode_stats",
+                 "media_audio_dup_pairs"):
+        out = audit_plan(QUERIES[name](spark, sf_dir))
+        assert not out["cartesian"], name
+        hard = [w for w in out["warnings"] if "Cartesian" in w]
+        assert hard == [], (name, out["warnings"])
+
+
 def test_lm_family_has_no_forced_vocab_broadcast(spark, sf_dir):
     # The unigram/bigram LM tables have one row per distinct corpus token
     # (pair) — unbounded at 100 TB. Their joins must carry NO broadcast
