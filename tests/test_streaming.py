@@ -676,3 +676,33 @@ def test_streaming_kmv_state_merges_across_batches(spark, sf_dir, tmp_path):
     assert streamed == batch
     # at least one day must have actually merged state across batches
     assert snap.filter(F.col("upd") >= 2).count() > 0
+
+
+def test_streaming_daily_volume_matches_batch_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Two micro-batches that SPLIT each day's events must drain to the
+    exact batch anomaly rows — a per-day count is a pure function of
+    the day's row set, so micro-batching cannot change the scored
+    output (the 6th stream-batch parity gate)."""
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events")
+    _drop_file(events.filter(F.col("event_id") % 2 == 0), tmp_path, "dv", "b1.parquet")
+    _drop_file(events.filter(F.col("event_id") % 2 == 1), tmp_path, "dv", "b2.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "dv"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_daily_volume(stream), "dv_state", output_mode="complete"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    streamed = sorted(
+        map(tuple, relational.score_daily_counts(spark.table("dv_state")).collect())
+    )
+    batch = sorted(
+        map(tuple, relational.daily_count_anomalies(events).collect())
+    )
+    assert streamed == batch and len(batch) > 0

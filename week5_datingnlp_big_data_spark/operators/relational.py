@@ -838,12 +838,21 @@ def daily_count_anomalies(
         events.filter(F.col(ts_col).isNotNull())
         .groupBy(F.to_date(F.col(ts_col)).alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .withColumn(
-            "wd",
-            (
-                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
-            ).cast("int"),
-        )
+    )
+    return score_daily_counts(daily, z_threshold=z_threshold)
+
+
+def score_daily_counts(daily: DataFrame, z_threshold: float = 3.5) -> DataFrame:
+    """Scoring half of :func:`daily_count_anomalies`, split out so the
+    streaming path (streaming/counts.streaming_daily_volume — the same
+    per-day counts accumulated incrementally) drains into the identical
+    weekday-cohort median/MAD modified-z stages and hash-matches the
+    batch oracle. Input: ``(day DATE, n_events BIGINT)``."""
+    daily = daily.withColumn(
+        "wd",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).cast("int"),
     )
     w = Window.partitionBy("wd")
     med = F.percentile(F.col("n_events"), F.lit(0.5)).over(w)

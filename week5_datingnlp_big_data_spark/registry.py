@@ -6991,6 +6991,56 @@ def events_daily_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_daily_anomaly_parity",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), wdt AS (
+      SELECT day, n_events,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS wd
+      FROM daily
+    ), m AS (
+      SELECT *, median(n_events) OVER (PARTITION BY wd) AS med FROM wdt
+    ), a AS (
+      SELECT *, abs(n_events - med) AS abs_dev FROM m
+    ), md AS (
+      SELECT *, median(abs_dev) OVER (PARTITION BY wd) AS mad FROM a
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events, wd,
+           round(med, 6) AS med, round(mad, 6) AS mad,
+           CASE WHEN mad > 0 THEN round(0.6745 * abs_dev / mad, 6)
+                ELSE 0.0 END AS z,
+           (CASE WHEN mad > 0 THEN round(0.6745 * abs_dev / mad, 6)
+                 ELSE 0.0 END) > 3.5 AS is_anomaly
+    FROM md
+    """,
+)
+def streaming_daily_anomaly_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-batch parity for the anomaly monitor (the 6th stream-batch
+    gate): daily ingest volumes accumulate as an incremental streaming
+    aggregation (streaming/counts.streaming_daily_volume, file source →
+    complete-mode memory sink, drained), then the drained counts run
+    through the SAME weekday-cohort median/MAD modified-z scoring as the
+    batch operator (relational.score_daily_counts) and must hash-match
+    the identical DuckDB oracle as events_daily_anomalies — a per-day
+    count is a pure function of the day's row set, so micro-batching
+    cannot change it. See operators/relational.py:daily_count_anomalies."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_events(spark, f"{sf_dir}/events.parque*")
+    name = "streaming_daily_volume_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_daily_volume(stream), name, output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return relational.score_daily_counts(spark.table(name), z_threshold=3.5)
+
+
+@query(
     "session_top_paths",
     """
     WITH s AS (

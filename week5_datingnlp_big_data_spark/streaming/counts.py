@@ -735,6 +735,23 @@ def streaming_source_drift(
     )
 
 
+def streaming_daily_volume(events_stream: DataFrame) -> DataFrame:
+    """Per-day ingest volume as an incremental streaming aggregation —
+    the streaming half of the pipeline-health anomaly monitor: the same
+    ``groupBy(to_date(ts)).count()`` the batch operator runs, kept as
+    live state across micro-batches (complete/update-mode capable; state
+    is one long per calendar day). The drained counts feed the batch
+    scoring stage (operators/relational.score_daily_counts — weekday-
+    cohort median/MAD modified z), which hash-matches the batch oracle
+    because a per-day count is a pure function of the day's row set,
+    order/batching invariant."""
+    return (
+        events_stream.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def streaming_daily_kmv(events_stream: DataFrame, k: int = 64) -> DataFrame:
     """Per-day KMV sketch partials as ARBITRARY STREAMING STATE
     (``applyInPandasWithState``): each day's state is its ≤ k smallest
