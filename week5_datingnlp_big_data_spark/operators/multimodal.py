@@ -613,14 +613,18 @@ def _goertzel_symbols(samples: np.ndarray) -> list[int]:
         return [0] * AFP_BLOCKS
     edges = np.linspace(0, n, AFP_BLOCKS + 1).astype(int)
     out = []
+    basis_cache: dict[int, np.ndarray] = {}
     for b in range(AFP_BLOCKS):
         seg = x[edges[b]: max(edges[b + 1], edges[b] + 1)]
-        t = np.arange(len(seg))
-        powers = [
-            np.abs(np.dot(seg, np.exp(-2j * np.pi * frac * t)))
-            for frac in AFP_PROBE_FRACS
-        ]
-        out.append(int(np.argmax(powers)))
+        m = len(seg)
+        basis = basis_cache.get(m)
+        if basis is None:
+            # (len, n_probes) single-bin DFT basis; block lengths differ
+            # by at most 1, so the cache holds <= 2 entries per clip
+            t = np.arange(m)
+            basis = np.exp(-2j * np.pi * np.outer(t, AFP_PROBE_FRACS))
+            basis_cache[m] = basis
+        out.append(int(np.argmax(np.abs(seg @ basis))))
     return out
 
 
