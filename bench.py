@@ -137,6 +137,7 @@ HEADLINE = [
     # round-6 additions: color JPEG + PNG through the codec seam
     "media_jpeg_color_stats",
     "media_png_decode_stats",
+    "media_gif_decode_stats",
 ]
 
 

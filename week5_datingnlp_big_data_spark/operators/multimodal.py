@@ -121,6 +121,15 @@ def register_bundled_png_codec() -> None:
     register_codec("png", pngcodec.decode_png)
 
 
+def register_bundled_gif_codec() -> None:
+    """Plug the bundled GIF decoder (functions/gifcodec: variable-width
+    LZW, 4-pass interlace, palette compositing; GIF87a/89a) into the
+    external-codec seam. Animated GIFs decode as their first frame."""
+    from week5_datingnlp_big_data_spark.functions import gifcodec
+
+    register_codec("gif", gifcodec.decode_gif)
+
+
 def unregister_codec(fmt: str) -> None:
     _CODECS.pop(fmt.lower(), None)
 

@@ -7300,6 +7300,60 @@ def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.unregister_codec("png")
 
 
+@query("media_gif_decode_stats")
+def media_gif_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode through the plug-in seam: each document's UTF-8 bytes
+    index a deterministic 64-color palette to fill a tile, encoded with
+    the bundled GIF87a encoder (variable-width LZW; interlace on for
+    every other doc so the 4-pass reorder runs), then decoded back
+    through decode_media(use_real_codec=True). Lossless, so
+    width/height/mean are exactly the synthesized tile's. Rows-only
+    (no GIF bitstream twin in SQL); the codec is pinned by lossless
+    round-trip / width-growth / dictionary-reset / KwKwK / interlace
+    units in tests/test_gifcodec.py. See functions/gifcodec.py and
+    operators/multimodal.py:register_bundled_gif_codec."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import gifcodec
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    palette = (np.arange(64 * 3, dtype=np.uint8).reshape(64, 3) * 4 + 1)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                did = int(did)
+                raw = text.encode("utf-8") or b"\x80"
+                w = 10 + did % 11
+                h = max(1, min(len(raw) // w, 24))
+                buf = (raw * (w * h // max(len(raw), 1) + 1))[: w * h]
+                idx = np.frombuffer(buf, dtype=np.uint8).reshape(h, w) % 64
+                payloads.append(
+                    gifcodec.encode_gif(palette[idx], interlace=bool(did % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    mm.register_bundled_gif_codec()
+    try:
+        docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+        media = docs.mapInPandas(
+            encode, "media_id long, kind string, payload binary"
+        )
+        return mm.decode_media(media, use_real_codec=True)
+    finally:
+        mm.unregister_codec("gif")
+
+
 @query("media_jpeg_color_stats")
 def media_jpeg_color_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLOR compressed-codec decode through the plug-in seam: each
