@@ -134,10 +134,12 @@ HEADLINE = [
     "doc_script_stats",
     "purchase_attribution",
     "media_jpeg_decode_stats",
-    # round-6 additions: color JPEG + PNG through the codec seam
+    # round-6 additions: color JPEG / PNG / GIF through the codec seam,
+    # clustering-depth layout audit
     "media_jpeg_color_stats",
     "media_png_decode_stats",
     "media_gif_decode_stats",
+    "shard_clustering_depth",
 ]
 
 

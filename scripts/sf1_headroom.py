@@ -129,6 +129,12 @@ QUERIES = [
     "events_distinct_kmv_running",
     "events_zorder_buckets",
     "shuffle_skew_profile",
+    # round-6: codec-seam passes (linear per-payload mapInPandas by
+    # construction) + the clustering-depth sweep-line
+    "media_jpeg_color_stats",
+    "media_png_decode_stats",
+    "media_gif_decode_stats",
+    "shard_clustering_depth",
     "media_audio_dup_pairs",
     "media_scene_change_stats",
     # session paths / attribution: sessionize windows + the bucketized

@@ -209,3 +209,26 @@ def test_write_zordered_read_back_matches(spark, sf_dir, tmp_path):
     pred = (F.col("o_totalprice") > 200000) & (F.col("o_custkey") < 300)
     assert rd.filter(pred).count() == orders.filter(pred).count()
     assert rd.count() == orders.count()
+
+
+def test_clustering_depth_segments(spark):
+    from week5_datingnlp_big_data_spark.operators import layout
+
+    # files: A[0,9] B[5,14] C[20,29] -> depths: [0,4]=1 [5,9]=2
+    # [10,14]=1 [20,29]=1; gap [15,19] depth 0 is dropped
+    manifest = spark.createDataFrame(
+        [("A", 0, 9), ("B", 5, 14), ("C", 20, 29)],
+        "file string, min_key long, max_key long",
+    )
+    segs = {
+        (r["k_start"], r["k_end"]): r["depth"]
+        for r in layout.clustering_depth(manifest).collect()
+    }
+    assert segs == {(0, 4): 1, (5, 9): 2, (10, 14): 1, (20, 29): 1}
+    # perfectly clustered: disjoint ranges -> depth 1 everywhere
+    tidy = spark.createDataFrame(
+        [("A", 0, 4), ("B", 5, 9)], "file string, min_key long, max_key long"
+    )
+    assert all(
+        r["depth"] == 1 for r in layout.clustering_depth(tidy).collect()
+    )

@@ -6709,6 +6709,63 @@ def events_zorder_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_clustering_depth",
+    """
+    WITH keys AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS k
+      FROM documents
+    ), files AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN CAST(k // 500 AS INT)
+                  ELSE 20 + CAST(doc_id % 20 AS INT) END AS file_id,
+             min(k) AS min_key, max(k) AS max_key
+      FROM keys GROUP BY 1
+    ), pts AS (
+      SELECT min_key AS k, 1 AS d FROM files
+      UNION ALL SELECT max_key + 1 AS k, -1 AS d FROM files
+    ), agg AS (
+      SELECT k, sum(d) AS dd FROM pts GROUP BY k
+    ), seg AS (
+      SELECT k,
+             CAST(sum(dd) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS INT)
+               AS depth,
+             lead(k) OVER (ORDER BY k) - 1 AS k_end
+      FROM agg
+    )
+    SELECT k AS k_start, k_end, depth
+    FROM seg WHERE k_end IS NOT NULL AND depth > 0
+    """,
+)
+def shard_clustering_depth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the WHEN-to-re-cluster signal the
+    compaction/Z-order planners feed on: per key-space segment, how
+    many files' min/max ranges cover it (= files a pruned scan still
+    opens). The synthesized manifest mixes 20 well-clustered files
+    (contiguous 500-key slices of the even docs) with 20 unclustered
+    ones (random md5 keys of the odd docs), so the depth profile shows
+    exactly the ~21-deep plateau a half-sorted table produces. Sweep-
+    line prefix sum over a catalog-sized input; single-partition window
+    justified at catalog scale (same adjudication as compaction_plan).
+    See operators/layout.py:clustering_depth."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000
+        ).alias("k"),
+    )
+    files = docs.groupBy(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.floor(F.col("k") / 500).cast("int")
+        )
+        .otherwise((F.col("doc_id") % 20 + 20).cast("int"))
+        .alias("file_id")
+    ).agg(F.min("k").alias("min_key"), F.max("k").alias("max_key"))
+    return layout.clustering_depth(files)
+
+
+@query(
     "shuffle_skew_profile",
     """
     WITH kc AS (
