@@ -140,6 +140,7 @@ HEADLINE = [
     "media_png_decode_stats",
     "media_gif_decode_stats",
     "shard_clustering_depth",
+    "doc_kn_bigram_logprob",
 ]
 
 

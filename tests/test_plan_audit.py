@@ -129,8 +129,8 @@ def test_lm_family_has_no_forced_vocab_broadcast(spark, sf_dir):
     from week5_datingnlp_big_data_spark.registry import QUERIES
 
     for name in ("doc_unigram_logprob", "doc_bigram_logprob",
-                 "cross_lm_scores", "lm_quality_buckets",
-                 "quality_ensemble_deciles"):
+                 "doc_kn_bigram_logprob", "cross_lm_scores",
+                 "lm_quality_buckets", "quality_ensemble_deciles"):
         plan = (
             QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution().optimizedPlan().toString()

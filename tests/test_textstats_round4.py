@@ -408,3 +408,76 @@ def test_boilerplate_line_stats_flags_per_source_repeats(spark):
     # same footer in srcB is NOT boilerplate (df=1 within that source)
     assert out[4]["n_boiler"] == 0
     assert out[5]["n_lines"] == 0 and out[5]["boiler_frac"] == 0.0
+
+
+def test_kn_bigram_hand_computed(spark):
+    # corpus: d0 = "a b a b" (bigrams ab ab ba), d1 = "a c"
+    # big: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 b=1; N1+(a.)=2 N1+(b.)=1;
+    # N1+(.b)=1 N1+(.a)=1 N1+(.c)=1; N1+(..)=3; D=0.75
+    import math
+
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.kn_bigram_logprob_scores(docs).collect()
+    }
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 1 / 3
+    p_ba = (1 - 0.75) / 1 + 0.75 * 1 / 1 * 1 / 3
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * 1 / 3
+    want0 = round(
+        -(2 * math.log10(p_ab) + math.log10(p_ba)) / 3, 6
+    )
+    want1 = round(-math.log10(p_ac), 6)
+    assert out[0]["n_bigrams"] == 3 and out[0]["mean_neg_logprob"] == want0
+    assert out[1]["n_bigrams"] == 1 and out[1]["mean_neg_logprob"] == want1
+
+
+def test_kn_bigram_mass_bounded_per_context(spark, sf_dir):
+    # KN is a proper (sub-)distribution: over each context's OBSERVED
+    # continuations, sum P = (c1 - D*N1f)/c1 + D*N1f/c1 * sum(Pcont) <= 1
+    from pyspark.sql import functions as F
+
+    from week5_datingnlp_big_data_spark.operators import textstats
+    from week5_datingnlp_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    words = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    base = docs.filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(words.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.struct(
+                F.col("ws")[i].alias("w1"), F.col("ws")[i + 1].alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        base.select(F.explode(grams).alias("g"))
+        .groupBy("g.w1", "g.w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    n1tot = big.count()
+    p = (
+        (F.col("c12") - F.lit(0.75)) / F.col("c1")
+        + F.lit(0.75) * F.col("n1f") / F.col("c1")
+        * F.col("n1p") / F.lit(float(n1tot))
+    )
+    mass = (
+        big.join(ctx, "w1").join(cont, "w2")
+        .groupBy("w1")
+        .agg(F.sum(p).alias("mass"), F.min(p).alias("pmin"))
+    )
+    rows = mass.collect()
+    assert rows and all(r["mass"] <= 1.0 + 1e-9 for r in rows)
+    assert all(r["pmin"] > 0 for r in rows)

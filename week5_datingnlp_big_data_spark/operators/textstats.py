@@ -414,6 +414,83 @@ def bigram_logprob_scores(
     )
 
 
+def kn_bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995; Chen &
+    Goodman 1998 — the smoothing every serious count-based LM uses):
+
+        P_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+                      + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    where N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct
+    contexts preceding w₂ (the continuation probability — "how many
+    contexts has w₂ completed", which is what makes KN beat add-α on
+    burstiness), and N₁₊(··) = distinct bigram types. Scoring is over
+    observed corpus bigrams only (single-corpus rarity scoring, like the
+    unigram scorer), so the max(·−D, 0) clamp is vacuous (c ≥ 1 > D)
+    and omitted to keep the float expression identical in both engines.
+
+    Distributed shape mirrors ``bigram_logprob_scores``: one adjacent-
+    pair explode → per-doc bigram counts; the bigram table, its context
+    rollup (c₁, N₁₊(w₁·)), and the continuation rollup (N₁₊(·w₂)) are
+    all vocab²-bounded aggregates OF THAT TABLE; N₁₊(··) is a scalar
+    broadcast; the two LM joins are hash-keyed with no forced hint
+    (AQE decides — the bigram vocabulary is unbounded at 100 TB)."""
+    from week5_datingnlp_big_data_spark.session import spread
+
+    words = F.split(F.trim(F.lower(_col(text_col))), "\\s+")
+    nonempty = docs.filter(F.length(F.trim(F.coalesce(_col(text_col), F.lit("")))) > 0)
+    base = spread(nonempty).select(F.col(id_col), words.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.struct(
+                F.col("ws")[i].alias("w1"), F.col("ws")[i + 1].alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bi = (
+        base.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    big = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("c12")).persist()
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    n_types = big.agg(F.count(F.lit(1)).alias("n1tot"))
+    # identical association in the DuckDB twin: (c12-D)/c1 + D*n1f/c1*n1p/n1tot
+    p = (
+        (F.col("c12") - F.lit(discount)) / F.col("c1")
+        + F.lit(discount) * F.col("n1f") / F.col("c1")
+        * F.col("n1p") / F.col("n1tot")
+    )
+    lm = (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select("w1", "w2", F.log10(p).alias("logprob"))
+    )
+    return (
+        doc_bi.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(-F.sum(F.col("c") * F.col("logprob")) / F.sum("c"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
 def compression_ratios(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
 ) -> DataFrame:

@@ -3619,6 +3619,52 @@ def doc_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_kn_bigram_logprob",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ), doc_bi AS (
+      SELECT doc_id, g.w1, g.w2, count(*) AS c
+      FROM ws, unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))
+             ELSE [] END) AS t(g)
+      GROUP BY doc_id, g.w1, g.w2
+    ), big AS (
+      SELECT w1, w2, sum(c) AS c12 FROM doc_bi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM big GROUP BY w1
+    ), cont AS (
+      SELECT w2, count(*) AS n1p FROM big GROUP BY w2
+    ), types AS (
+      SELECT count(*) AS n1tot FROM big
+    ), lm AS (
+      SELECT w1, w2,
+             log10((c12 - 0.75) / c1 + 0.75 * n1f / c1 * n1p / n1tot)
+               AS logprob
+      FROM big JOIN ctx USING (w1) JOIN cont USING (w2), types
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(-sum(c * logprob) / sum(c), 6) + 0 AS mean_neg_logprob
+    FROM doc_bi JOIN lm USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def doc_kn_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing upgrade of doc_bigram_logprob:
+    discounted observed mass interpolated with the CONTINUATION
+    probability (how many contexts a word completes), the property that
+    makes KN robust to bursty tokens where add-α over-scores them.
+    Oracle mirrors every rollup (context counts, distinct
+    continuations/contexts, type total) and the exact float
+    association. See operators/textstats.py:kn_bigram_logprob_scores."""
+    return textstats.kn_bigram_logprob_scores(
+        spread(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "table_profile_documents",
     """
     WITH n AS (SELECT count(*) AS n_rows FROM documents)
