@@ -130,11 +130,12 @@ QUERIES = [
     "events_zorder_buckets",
     "shuffle_skew_profile",
     # round-6: codec-seam passes (linear per-payload mapInPandas by
-    # construction) + the clustering-depth sweep-line
+    # construction), the clustering-depth sweep-line, and the KN LM
     "media_jpeg_color_stats",
     "media_png_decode_stats",
     "media_gif_decode_stats",
     "shard_clustering_depth",
+    "doc_kn_bigram_logprob",
     "media_audio_dup_pairs",
     "media_scene_change_stats",
     # session paths / attribution: sessionize windows + the bucketized
