@@ -213,3 +213,56 @@ def relational_typo(df):
     from week5_datingnlp_big_data_spark.operators import fuzzy
 
     return fuzzy.edit1_typo_pairs(df)
+
+
+def _tri(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {
+        r["item"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in graph.triangle_stats(df, **kw).collect()
+    }
+
+
+def test_triangle_k4_complete(spark):
+    # K4: every node has degree 3, C(3,2)=3 triangles, coefficient 1.0
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]]
+    got = _tri(spark, pairs)
+    assert got == {n: (3, 3, 1.0) for n in nodes}
+
+
+def test_triangle_path_graph_has_none(spark):
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    # endpoints fall under min_degree=2; interior nodes: no triangles
+    assert got == {"b": (2, 0, 0.0), "c": (2, 0, 0.0)}
+
+
+def test_triangle_planted_in_star(spark):
+    # hub h with 5 leaves + one closed leaf pair (l0,l1): exactly 1 triangle
+    pairs = [("h", f"l{i}") for i in range(5)] + [("l0", "l1")]
+    got = _tri(spark, pairs)
+    assert got["h"] == (5, 1, 0.1)  # 2*1/(5*4)
+    assert got["l0"] == (2, 1, 1.0)
+    assert got["l1"] == (2, 1, 1.0)
+
+
+def test_triangle_canonicalization(spark):
+    # duplicates, reversed duplicates, and self-loops collapse to one K3
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("c", "b"),
+        ("a", "c"), ("c", "c"),
+    ]
+    got = _tri(spark, pairs)
+    assert got == {n: (2, 1, 1.0) for n in ("a", "b", "c")}
+
+
+def test_triangle_two_disjoint_triangles_share_nothing(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    got = _tri(spark, pairs)
+    assert got["a"] == (2, 1, 1.0)
+    assert got["z"] == (2, 1, 1.0)
+    # bridge endpoints have degree 3 but still exactly 1 triangle each
+    assert got["c"] == (3, 1, round(1 / 3, 6))
+    assert got["x"] == (3, 1, round(1 / 3, 6))

@@ -225,3 +225,108 @@ def textrank_keywords(
         .orderBy(F.desc("rank_scaled"), F.asc("word"))
         .limit(k)
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_degree: int = 2,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected simple graph, via DEGREE-ORDERED edge orientation (the
+    MapReduce triangle scheme of Suri & Vassilvitskii, WWW 2011; same
+    orientation as Chiba-Nishizeki).
+
+    ``edges`` is any edge list; it is canonicalized (self-loops dropped,
+    (u,v)/(v,u)/duplicates collapsed) before counting, so callers can
+    pass raw pair output. Returns
+    ``(item, degree, triangles, clustering)`` for nodes with degree ≥
+    ``min_degree``; ``clustering = 2·T(v) / (d(v)·(d(v)−1))`` rounded to
+    6 dp — integer counts into one IEEE division, bit-identical
+    cross-engine.
+
+    Scale shape: orienting every edge from its lower-(degree, id)
+    endpoint to the higher bounds each node's OUT-degree by O(√m) on any
+    graph, so the wedge join (oriented ⨝ oriented on apex) emits
+    O(m^{3/2}) candidate wedges worst-case instead of Σ d(v)² — the hub
+    that makes the naive node-iterator quadratic contributes apexes only
+    for its few higher-ordered neighbors. The closing probe is one more
+    hash join of wedges against oriented edges (each triangle closes
+    exactly once: its two lowest-ordered corners form the probed edge),
+    then one explode + groupBy for the per-corner counts — map-side
+    partial aggregation absorbs the 3× incidence fan-out before the
+    shuffle. Every join key is a plain column equality (AQE-sizable);
+    nothing is collected to the driver."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    # Orient each edge from the lower (degree, id) endpoint to the
+    # higher; carry the head's (degree, id) so the wedge step can order
+    # its two endpoints without re-joining deg.
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hi_d"),
+    ).persist()
+    # Wedges: two out-edges of one apex, endpoints ordered by the same
+    # (degree, id) rank so the closing edge is probed in its oriented
+    # direction exactly once.
+    a = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("b"), F.col("hi_d").alias("b_d")
+    )
+    b = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("c"), F.col("hi_d").alias("c_d")
+    )
+    wedges = a.join(b, "apex").filter(
+        (F.col("b_d") < F.col("c_d"))
+        | ((F.col("b_d") == F.col("c_d")) & (F.col("b") < F.col("c")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"],
+    )
+    tcnt = (
+        closed.select(
+            F.explode(F.array(F.col("apex"), F.col("b"), F.col("c"))).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    # canon/deg/oriented stay persisted for the returned plan's lifetime
+    # (each feeds 2-3 branches of the SAME action); Spark's LRU reclaims
+    # them — eager unpersist here would run before any action and negate
+    # the cache entirely.
+    return (
+        deg.filter(F.col("d") >= min_degree)
+        .join(tcnt, "n", "left")
+        .select(
+            F.col("n").alias("item"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                (2.0 * F.coalesce(F.col("t"), F.lit(0)))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )

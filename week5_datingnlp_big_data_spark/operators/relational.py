@@ -541,6 +541,45 @@ def scd2_from_events(
     )
 
 
+def basket_pair_support(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    max_basket_size: int = 100,
+) -> DataFrame:
+    """The pair-support core of :func:`basket_copurchase` without the
+    lift/confidence enrichment: unordered ``(item_a, item_b, support)``
+    with item_a < item_b, co-occurring in ≥ ``min_support`` baskets and
+    the same mega-basket guard. This IS the co-occurrence edge list —
+    graph consumers (:func:`operators.graph.triangle_stats`) take it
+    directly and Catalyst never plans the three enrichment joins."""
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    sized = (
+        bi.withColumn(
+            "_bs", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
+        .filter(F.col("_bs") <= max_basket_size)
+        .drop("_bs")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 def basket_copurchase(
     df: DataFrame,
     basket_col: str,

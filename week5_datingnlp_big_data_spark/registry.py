@@ -5515,6 +5515,57 @@ def part_copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_triangles",
+    """
+    WITH bi0 AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), ok AS (
+      SELECT basket FROM bi0 GROUP BY 1 HAVING count(*) <= 100
+    ), bi AS (
+      SELECT bi0.* FROM bi0 JOIN ok USING (basket)
+    ), e AS (
+      SELECT a.item AS u, b.item AS v
+      FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+      ) GROUP BY 1
+    ), tri AS (
+      SELECT t1.u AS x, t1.v AS y, t2.v AS z
+      FROM e t1
+      JOIN e t2 ON t1.v = t2.u
+      JOIN e t3 ON t3.u = t1.u AND t3.v = t2.v
+    ), tcnt AS (
+      SELECT n, count(*) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+        UNION ALL SELECT z AS n FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.n AS item, deg.d AS degree,
+           CAST(coalesce(tcnt.t, 0) AS BIGINT) AS triangles,
+           round(2.0 * coalesce(tcnt.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering
+    FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+    WHERE deg.d >= 2
+    """,
+)
+def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient on the co-purchase
+    graph (edges = part pairs co-bought in ≥ 2 orders). The Spark side
+    counts via degree-ordered orientation (out-degree ≤ O(√m), wedges
+    O(m^1.5)); the oracle enumerates each x<y<z triangle once with a
+    3-way self-join — both count the same set exactly, so integer counts
+    and the single-division coefficient hash-match. See
+    operators/graph.py:triangle_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = relational.basket_pair_support(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_size=100
+    )
+    return graph.triangle_stats(edges, src="item_a", dst="item_b", min_degree=2)
+
+
+@query(
     "session_error_exposure",
     """
     WITH s AS (
