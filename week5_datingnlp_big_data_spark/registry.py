@@ -3762,6 +3762,47 @@ def bpe_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("unigram_lm_vocab_top")
+def unigram_lm_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training via
+    distributed EM over the word-frequency table: seed substrings →
+    forward-backward expected counts (integer-scaled, bit-stable) →
+    prune to the target vocabulary. Returns the top 50 pieces by
+    probability. Iterative EM over a lattice → rows-only at the driver;
+    the E-step is golden-tested against an exact enumeration twin in
+    tests/test_unigram.py. See operators/unigram.py for the scale design."""
+    from week5_datingnlp_big_data_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = unigram.unigram_train(
+        docs, vocab_size=120, seed_size=400, max_piece_len=6
+    )
+    top = [
+        (p, round(lp, 6), len(p))
+        for p, lp in pieces
+        if len(p) > 1
+    ][:50]
+    return spark.createDataFrame(
+        top, "piece string, logprob double, piece_len int"
+    )
+
+
+@query("unigram_fertility_stats")
+def unigram_fertility_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility/compression report for the trained unigram-LM
+    tokenizer — the token-budget numbers that make it directly comparable
+    with bpe_fertility_stats on the same corpus (Rust et al. 2021's
+    tokenizer-comparison metric). Encode path is the Arrow-batched
+    Viterbi UDF. See operators/unigram.py:unigram_fertility_stats."""
+    from week5_datingnlp_big_data_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = unigram.unigram_train(
+        docs, vocab_size=120, seed_size=400, max_piece_len=6
+    )
+    return unigram.unigram_fertility_stats(spread(docs), pieces)
+
+
 @query("doc_compression_ratios")
 def doc_compression_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal per document (no zlib in the
