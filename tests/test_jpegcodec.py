@@ -70,9 +70,16 @@ def test_non_multiple_of_8_dimensions():
 def test_gates_name_unsupported_features():
     img = _gradient(8, 8)
     enc = bytearray(jc.encode_jpeg_gray(img))
-    # patch SOF0 (0xFFC0) into SOF2 (progressive)
+    # patch SOF0 (0xFFC0) into SOF2: progressive now DISPATCHES (real
+    # SOF2 streams decode — tests/test_jpegprogressive.py), so a
+    # baseline full-band scan inside a progressive frame is a CORRUPT
+    # stream (DC scan with Se=63), not a gated feature
     i = bytes(enc).find(b"\xff\xc0")
     enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        jc.decode_jpeg(bytes(enc))
+    # SOF1 (extended sequential) stays gated by name
+    enc[i + 1] = 0xC1
     with pytest.raises(NotImplementedError, match="BASELINE"):
         jc.decode_jpeg_gray(bytes(enc))
     # a 3-component SOF0 whose scan holds only 1 component is a

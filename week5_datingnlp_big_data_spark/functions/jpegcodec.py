@@ -453,15 +453,20 @@ def encode_jpeg_color(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: (h, w) uint8 for grayscale, (h, w, 3)
-    uint8 RGB for interleaved YCbCr color (any luma sampling up to 2x2
-    with 1x1 chroma — 4:4:4 / 4:2:2 / 4:2:0 and the transposed 4:4:0).
-    Progressive, arithmetic-coded, 12-bit, >2x-sampled, and
-    non-interleaved multi-scan streams raise NotImplementedError with
-    the unsupported feature named; corrupt/truncated streams raise
-    ValueError."""
+    """Decode a baseline OR progressive (SOF2, Huffman) JPEG: (h, w)
+    uint8 for grayscale, (h, w, 3) uint8 RGB for interleaved YCbCr color
+    (any luma sampling up to 2x2 with 1x1 chroma — 4:4:4 / 4:2:2 / 4:2:0
+    and the transposed 4:4:0). Progressive streams dispatch on a marker
+    pre-scan to functions/jpegprogressive.py. Arithmetic-coded, 12-bit,
+    >2x-sampled, and non-interleaved multi-scan SEQUENTIAL streams raise
+    NotImplementedError with the unsupported feature named;
+    corrupt/truncated streams raise ValueError."""
     if not sniff_jpeg(payload):
         raise ValueError("not a JPEG payload")
+    from week5_datingnlp_big_data_spark.functions import jpegprogressive
+
+    if jpegprogressive.has_progressive_sof(payload):
+        return jpegprogressive.decode_jpeg_progressive(payload)
     try:
         return _decode_jpeg(payload)
     except (IndexError, KeyError, struct.error) as ex:
@@ -646,9 +651,17 @@ def _decode_scan(payload, pos, h, w, comps, scan, qtables, dc_dec, ac_dec,
             mcu += 1
     if mcu != mcu_total:
         raise ValueError(f"decoded {mcu} of {mcu_total} MCUs")
+    return _finish_planes(planes, comps, h, w)
+
+
+def _finish_planes(planes, comps, h, w):
+    """Crop each component plane to its own resolution, pixel-replicate
+    chroma back up to full size, crop to (h, w). Shared by the baseline
+    scan decoder and the progressive final assembly."""
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
     out = []
     for ci, c in enumerate(comps):
-        # crop to the component's own resolution, then replicate up
         cw = -(-w * c["hs"] // hmax)
         ch = -(-h * c["vs"] // vmax)
         p = planes[ci][:ch, :cw]

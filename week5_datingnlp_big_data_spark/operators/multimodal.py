@@ -99,13 +99,14 @@ def register_codec(fmt: str, decode_fn) -> None:
 
 
 def register_bundled_jpeg_codec() -> None:
-    """Plug the bundled pure-NumPy BASELINE JPEG decoder
-    (functions/jpegcodec, ITU-T T.81) into the external-codec seam —
-    a REAL entropy-coded format through the same hook a PIL/libav
-    decoder would use, so the seam is proven end to end in-container.
-    Handles grayscale AND interleaved YCbCr color (4:4:4 / 4:2:2 /
-    4:2:0); progressive/arithmetic/CMYK still raise with the feature
-    named."""
+    """Plug the bundled pure-NumPy JPEG decoder (functions/jpegcodec,
+    ITU-T T.81) into the external-codec seam — a REAL entropy-coded
+    format through the same hook a PIL/libav decoder would use, so the
+    seam is proven end to end in-container. Handles grayscale AND
+    interleaved YCbCr color (4:4:4 / 4:2:2 / 4:2:0), baseline AND
+    progressive (SOF2 spectral selection + successive approximation,
+    via functions/jpegprogressive); arithmetic-coded/CMYK still raise
+    with the feature named."""
     from week5_datingnlp_big_data_spark.functions import jpegcodec
 
     register_codec("jpeg", jpegcodec.decode_jpeg)

@@ -7608,6 +7608,66 @@ def media_jpeg_color_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.unregister_codec("jpeg")
 
 
+@query("media_jpeg_progressive_stats")
+def media_jpeg_progressive_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode through the plug-in seam: tiles
+    encoded as multi-scan spectral-selection + successive-approximation
+    streams (grayscale and color alternating by doc_id, subsampling
+    cycling, restart resyncs inside every scan), decoded back through
+    decode_media(use_real_codec=True) — DC/AC first + refinement scans,
+    EOB runs, per-scan restart state, all in-container. Rows-only; the
+    codec is pinned by baseline-equality and hand-derived scan-bitstream
+    goldens in tests/test_jpegprogressive.py. See
+    functions/jpegprogressive.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from week5_datingnlp_big_data_spark.functions import jpegprogressive
+    from week5_datingnlp_big_data_spark.operators import multimodal as mm
+
+    subs = ("4:4:4", "4:2:2", "4:2:0")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                did = int(did)
+                raw = text.encode("utf-8") or b"\x80"
+                w = 16 + did % 9
+                gray = did % 2 == 0
+                depth = 1 if gray else 3
+                h = max(1, min(len(raw) // w, 24))
+                need = w * h * depth
+                buf = (raw * (need // max(len(raw), 1) + 1))[:need]
+                tile = np.frombuffer(buf, dtype=np.uint8)
+                tile = tile.reshape(h, w) if gray else tile.reshape(h, w, 3)
+                payloads.append(
+                    jpegprogressive.encode_jpeg_progressive(
+                        tile, quality=90, subsampling=subs[did % 3],
+                        spectral_only=did % 5 == 0, restart_interval=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    mm.register_bundled_jpeg_codec()
+    try:
+        docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+        media = docs.mapInPandas(
+            encode, "media_id long, kind string, payload binary"
+        )
+        return mm.decode_media(media, use_real_codec=True)
+    finally:
+        mm.unregister_codec("jpeg")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
