@@ -141,6 +141,12 @@ HEADLINE = [
     "media_gif_decode_stats",
     "shard_clustering_depth",
     "doc_kn_bigram_logprob",
+    # round-6 continuation: degree-ordered triangle counting, unigram-LM
+    # tokenizer training + encode, progressive JPEG through the seam
+    "copurchase_triangles",
+    "unigram_lm_vocab_top",
+    "unigram_fertility_stats",
+    "media_jpeg_progressive_stats",
 ]
 
 

@@ -74,8 +74,12 @@ def test_driver_window_holds_flagships():
         "exact_substr_spans", "line_dedup_rewrite", "media_phash_near_dups",
         # round-9 flagships (span_dedup_fractions ceded its slot to the
         # destructive line_dedup_rewrite form already in-window)
+        # (part_copurchase_pairs ceded its slot in round 6 to
+        # copurchase_triangles, which drives the same basket pair-support
+        # core end to end plus the orientation/wedge/closure joins; the
+        # lift/confidence enrichment stays parity-gated)
         "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
-        "part_copurchase_pairs", "textrank_keywords",
+        "copurchase_triangles", "textrank_keywords",
         # round-10 flagships (coverage sampling, margin mining, batch
         # planning, PSI drift; source_quality_report ceded in round 6 —
         # source_quality_drift is the same report + the drift dimension)

@@ -7774,6 +7774,12 @@ DEMOTED: tuple[str, ...] = (
     "quality_scores",             # per-doc scan stats ⊂ gopher/c4/lm quality rows (in-window) + incoming doc_script_stats scan-stat row
     "q2_min_cost_supplier",       # correlated-min multi-join ⊂ q15 (scalar-subquery = extremum) + q8 (same join tree), both in-window
     "q20_heavy_suppliers",        # semi-join + nested agg; q22 (anti + scalar avg), q16 (NOT IN), q18 (join+group+HAVING) keep the family
+    # round-6 continuation: triangle counting drives the SAME basket
+    # pair-support core end-to-end (distinct → size guard → within-
+    # basket self-join → support filter) plus the orientation/wedge/
+    # closure joins; only the lift/confidence enrichment stays
+    # parity-gate-only
+    "part_copurchase_pairs",
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -7831,6 +7837,10 @@ PROMOTED: tuple[str, ...] = (
     "events_daily_anomalies",
     "streaming_kmv_distinct_parity",
     "shuffle_skew_profile",
+    # round-6 continuation flagship: degree-ordered triangle counting
+    # (takes the slot of part_copurchase_pairs, whose machinery it
+    # drives end to end — see the matching DEMOTED note)
+    "copurchase_triangles",
 )
 
 
