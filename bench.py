@@ -147,6 +147,7 @@ HEADLINE = [
     "unigram_lm_vocab_top",
     "unigram_fertility_stats",
     "media_jpeg_progressive_stats",
+    "vocab_fuzzy_pairs",
 ]
 
 

@@ -5399,6 +5399,48 @@ def vocab_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_fuzzy_pairs",
+    f"""
+    WITH wf AS (
+      SELECT word FROM (
+        SELECT word
+        FROM (SELECT * FROM documents
+              WHERE length(trim(coalesce(text, ''))) > 0) documents,
+             unnest({{tok}}) AS t(word)
+        UNION ALL
+        SELECT source AS word FROM documents WHERE source IS NOT NULL
+      ) GROUP BY word HAVING length(word) >= 3
+    )
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+    FROM wf a JOIN wf b
+      ON a.word < b.word
+     AND abs(length(a.word) - length(b.word)) <= 2
+    WHERE levenshtein(a.word, b.word) BETWEEN 1 AND 2
+    """.format(tok=_sql_tokens("text", stop=True)),
+)
+def vocab_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-≤2 fuzzy self-join over the corpus vocabulary
+    (tokens ∪ source tags, the non-vacuous registration established for
+    vocab_typo_pairs): q-gram count filter + frequency-ordered prefix
+    filter for strings past the count-filter boundary, symmetric-delete
+    ≤2 neighborhoods below it, one Levenshtein verify per candidate.
+    The ORACLE is the brute-force all-pairs cross join — hash equality
+    IS the losslessness proof of the blocking (SSJoin-style filters are
+    recall-exact, not approximate). See operators/fuzzy.py:qgram_edit_pairs."""
+    words = corpus.explode_tokens(
+        _docs_tokenized(spark, sf_dir), "tokens", "word"
+    ).select("word")
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.filter(F.col("source").isNotNull()).select(
+        F.col("source").alias("word")
+    )
+    return fuzzy.qgram_edit_pairs(
+        words.unionAll(srcs), max_dist=2, q=2, min_len=3
+    )
+
+
+@query(
     "session_concurrency",
     """
     WITH s AS (
