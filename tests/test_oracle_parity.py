@@ -77,8 +77,11 @@ def test_driver_window_holds_flagships():
         # (part_copurchase_pairs ceded its slot in round 6 to
         # copurchase_triangles, which drives the same basket pair-support
         # core end to end plus the orientation/wedge/closure joins; the
-        # lift/confidence enrichment stays parity-gated)
-        "funnel_conversion", "session_concurrency", "vocab_typo_pairs",
+        # lift/confidence enrichment stays parity-gated. vocab_typo_pairs
+        # ceded to vocab_fuzzy_pairs — the d<=2 join's short path IS the
+        # symmetric-delete blocking + levenshtein verify, plus the q-gram
+        # count/prefix-filter path; frequency labeling stays parity-gated)
+        "funnel_conversion", "session_concurrency", "vocab_fuzzy_pairs",
         "copurchase_triangles", "textrank_keywords",
         # round-10 flagships (coverage sampling, margin mining, batch
         # planning, PSI drift; source_quality_report ceded in round 6 —

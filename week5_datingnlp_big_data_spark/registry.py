@@ -7822,6 +7822,12 @@ DEMOTED: tuple[str, ...] = (
     # closure joins; only the lift/confidence enrichment stays
     # parity-gate-only
     "part_copurchase_pairs",
+    # round-6 continuation: the d<=2 fuzzy join's short-string path IS
+    # the symmetric-delete blocking + levenshtein verify that
+    # vocab_typo_pairs drives (src tags are all short), plus the q-gram
+    # count/prefix-filter path on top; only the frequency-direction
+    # labeling stays parity-gate-only
+    "vocab_typo_pairs",
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -7879,10 +7885,12 @@ PROMOTED: tuple[str, ...] = (
     "events_daily_anomalies",
     "streaming_kmv_distinct_parity",
     "shuffle_skew_profile",
-    # round-6 continuation flagship: degree-ordered triangle counting
-    # (takes the slot of part_copurchase_pairs, whose machinery it
-    # drives end to end — see the matching DEMOTED note)
+    # round-6 continuation flagships: degree-ordered triangle counting
+    # and the exact d<=2 q-gram fuzzy join (each takes the slot of the
+    # query whose machinery it drives end to end — see the matching
+    # DEMOTED notes)
     "copurchase_triangles",
+    "vocab_fuzzy_pairs",
 )
 
 
