@@ -148,6 +148,7 @@ HEADLINE = [
     "unigram_fertility_stats",
     "media_jpeg_progressive_stats",
     "vocab_fuzzy_pairs",
+    "user_state_cdc_merge",
 ]
 
 

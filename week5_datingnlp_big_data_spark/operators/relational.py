@@ -1080,3 +1080,62 @@ def attribution_credits(
     for df in ends + [unattributed]:
         out = out.unionByName(df)
     return out
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    delete_ops: tuple[str, ...] = (),
+) -> DataFrame:
+    """Changelog → snapshot compaction: the LAST row per key under
+    ``order_cols`` (descending, e.g. [ts, seq]), with keys whose last
+    operation is a delete dropped entirely. One shuffle on the key; the
+    window's rank-1 filter is a map-side WindowGroupLimit in Spark 3.5+
+    so only one row per key survives the exchange."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    latest = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if delete_ops:
+        latest = latest.filter(~F.col(op_col).isin(*delete_ops))
+    return latest
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    delete_ops: tuple[str, ...] = (),
+) -> DataFrame:
+    """CDC MERGE (the Hudi/Delta copy-on-write compaction shape): apply
+    an insert/update/delete changelog onto a base snapshot. Per key, the
+    LAST change wins: a delete removes the key, anything else upserts
+    the change row; untouched base rows pass through.
+
+    Semantics invariant (the oracle):
+        apply_changelog(snapshot(t0), changelog(t0..t1)) == snapshot(t1)
+    for ANY cutoff t0 — snapshot built by :func:`latest_state` over the
+    full log. The registry query exercises exactly this equality.
+
+    Scale shape: the changelog compacts to one row per changed key (one
+    window shuffle over the CHANGELOG, not the base); the base is then
+    touched by a single anti-join on the changed-key set — typically a
+    broadcast, since a CDC batch is orders of magnitude smaller than the
+    table — plus a union. No base shuffle at all when the anti-join
+    broadcasts, which is the property that makes incremental merges
+    cheap at 100 TB."""
+    latest = latest_state(changes, key_cols, order_cols, op_col)
+    changed_keys = latest.select(*key_cols).distinct()
+    kept_base = base.join(changed_keys, key_cols, "left_anti")
+    upserts = latest.filter(
+        ~F.col(op_col).isin(*delete_ops) if delete_ops else F.lit(True)
+    ).select(*base.columns)
+    return kept_base.unionByName(upserts)

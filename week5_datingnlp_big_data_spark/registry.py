@@ -5441,6 +5441,54 @@ def vocab_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_state_cdc_merge",
+    """
+    WITH last AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           round(value, 6) AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def user_state_cdc_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE correctness via the compaction invariant: build the
+    base snapshot from the first half of the event log (latest state per
+    user, 'error' = delete), apply the second half as an
+    insert/update/delete changelog with apply_changelog, and the result
+    must equal the oracle's single-pass latest-state over the WHOLE log
+    — merge(snapshot(t0), changelog(t0..)) == snapshot(inf) for any
+    cutoff. The changelog compacts with one window shuffle over the
+    CHANGES only; the base is touched by a single (broadcastable)
+    anti-join — the property that makes incremental merges cheap at
+    100 TB. See operators/relational.py:apply_changelog."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bounds = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("_cut")
+    )
+    split = ev.crossJoin(F.broadcast(bounds))
+    pre = split.filter(F.unix_micros("ts") <= F.col("_cut")).drop("_cut")
+    post = split.filter(F.unix_micros("ts") > F.col("_cut")).drop("_cut")
+    base = relational.latest_state(
+        pre, ["user_id"], ["ts", "event_id"], "event_type", ("error",)
+    )
+    merged = relational.apply_changelog(
+        base, post, ["user_id"], ["ts", "event_id"], "event_type", ("error",)
+    )
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@query(
     "session_concurrency",
     """
     WITH s AS (
