@@ -706,3 +706,63 @@ def test_streaming_daily_volume_matches_batch_across_batches(
         map(tuple, relational.daily_count_anomalies(events).collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_latest_user_state_across_batches(spark, sf_dir, tmp_path):
+    """Two micro-batches that split each user's events BY TIME must drain
+    to the same per-user latest state as one batch pass — latest-state is
+    a total-order argmax over the row set, arrival-order invariant. The
+    time split guarantees the argmax of many users arrives in a LATER
+    batch than their first state write (real cross-batch supersede)."""
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cut = events.agg(
+        F.timestamp_micros(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+            .cast("bigint")
+        ).alias("c")
+    ).collect()[0]["c"]
+    _drop_file(events.filter(F.col("ts") <= F.lit(cut)), tmp_path, "cdc", "b1.parquet")
+    _drop_file(events.filter(F.col("ts") > F.lit(cut)), tmp_path, "cdc", "b2.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "cdc"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_latest_user_state(stream), "cdc_state", output_mode="update"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    snap = spark.table("cdc_state")
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["user_id"], r["ts_us"], r["event_id"], r["event_type"])
+        for r in latest.collect()
+    }
+    batch = {
+        (r["user_id"], r["ts_us"], r["event_id"], r["event_type"])
+        for r in relational.latest_state(
+            events.withColumn("ts_us", F.unix_micros("ts")),
+            ["user_id"], ["ts", "event_id"], "event_type",
+        ).collect()
+    }
+    assert streamed == batch
+    # the split must have actually superseded state across batches for
+    # at least one user (their argmax lives in b2 but b1 wrote first)
+    superseded = latest.filter(
+        (F.col("upd") >= 2) & (F.col("ts_us") > F.unix_micros(F.lit(cut)))
+    ).count()
+    assert superseded > 0

@@ -7236,6 +7236,60 @@ def streaming_kmv_distinct_parity_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "streaming_cdc_merge_parity",
+    """
+    WITH last AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           round(value, 6) AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_cdc_merge_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7th stream-batch gate: per-user latest-event state maintained
+    as ARBITRARY STREAMING STATE (streaming/counts.streaming_latest_user_state
+    via applyInPandasWithState, file source → update-mode memory sink,
+    drained), then the CDC delete rule ('error' drops the key) applied to
+    the drained snapshot — must hash-match the SAME DuckDB oracle as the
+    batch user_state_cdc_merge, because latest-state is a total-order
+    argmax over the row set: batching and arrival order cannot change it.
+    The streaming-materialized-view half of the CDC merge pair."""
+    from week5_datingnlp_big_data_spark.streaming import counts as streaming
+
+    stream = streaming.stream_events(spark, f"{sf_dir}/events.parque*")
+    name = "streaming_cdc_contract"
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_latest_user_state(stream),
+        name,
+        output_mode="update",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(name)
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.timestamp_micros("ts_us").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@query(
     "events_daily_anomalies",
     """
     WITH daily AS (

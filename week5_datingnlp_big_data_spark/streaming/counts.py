@@ -803,3 +803,78 @@ def streaming_daily_kmv(events_stream: DataFrame, k: int = 64) -> DataFrame:
     return hashed.groupBy("day").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_latest_user_state(events_stream: DataFrame) -> DataFrame:
+    """Per-user LATEST-EVENT state as arbitrary streaming state — the
+    streaming half of the CDC merge (operators/relational.apply_changelog):
+    each user's state is the argmax event under (ts, event_id), updated
+    per micro-batch, emitted as
+    ``(user_id, upd, ts_us, event_id, event_type, value)`` with ``upd``
+    counting state updates so an update-mode sink consumer keeps the
+    latest row per user.
+
+    Latest-state is a pure function of the row SET (a total-order argmax),
+    so batching/arrival order cannot change the drained result — the
+    registry parity query pins it against the SAME DuckDB oracle as the
+    batch user_state_cdc_merge. State is O(1) per user (4 scalars); for
+    unbounded key spaces add a TTL, for a user dimension it is the
+    streaming-materialized-view shape."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = events_stream.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("upd", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            ts_us, eid, etype, val, upd = state.get
+            best = (ts_us, eid, etype, float(val))
+        else:
+            best, upd = None, 0
+        for pdf in pdfs:
+            for t, e, ty, v in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                cand = (int(t), int(e), str(ty), float(v))
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        upd += 1
+        state.update((best[0], best[1], best[2], best[3], upd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "upd": [upd],
+                "ts_us": [best[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
