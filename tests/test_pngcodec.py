@@ -67,17 +67,57 @@ def test_palette_png_expands_to_rgb():
 
 def test_gates_name_unsupported_features():
     img = _gradient(8, 8, 3)
+    # 16-bit and Adam7 are now SUPPORTED; only packed sub-byte depths gate
     enc = bytearray(pc.encode_png(img))
     # IHDR body starts at offset 16: w(4) h(4) depth color comp filt ilace
-    enc[24] = 16  # depth -> 16-bit
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        pc.decode_png(bytes(enc))
-    enc = bytearray(pc.encode_png(img))
-    enc[28] = 1   # interlace -> Adam7
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    enc[24] = 4  # depth -> 4-bit packed
+    with pytest.raises(NotImplementedError, match="4-bit"):
         pc.decode_png(bytes(enc))
     with pytest.raises(ValueError, match="not a PNG"):
         pc.decode_png(b"\xff\xd8\xffJPEG")
+
+
+def test_roundtrip_16bit_and_adam7_matrix():
+    rng = np.random.default_rng(20260816)
+    for shape, dt in [
+        ((9, 13), np.uint8), ((9, 13), np.uint16),
+        ((7, 5, 3), np.uint16), ((3, 10, 4), np.uint16),
+        ((1, 1), np.uint8), ((8, 1, 2), np.uint8), ((33, 17), np.uint16),
+    ]:
+        hi = 256 if dt == np.uint8 else 65536
+        img = rng.integers(0, hi, size=shape).astype(dt)
+        for ft in range(5):
+            for il in (False, True):
+                dec = pc.decode_png(
+                    pc.encode_png(img, filter_type=ft, interlace=il)
+                )
+                assert dec.dtype == img.dtype, (shape, dt, ft, il)
+                assert np.array_equal(dec, img), (shape, dt, ft, il)
+
+
+def test_adam7_pass_geometry_hand_golden():
+    # 2x2 grayscale: per §8.2 only passes 1 ((0,0)), 6 ((0,1)) and
+    # 7 (row 1) are non-empty — hand-build the IDAT stream so the pass
+    # ordering/geometry is pinned independently of the bundled encoder.
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytes([0, 11]) + bytes([0, 22]) + bytes([0, 33, 44])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        pc.decode_png(payload), np.array([[11, 22], [33, 44]], np.uint8)
+    )
 
 
 def test_truncated_and_corrupt_raise_valueerror():

@@ -7,11 +7,17 @@ is the Python standard library's ``zlib`` (RFC 1950/1951) — a real
 decompressor, not a stub; the PNG-specific work (chunking, unfiltering,
 palette/alpha expansion) is implemented here.
 
-Scope (honest): 8-bit depth, non-interlaced. 16-bit depth, 1/2/4-bit
-packed depths, and Adam7 interlacing raise NotImplementedError with the
-feature named — plug PIL in for those. The encoder exists so the
-decoder is testable end to end in-container (lossless round-trip, any
-filter type).
+Scope (honest): 8-bit AND 16-bit depths, non-interlaced AND Adam7
+interlaced (§8.2: seven passes, each an independently filtered scanline
+group inside one DEFLATE stream). 1/2/4-bit packed depths raise
+NotImplementedError with the feature named — plug PIL in for those. The
+encoder exists so the decoder is testable end to end in-container
+(lossless round-trip, any filter type × depth × interlace).
+
+PNG filters are byte-oriented at every depth (§9: the Sub/Paeth left
+distance is BYTES-per-pixel), so the 16-bit path unfilters bytes and
+only reinterprets as big-endian u16 at the end; 16-bit decode returns a
+uint16 array (what PIL's I;16 mode gives you).
 """
 
 from __future__ import annotations
@@ -83,11 +89,19 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass grid (§8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG into a uint8 array: (h, w)
-    for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)/(h, w, 4) with
-    alpha. 16-bit, packed sub-byte depths, and Adam7 interlace raise
-    NotImplementedError; corrupt/truncated streams raise ValueError."""
+    """Decode an 8-bit or 16-bit PNG (non-interlaced or Adam7) into an
+    array: (h, w) for grayscale, (h, w, 3) for RGB/palette,
+    (h, w, 2)/(h, w, 4) with alpha; dtype uint8, or uint16 for 16-bit
+    depth. Packed sub-byte depths raise NotImplementedError;
+    corrupt/truncated streams raise ValueError."""
     if not sniff_png(payload):
         raise ValueError("not a PNG payload")
     try:
@@ -120,23 +134,37 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"{depth}-bit PNG unsupported (8/16-bit only)"
+        )
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
     if w == 0 or h == 0:
         raise ValueError("empty PNG image")
     ch = _CHANNELS[color]
-    stride = w * ch
+    sb = depth // 8                                        # bytes/sample
+    bpp = ch * sb                                          # filter delta
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError(
-            f"PNG pixel data is {raw.size} bytes, expected {h * (stride + 1)}"
-        )
-    rec = _unfilter(raw.reshape(h, stride + 1), h, stride, ch)
-    img = rec.reshape(h, w, ch)
+    if interlace == 1:
+        rec = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError(
+                f"PNG pixel data is {raw.size} bytes, "
+                f"expected {h * (stride + 1)}"
+            )
+        rec = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+    if depth == 16:
+        img = np.ascontiguousarray(rec).view(">u2").astype(np.uint16)
+        img = img.reshape(h, w, ch)
+    else:
+        img = rec.reshape(h, w, ch)
     if color == 3:                                         # palette
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -147,6 +175,37 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ch == 1:
         return img[..., 0]
     return img
+
+
+def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
+    """§8.2 Adam7: seven sequentially-stored passes inside one DEFLATE
+    stream, each an independently filtered reduced image; scatter each
+    reconstructed pass back onto its (x_start + i·x_step,
+    y_start + j·y_step) grid. Returns the full (h, w·bpp) byte plane."""
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if pos + need > raw.size:
+            raise ValueError("truncated Adam7 pass data")
+        rec = _unfilter(
+            raw[pos: pos + need].reshape(ph, stride + 1), ph, stride, bpp
+        )
+        pos += need
+        cols = (
+            (x0 + np.arange(pw) * dx)[:, None] * bpp + np.arange(bpp)
+        ).ravel()
+        out[y0: y0 + ph * dy: dy, cols] = rec.reshape(ph, pw * bpp)
+    if pos != raw.size:
+        raise ValueError(
+            f"Adam7 pixel data is {raw.size} bytes, expected {pos}"
+        )
+    return out
 
 
 def _apply_filter(
@@ -176,14 +235,33 @@ def _apply_filter(
     raise ValueError(f"invalid filter type {ftype}")
 
 
-def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
-    """Encode a uint8 array — (h, w) gray, (h, w, 2) gray+alpha,
-    (h, w, 3) RGB, (h, w, 4) RGBA — as a non-interlaced 8-bit PNG with
-    one filter type applied to every scanline (default Paeth, the
-    hardest unfilter path; lossless round-trip with decode_png)."""
+def _filter_block(flat: np.ndarray, filter_type: int, bpp: int) -> bytearray:
+    """Filter one scanline group (a whole image or one Adam7 pass):
+    ``flat`` is (rows, stride) bytes; returns filter-tagged lines."""
+    lines = bytearray()
+    prior = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
+        lines.append(filter_type)
+        lines += _apply_filter(flat[y], prior, filter_type, bpp).tobytes()
+        prior = flat[y].astype(np.int32)
+    return lines
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 4,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a uint8 OR uint16 array — (h, w) gray, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB, (h, w, 4) RGBA — as an 8/16-bit PNG,
+    optionally Adam7-interlaced, with one filter type applied to every
+    scanline (default Paeth, the hardest unfilter path; lossless
+    round-trip with decode_png at every depth × interlace combination)."""
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
-        raise ValueError("need a uint8 (h, w[, c]) array")
+    if arr.dtype not in (np.uint8, np.uint16) or arr.ndim not in (2, 3):
+        raise ValueError("need a uint8/uint16 (h, w[, c]) array")
+    depth = 8 if arr.dtype == np.uint8 else 16
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, ch = arr.shape
@@ -192,13 +270,28 @@ def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
         raise ValueError(f"unsupported channel count/shape {arr.shape}")
     if filter_type not in range(5):
         raise ValueError("filter_type must be 0..4")
-    flat = arr.reshape(h, w * ch)
-    lines = bytearray()
-    prior = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        lines.append(filter_type)
-        lines += _apply_filter(flat[y], prior, filter_type, ch).tobytes()
-        prior = flat[y].astype(np.int32)
+    bpp = ch * depth // 8
+    # byte plane: 16-bit samples serialize big-endian (§7.1)
+    if depth == 16:
+        flat = np.frombuffer(
+            arr.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * bpp)
+    else:
+        flat = arr.reshape(h, w * bpp)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            cols = (
+                (x0 + np.arange(pw) * dx)[:, None] * bpp + np.arange(bpp)
+            ).ravel()
+            block = flat[y0: y0 + ph * dy: dy][:, cols]
+            lines += _filter_block(block, filter_type, bpp)
+    else:
+        lines = _filter_block(flat, filter_type, bpp)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -207,7 +300,10 @@ def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
         )
 
     out = bytearray(_SIG)
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace)),
+    )
     out += chunk(b"IDAT", zlib.compress(bytes(lines), level))
     out += chunk(b"IEND", b"")
     return bytes(out)

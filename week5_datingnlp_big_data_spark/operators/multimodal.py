@@ -92,9 +92,10 @@ _EXTERNAL_MAGIC: list[tuple[bytes, str]] = [
 
 def register_codec(fmt: str, decode_fn) -> None:
     """Register an external decoder for a compressed format (``'jpeg'``,
-    ``'png'``, ...). ``decode_fn(payload: bytes)`` must return a uint8
-    ndarray ``(H, W)`` or ``(H, W, C)``. Call BEFORE building the decode
-    plan — the registry ships inside the mapInPandas closure."""
+    ``'png'``, ...). ``decode_fn(payload: bytes)`` must return an
+    integer ndarray ``(H, W)`` or ``(H, W, C)`` — uint8, or uint16 for
+    deep formats (16-bit PNG). Call BEFORE building the decode plan —
+    the registry ships inside the mapInPandas closure."""
     _CODECS[fmt.lower()] = decode_fn
 
 
@@ -114,9 +115,9 @@ def register_bundled_jpeg_codec() -> None:
 
 def register_bundled_png_codec() -> None:
     """Plug the bundled PNG decoder (functions/pngcodec: stdlib-zlib
-    inflate + spec unfiltering, 8-bit gray/RGB/palette/alpha) into the
-    external-codec seam. 16-bit and Adam7-interlaced streams still
-    raise with the feature named."""
+    inflate + spec unfiltering, 8/16-bit gray/RGB/palette/alpha,
+    non-interlaced and Adam7) into the external-codec seam. Packed
+    sub-byte depths still raise with the feature named."""
     from week5_datingnlp_big_data_spark.functions import pngcodec
 
     register_codec("png", pngcodec.decode_png)
@@ -166,7 +167,9 @@ def _real_pixel_stats(
         return img.shape[1], img.shape[0], float(img.mean())
     ext = sniff_external_format(payload)
     if codecs and ext in codecs:
-        img = np.asarray(codecs[ext](payload), dtype=np.uint8)
+        # native dtype: a forced uint8 cast would silently truncate
+        # 16-bit decodes (pngcodec returns uint16 for depth-16 streams)
+        img = np.asarray(codecs[ext](payload))
         return img.shape[1], img.shape[0], float(img.mean())
     raise NotImplementedError(
         f"real decode for kind={kind!r} "

@@ -7589,7 +7589,8 @@ def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode through the plug-in seam: each document's UTF-8 bytes
     fill a tile whose color type cycles gray / RGB / RGBA by doc_id,
     encoded with the bundled PNG encoder (filter type cycling 0-4 so
-    every unfilter path — None/Sub/Up/Average/Paeth — runs), then
+    every unfilter path — None/Sub/Up/Average/Paeth — runs, odd doc_ids
+    Adam7-interlaced so the seven-pass deinterlace runs too), then
     decoded back through decode_media(use_real_codec=True) with the
     bundled stdlib-zlib + spec-unfilter decoder on the seam. Lossless,
     so width/height/mean are exactly the synthesized tile's. Rows-only
@@ -7619,7 +7620,11 @@ def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tile = np.frombuffer(buf, dtype=np.uint8).reshape(
                     (h, w) if ch == 1 else (h, w, ch)
                 )
-                payloads.append(pngcodec.encode_png(tile, filter_type=did % 5))
+                payloads.append(
+                    pngcodec.encode_png(
+                        tile, filter_type=did % 5, interlace=did % 2 == 1
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
