@@ -138,6 +138,16 @@ QUERIES = [
     "doc_kn_bigram_logprob",
     "media_audio_dup_pairs",
     "media_scene_change_stats",
+    # round-6 continuation: triangle counting (the wedge join is the
+    # shape to watch under 10x edges), unigram-LM EM (vocab-bounded, so
+    # near-flat is the expectation), progressive JPEG decode, the q-gram
+    # fuzzy join (vocab-bounded), the CDC merge (changelog window +
+    # anti-join)
+    "copurchase_triangles",
+    "unigram_lm_vocab_top",
+    "media_jpeg_progressive_stats",
+    "vocab_fuzzy_pairs",
+    "user_state_cdc_merge",
     # session paths / attribution: sessionize windows + the bucketized
     # range join under 10x touches AND 10x conversions per user replica
     "session_top_paths",
