@@ -3762,6 +3762,26 @@ def bpe_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained unigram-LM models per (sf_dir, params): training is bit-stable
+# (integer-quantized E-step, deterministic pruning), so the two unigram
+# queries — vocab report and fertility report — share one trained model
+# instead of re-running the EM passes. Model-sized driver state, same
+# footprint class as BPE's merge list.
+_UNIGRAM_MEMO: dict[tuple, list] = {}
+
+
+def _unigram_pieces(spark: SparkSession, sf_dir: str) -> list:
+    from week5_datingnlp_big_data_spark.operators import unigram
+
+    key = (sf_dir, 120, 400, 6)
+    if key not in _UNIGRAM_MEMO:
+        _UNIGRAM_MEMO[key] = unigram.unigram_train(
+            _t(spark, sf_dir, "documents"),
+            vocab_size=120, seed_size=400, max_piece_len=6,
+        )
+    return _UNIGRAM_MEMO[key]
+
+
 @query("unigram_lm_vocab_top")
 def unigram_lm_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training via
@@ -3771,12 +3791,7 @@ def unigram_lm_vocab_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability. Iterative EM over a lattice → rows-only at the driver;
     the E-step is golden-tested against an exact enumeration twin in
     tests/test_unigram.py. See operators/unigram.py for the scale design."""
-    from week5_datingnlp_big_data_spark.operators import unigram
-
-    docs = _t(spark, sf_dir, "documents")
-    pieces = unigram.unigram_train(
-        docs, vocab_size=120, seed_size=400, max_piece_len=6
-    )
+    pieces = _unigram_pieces(spark, sf_dir)
     top = [
         (p, round(lp, 6), len(p))
         for p, lp in pieces
@@ -3796,10 +3811,8 @@ def unigram_fertility_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Viterbi UDF. See operators/unigram.py:unigram_fertility_stats."""
     from week5_datingnlp_big_data_spark.operators import unigram
 
+    pieces = _unigram_pieces(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    pieces = unigram.unigram_train(
-        docs, vocab_size=120, seed_size=400, max_piece_len=6
-    )
     return unigram.unigram_fertility_stats(spread(docs), pieces)
 
 
