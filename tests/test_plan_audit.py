@@ -76,7 +76,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # audit are pure window/groupBy arithmetic — no joins
                  # beyond the AQE-planned bin/scalar attach
                  "shard_compaction_plan", "reshard_movement",
-                 "events_zorder_buckets"):
+                 "events_zorder_buckets",
+                 # round-6 continuation: the wedge/closure joins, the
+                 # rarest-gram prefix + delete-neighborhood union, and
+                 # the changelog anti-join must all stay equi-joins
+                 "copurchase_triangles", "vocab_fuzzy_pairs",
+                 "user_state_cdc_merge"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
