@@ -149,6 +149,7 @@ HEADLINE = [
     "media_jpeg_progressive_stats",
     "vocab_fuzzy_pairs",
     "user_state_cdc_merge",
+    "quality_aes_sample",
 ]
 
 

@@ -261,3 +261,38 @@ def test_stratified_fixed_sample_counts_and_determinism(spark):
     assert sorted(r["doc_id"] for r in out.collect()) != sorted(
         r["doc_id"] for r in other.collect()
     )
+
+
+def test_weighted_topk_sample_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 0.5 + (i % 7) / 10.0) for i in range(200)], "doc_id long, w double"
+    )
+    a = corpus.weighted_topk_sample(df, "w", k=25).collect()
+    b = corpus.weighted_topk_sample(df.repartition(13), "w", k=25).collect()
+    assert len(a) == 25
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    # priorities are ln(u)/w <= 0 and the cut is the true top-k
+    assert all(r["priority"] <= 0 for r in a)
+
+
+def test_weighted_topk_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in corpus.weighted_topk_sample(df, "w", k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_topk_sample_inclusion_tracks_weight(spark):
+    # A-ES property: over many independent draws (salts), an item with
+    # 4x the weight wins the k=1 slot ~4x as often. Wide tolerance — this
+    # is a sanity band, not a chi-square.
+    rows = [(1, 4.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    wins = {i: 0 for i, _ in rows}
+    for s in range(60):
+        r = corpus.weighted_topk_sample(df, "w", k=1, salt=f"s{s}").collect()
+        wins[r[0]["doc_id"]] += 1
+    # expected: item1 wins 4/8 = 50% of 60 = 30; others 7.5 each
+    assert 15 <= wins[1] <= 45, wins

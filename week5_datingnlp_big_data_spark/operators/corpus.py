@@ -623,3 +623,49 @@ def sentence_chunks(
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — exactly ``k`` rows with
+    inclusion probability proportional to weight (Efraimidis & Spirakis
+    2006, the A-ES scheme): each row draws priority ``u^(1/w)`` for a
+    uniform ``u``; the global top-k by priority IS a weighted sample
+    without replacement. The fixed-size companion of
+    :func:`weighted_sample`'s Bernoulli keep — "give me exactly 10k docs,
+    quality-weighted" is the curation ask this answers.
+
+    Determinism: ``u = (md5_56(salt:id) + 1) / 2^56`` ∈ (0, 1] — a pure
+    function of ids, so the sample is identical across runs, engines,
+    and layouts; ranking uses ``ln(u)/w`` (monotone in u^(1/w), one ln
+    and one IEEE division per row), ties broken by id. NULL or
+    non-positive weights never qualify.
+
+    Scale shape: one scan + TakeOrderedAndProject — the distributed
+    top-k that keeps k rows per partition before the single-partition
+    merge; no full sort, no shuffle of the corpus. Adds ``priority``
+    (rounded 6dp) to the output."""
+    b = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (b + F.lit(1).cast("bigint")).cast("double") / F.lit(float(1 << 56))
+    pri = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.asc(id_col))
+        .limit(k)
+        .withColumn("priority", F.round(F.col("_pri"), 6))
+        .drop("_pri")
+    )

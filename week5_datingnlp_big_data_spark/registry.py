@@ -6133,6 +6133,64 @@ def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_aes_sample",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS n_space,
+             length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','you','that','it','for','with')))
+               AS stop_hits
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_words,
+             round(CASE WHEN n_chars_q > 0 THEN n_alpha * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS alpha_ratio,
+             round(CASE WHEN n_chars_q > 0 THEN n_punct * 1.0 / n_chars_q ELSE 0 END, 6)
+               AS punct_ratio,
+             round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 6)
+               AS stopword_ratio
+      FROM feat
+    ), scored AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+               + least(alpha_ratio / 0.6, 1.0) * 0.3
+               + least(stopword_ratio / 0.05, 1.0) * 0.2
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+               AS quality
+      FROM ratios
+    ), pri AS (
+      SELECT doc_id, quality,
+             ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 + 1) / 72057594037927936.0) / quality AS p
+      FROM scored WHERE quality > 0
+    )
+    SELECT doc_id, quality, round(p, 6) AS priority
+    FROM pri ORDER BY p DESC, doc_id LIMIT 50
+    """,
+)
+def quality_aes_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly 50 documents with
+    inclusion probability proportional to quality (Efraimidis-Spirakis
+    A-ES — global top-k by priority u^(1/w), ranked as ln(u)/w with the
+    md5-derived deterministic uniform). The fixed-size companion of
+    quality_weighted_sample's Bernoulli keep: "exactly k docs,
+    quality-weighted" is the curation ask. One scan +
+    TakeOrderedAndProject — no corpus shuffle, no full sort. See
+    operators/corpus.py:weighted_topk_sample."""
+    q = textstats.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return corpus.weighted_topk_sample(q, "quality", k=50)
+
+
+@query(
     "events_value_winsorized",
     """
     WITH fenced AS (
