@@ -150,6 +150,7 @@ HEADLINE = [
     "vocab_fuzzy_pairs",
     "user_state_cdc_merge",
     "quality_aes_sample",
+    "copurchase_core_numbers",
 ]
 
 

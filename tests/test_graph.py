@@ -266,3 +266,45 @@ def test_triangle_two_disjoint_triangles_share_nothing(spark):
     # bridge endpoints have degree 3 but still exactly 1 triangle each
     assert got["c"] == (3, 1, round(1 / 3, 6))
     assert got["x"] == (3, 1, round(1 / 3, 6))
+
+
+def _cores(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {r["item"]: r["core"] for r in graph.core_numbers(df, **kw).collect()}
+
+
+def test_core_numbers_star_all_one(spark):
+    pairs = [("h", f"l{i}") for i in range(4)]
+    assert _cores(spark, pairs) == {"h": 1, "l0": 1, "l1": 1, "l2": 1, "l3": 1}
+
+
+def test_core_numbers_triangle_with_pendant(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    assert _cores(spark, pairs) == {"a": 2, "b": 2, "c": 2, "d": 1}
+
+
+def test_core_numbers_nested_cores(spark):
+    # K4 core (core 3) with a path hanging off it (cores 1)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    got = _cores(spark, k4 + tail)
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+
+
+def test_core_numbers_distributed_equals_driver_path(spark):
+    import random
+
+    rng = random.Random(6)
+    names = [f"n{i}" for i in range(14)]
+    pairs = [
+        (rng.choice(names), rng.choice(names)) for _ in range(45)
+    ] + [("n0", "n0")]  # self-loop must drop
+    drv = _cores(spark, pairs)  # small graph -> driver peeling
+    dist = _cores(spark, pairs, driver_threshold_edges=0)  # forced distributed
+    assert drv == dist
+    # twin sanity: matches the sequential reference directly
+    assert drv == graph._core_numbers_py([p for p in pairs])
+
+
+def test_core_numbers_empty_graph(spark):
+    assert _cores(spark, [("a", "a")]) == {}

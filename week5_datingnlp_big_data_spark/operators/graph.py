@@ -330,3 +330,167 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def _core_numbers_py(edge_list) -> dict:
+    """Exact core numbers by sequential peeling — the small-graph
+    execution of :func:`core_numbers` (same output set: core numbers are
+    a graph invariant, so any correct algorithm agrees)."""
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    core: dict = {}
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        stack = [v for v in alive if deg[v] <= k]
+        while stack:
+            v = stack.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.remove(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+    driver_threshold_edges: int = 100_000,
+) -> DataFrame:
+    """Per-node k-core numbers (largest k such that the node survives in
+    the subgraph where every node has degree ≥ k) — the standard
+    dense-subgraph/spam-farm signal, completing the graph family next to
+    PageRank, connected components, and triangle counting. Returns
+    ``(item, core)``; isolated inputs (self-loops only) are absent.
+
+    Distributed shape: simultaneous peeling — per round, ONE degree
+    aggregation and one anti-join removing every node under the current
+    k; when a phase reaches its fixpoint, k advances. Each round is
+    degree-groupBy + broadcastable low-node anti-join; lineage is
+    localCheckpoint-truncated every ``checkpoint_every`` rounds (the
+    iterative-plan discipline of connected_components). Worst case is a
+    long chain (a path graph peels two endpoints per round — O(n) rounds);
+    real co-occurrence graphs peel in a handful of rounds per k.
+
+    Coarse-to-fine: like pagerank_int, a graph at or under
+    ``driver_threshold_edges`` (known from the canonicalized edge count)
+    peels driver-side via the sequential twin — bit-identical output,
+    because core numbers are a graph invariant, without paying a cluster
+    round trip per peel round. Set the threshold to 0 to force the
+    distributed path."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    m = canon.count()
+    spark = edges.sparkSession
+    node_type = canon.schema["u"].dataType.simpleString()
+    if m == 0:
+        canon.unpersist()
+        return spark.createDataFrame([], f"item {node_type}, core bigint")
+    if m <= driver_threshold_edges:
+        rows = canon.collect()
+        canon.unpersist()
+        core = _core_numbers_py([(r["u"], r["v"]) for r in rows])
+        return spark.createDataFrame(
+            sorted(core.items()), f"item {node_type}, core bigint"
+        )
+    cur = canon
+    # explicit alive-node set: a node whose LAST edge disappears (all
+    # neighbors peeled) has degree 0 but no edge rows — computing degrees
+    # from edges alone would silently drop it; the left join + coalesce 0
+    # peels it the following round at core k-1, matching the twin
+    alive = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .distinct()
+        .persist()
+    )
+    alive0 = alive
+    k = 1
+    done: list[DataFrame] = []
+    last_ckpt = None
+    last_alive = None
+    for it in range(max_iters):
+        edeg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = alive.join(edeg, "n", "left").select(
+            "n", F.coalesce(F.col("d"), F.lit(0)).alias("d")
+        ).persist()
+        low = deg.filter(F.col("d") < k).select("n").persist()
+        n_low = low.count()
+        if n_low == 0:
+            remaining = deg.count()
+            low.unpersist()
+            deg.unpersist()
+            if remaining == 0:
+                break
+            k += 1
+            continue
+        # the assigned set is checkpointed so the final union's plan is
+        # flat (a union over every generation's full lineage is the
+        # geometric-plan OOM this loop otherwise hits)
+        done.append(
+            low.select(
+                F.col("n").alias("item"),
+                F.lit(k - 1).cast("bigint").alias("core"),
+            ).localCheckpoint(eager=True)
+        )
+        nxt = (
+            cur.join(low.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+        )
+        nxt_alive = alive.join(low, "n", "left_anti")
+        # truncate EVERY round: deg references cur AND alive, low
+        # references deg, nxt references cur+low — un-truncated, the
+        # plan multiplies ~3x per round and explainString alone OOMs
+        # the driver within ~15 rounds
+        nxt = nxt.localCheckpoint(eager=True)
+        nxt_alive = nxt_alive.localCheckpoint(eager=True)
+        if last_ckpt is not None:
+            _release_local_checkpoint(last_ckpt)
+        if last_alive is not None:
+            _release_local_checkpoint(last_alive)
+        last_ckpt, last_alive = nxt, nxt_alive
+        if cur is not canon:
+            cur.unpersist()
+        if alive is not alive0:
+            alive.unpersist()
+        deg.unpersist()
+        cur = nxt
+        alive = nxt_alive
+    else:
+        raise RuntimeError(
+            f"core_numbers did not converge in {max_iters} rounds "
+            "(pathological chain graph? raise max_iters)"
+        )
+    if cur is not canon:
+        cur.unpersist()
+    canon.unpersist()
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionAll(d)
+    return out

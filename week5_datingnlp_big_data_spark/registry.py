@@ -5709,6 +5709,22 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(edges, src="item_a", dst="item_b", min_degree=2)
 
 
+@query("copurchase_core_numbers")
+def copurchase_core_numbers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph — per-part core
+    numbers (the dense-subgraph membership signal; spam/bot subgraphs
+    surface as anomalously high cores). Iterative simultaneous peeling →
+    no SQL twin (rows-only); exactness is pinned by forcing the
+    distributed and driver peeling paths to identical output on random
+    graphs plus hand-computed cores in tests/test_graph.py. See
+    operators/graph.py:core_numbers."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = relational.basket_pair_support(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_size=100
+    )
+    return graph.core_numbers(edges, src="item_a", dst="item_b")
+
+
 @query(
     "session_error_exposure",
     """
