@@ -151,6 +151,7 @@ HEADLINE = [
     "user_state_cdc_merge",
     "quality_aes_sample",
     "copurchase_core_numbers",
+    "embedding_sign_hamming_topk",
 ]
 
 

@@ -721,3 +721,32 @@ def test_persisted_band_index_matches_self_contained(spark, sf_dir, tmp_path):
     self_contained = sorted(map(tuple, dedup.cross_corpus_near_dups(
         base, batch).collect()))
     assert via_index == self_contained
+
+
+def test_sign_hamming_packing_matches_numpy(spark):
+    import numpy as np
+
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    dim = 50  # not a multiple of 32: exercises the short tail word
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = similarity.sign_hamming_topk(
+        df, query_ids=[0, 1], k=4, dim=dim
+    ).collect()
+    signs = {i: np.array(v) > 0 for i, v in vecs}
+
+    def ham(a, b):
+        return int((signs[a] != signs[b]).sum())
+
+    for q in (0, 1):
+        expect = sorted(
+            ((ham(q, n), n) for n in signs if n != q)
+        )[:4]
+        rows = sorted(
+            (r["hamming"], r["neighbor_id"])
+            for r in got
+            if r["query_id"] == q
+        )
+        assert rows == expect, (q, rows, expect)

@@ -1182,3 +1182,79 @@ def contrastive_triples(
     return pos.join(neg, "anchor_id", "left").select(
         "anchor_id", "pos_id", "neg_id", "pos_cos", "neg_cos"
     )
+
+
+def pack_sign_bits(vec, dim: int):
+    """Sign-quantize an ``array<double>`` into packed 32-bit words
+    (``array<bigint>``, ceil(dim/32) entries): bit = 1 iff the dimension
+    is > 0. 32 bits per word keeps every fold value far inside int64 —
+    a 64-bit fold would overflow the ANSI multiply at the top bit. Both
+    vectors of a pair pack through the same fold, so XOR+popcount over
+    words equals the per-dimension sign-mismatch count exactly."""
+    n_words = (dim + 31) // 32
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda wi: F.aggregate(
+            F.slice(vec, wi * 32 + 1, 32),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, 1).otherwise(0).cast("bigint"),
+        ),
+    )
+
+
+def sign_hamming_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-embedding search: sign-quantize every vector to 1 bit per
+    dimension (a 32-64x scan-payload reduction — the standard binary-
+    embedding trick for first-stage retrieval; sign-Hamming approximates
+    angular distance) and rank neighbors by XOR+popcount Hamming
+    distance over the packed words. Output
+    ``(query_id, neighbor_id, hamming, rnk)`` — top-``k`` per query,
+    ties by neighbor id; distances are exact integers, so the oracle
+    (which counts per-dimension sign mismatches WITHOUT packing)
+    hash-matches bit-for-bit.
+
+    Scale shape: packing is one narrow per-row transform; the packed
+    corpus is dim/8 bytes per row, the query side broadcasts, and the
+    distance is ceil(dim/32) XOR+bit_count instructions per pair —
+    whole-stage codegen, no Python. The brute-force scan here is the
+    oracle-checked exact baseline; at corpus scale feed the packed
+    column through any blocked/banded candidate path first."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        pack_sign_bits(
+            F.col(vec_col).cast("array<double>"), dim
+        ).alias("bits"),
+    )
+    queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("bits").alias("qbits")
+    )
+    pairs = vecs.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qbits"),
+                F.col("bits"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c,
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

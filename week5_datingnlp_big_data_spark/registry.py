@@ -1638,6 +1638,38 @@ def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_sign_hamming_topk",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, vecs.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (q.qv[i] > 0) != (vecs.v[i] > 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM q JOIN vecs ON vecs.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_sign_hamming_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval: sign-quantize to 1 bit/dim (32-64x
+    smaller scan payload), rank by XOR+popcount Hamming over packed
+    words. The oracle counts per-dimension sign mismatches WITHOUT
+    packing — integer equality across the two formulations proves the
+    bit-packing exact. See operators/similarity.py:sign_hamming_topk."""
+    return similarity.sign_hamming_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5, dim=64
+    )
+
+
+@query(
     "token_counts",
     """
     SELECT doc_id,
