@@ -8054,6 +8054,12 @@ DEMOTED: tuple[str, ...] = (
     # count/prefix-filter path on top; only the frequency-direction
     # labeling stays parity-gate-only
     "vocab_typo_pairs",
+    # registered before the TPC-H tail, so without a demotion it would
+    # displace q22 (the window's anti-join + scalar-avg + rollup shape):
+    # its broadcast brute-force + rank-window machinery is in-window via
+    # embedding_cosine_topk (same plan, different metric); the packed
+    # XOR/popcount distance stays parity+unit gated
+    "embedding_sign_hamming_topk",
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
