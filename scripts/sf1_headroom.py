@@ -148,6 +148,9 @@ QUERIES = [
     "media_jpeg_progressive_stats",
     "vocab_fuzzy_pairs",
     "user_state_cdc_merge",
+    "quality_aes_sample",
+    "copurchase_core_numbers",
+    "embedding_sign_hamming_topk",
     # session paths / attribution: sessionize windows + the bucketized
     # range join under 10x touches AND 10x conversions per user replica
     "session_top_paths",
