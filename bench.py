@@ -152,6 +152,7 @@ HEADLINE = [
     "quality_aes_sample",
     "copurchase_core_numbers",
     "embedding_sign_hamming_topk",
+    "behavior_signature_pairs",
 ]
 
 

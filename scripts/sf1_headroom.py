@@ -151,6 +151,7 @@ QUERIES = [
     "quality_aes_sample",
     "copurchase_core_numbers",
     "embedding_sign_hamming_topk",
+    "behavior_signature_pairs",
     # session paths / attribution: sessionize windows + the bucketized
     # range join under 10x touches AND 10x conversions per user replica
     "session_top_paths",

@@ -5486,6 +5486,69 @@ def vocab_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "behavior_signature_pairs",
+    """
+    WITH sig AS (
+      SELECT DISTINCT substr(
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+               1, 6) AS word
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ), wf AS (
+      SELECT word FROM sig WHERE length(word) >= 3
+    )
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+    FROM wf a JOIN wf b
+      ON a.word < b.word
+     AND abs(length(a.word) - length(b.word)) <= 2
+    WHERE levenshtein(a.word, b.word) BETWEEN 1 AND 2
+    """,
+)
+def behavior_signature_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity search over user behavior: each user's
+    ordered event-type sequence compresses to an initial-letter
+    signature (the first 6 events — the onboarding path; longer prefixes
+    make every signature unique on the synthetic corpus, a vacuous 0=0
+    match), and near-identical behavioral cohorts
+    surface as signature pairs within edit distance ≤ 2 — the
+    session-sequence analog of the REPOSE-style trajectory top-k, run
+    through the SAME lossless q-gram/delete-neighborhood fuzzy-join
+    machinery as the vocabulary (operators/fuzzy.py:qgram_edit_pairs),
+    so the brute-force oracle again proves blocking losslessness on a
+    second domain. Ordering ties break on (ts, event_id) — a total
+    order, identical in both engines."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sigs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda x: x["i"],
+                ),
+            ).alias("sig")
+        )
+        .select(F.substring("sig", 1, 6).alias("word"))
+        .distinct()
+    )
+    return fuzzy.qgram_edit_pairs(sigs, max_dist=2, q=2, min_len=3)
+
+
+@query(
     "user_state_cdc_merge",
     """
     WITH last AS (
