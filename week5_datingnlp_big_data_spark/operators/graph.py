@@ -489,7 +489,12 @@ def core_numbers(
         )
     if cur is not canon:
         cur.unpersist()
+    if alive is not alive0:
+        alive.unpersist()
+    alive0.unpersist()
     canon.unpersist()
+    # done entries are localCheckpoint-backed, so the union survives the
+    # unpersists above
     out = done[0]
     for d in done[1:]:
         out = out.unionAll(d)
