@@ -308,3 +308,59 @@ def test_core_numbers_distributed_equals_driver_path(spark):
 
 def test_core_numbers_empty_graph(spark):
     assert _cores(spark, [("a", "a")]) == {}
+
+
+def test_core_numbers_recursive_sql_oracle_matches_twin():
+    # The driver-window oracle for copurchase_core_numbers runs the peel
+    # as a DuckDB recursive CTE whose working table is a single
+    # list-typed row. Pin that SQL shape against the sequential twin on
+    # random graphs: DuckDB re-inlines CTEs inside the recursive term
+    # (a UNION dedup upstream is NOT reliably preserved there, and
+    # multi-scans of the working table misbehave), so any regression in
+    # the single-scan/map-snapshot structure flips cores here first.
+    import random
+
+    import duckdb
+
+    core_sql = """
+    WITH RECURSIVE edges AS (
+      SELECT u, v FROM e WHERE u <> v
+      UNION ALL
+      SELECT v, u FROM e WHERE u <> v
+    ),
+    adjm AS MATERIALIZED (
+      SELECT map_from_entries(list({'k': u, 'v': nbrs})) AS m
+      FROM (SELECT u, list(DISTINCT v) AS nbrs FROM edges GROUP BY u)
+    ),
+    peel(nodes, k) AS (
+      SELECT (SELECT list(DISTINCT u ORDER BY u) FROM edges), 0
+      UNION ALL
+      SELECT CASE WHEN len(s.survivors) < len(s.nodes)
+                  THEN s.survivors ELSE s.nodes END,
+             CASE WHEN len(s.survivors) < len(s.nodes)
+                  THEN s.k ELSE s.k + 1 END
+      FROM (
+        SELECT p.nodes, p.k,
+               list_filter(p.nodes,
+                 n -> len(list_filter(coalesce(adjm.m[n][1], []),
+                                      x -> list_contains(p.nodes, x))) > p.k
+               ) AS survivors
+        FROM peel p, adjm
+        WHERE len(p.nodes) > 0
+      ) s
+    )
+    SELECT t.node AS item, CAST(max(p.k) AS BIGINT) AS core
+    FROM peel p, unnest(p.nodes) AS t(node)
+    GROUP BY t.node
+    """
+    rng = random.Random(77)
+    for _ in range(25):
+        n = rng.randint(2, 35)
+        m = rng.randint(1, 140)
+        edge_list = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(u INT, v INT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edge_list)
+        got = dict(con.execute(core_sql).fetchall())
+        con.close()
+        assert got == graph._core_numbers_py(edge_list)

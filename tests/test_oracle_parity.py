@@ -43,7 +43,7 @@ def test_driver_window_holds_flagships():
     oracles = all_oracles()
     assert all(n in oracles for n in window)
     for flagship in (
-        "minhash_near_dups", "embedding_cosine_topk",
+        "minhash_near_dups",
         # (winnow_dup_pairs / exact_dedup / user_event_lag /
         # q21_waiting_suppliers ceded their slots in round 5 to the
         # layout/sketch shape families; each is covered by an in-window
@@ -56,8 +56,7 @@ def test_driver_window_holds_flagships():
         # itself ceded in round 6 to the gopher/c4/lm rows + the incoming
         # doc_script_stats scan-stat row)
         "lang_id_confusion",
-        "orders_price_percentiles",
-        "ngram_jaccard_near_dups", "near_dup_components",
+        "near_dup_components",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
         # (q9/q11 ceded their slots in round 10: q9's profit rollup shares
@@ -66,11 +65,17 @@ def test_driver_window_holds_flagships():
         # over q8's join tree, semi-join family kept by q16/q18/q22)
         "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
         "q22_global_sales_opportunity",
-        # round-3 training-data flagships
-        "near_dup_keep_best", "c4_line_filter_stats", "gopher_quality_flags",
-        "lm_quality_buckets", "pii_redaction_stats",
+        # round-3 training-data flagships (lm_quality_buckets ceded its
+        # slot in round 7 to doc_kn_bigram_logprob — the richer
+        # interpolated-KN form of the same LM-scoring family;
+        # near_dup_keep_best ceded to the in-window line_dedup_rewrite
+        # elect rule + near_dup_components machinery)
+        "c4_line_filter_stats", "gopher_quality_flags",
+        "pii_redaction_stats",
         "bloom_dedup_incremental", "dsir_target_sample",
-        # round-7 flagships
+        # round-7 flagships (ngram_jaccard_near_dups ceded its slot in
+        # round 7 to the banded/blocked near-dup rows already in-window:
+        # minhash_near_dups + media_phash_near_dups)
         "exact_substr_spans", "line_dedup_rewrite", "media_phash_near_dups",
         # round-9 flagships (span_dedup_fractions ceded its slot to the
         # destructive line_dedup_rewrite form already in-window)
@@ -80,20 +85,37 @@ def test_driver_window_holds_flagships():
         # lift/confidence enrichment stays parity-gated. vocab_typo_pairs
         # ceded to vocab_fuzzy_pairs — the d<=2 join's short path IS the
         # symmetric-delete blocking + levenshtein verify, plus the q-gram
-        # count/prefix-filter path; frequency labeling stays parity-gated)
-        "funnel_conversion", "session_concurrency", "vocab_fuzzy_pairs",
+        # count/prefix-filter path; frequency labeling stays parity-gated.
+        # funnel_conversion ceded in round 7 to prep_cascade_funnel +
+        # purchase_attribution; session_top_paths to session_concurrency's
+        # sessionize + purchase_attribution's ordered sequences)
+        "session_concurrency", "vocab_fuzzy_pairs",
         "copurchase_triangles", "textrank_keywords",
-        # round-10 flagships (coverage sampling, margin mining, batch
-        # planning, PSI drift; source_quality_report ceded in round 6 —
-        # source_quality_drift is the same report + the drift dimension)
-        "embedding_coverage_sample", "embedding_margin_pairs",
+        # round-10 flagships (coverage sampling, batch planning, PSI
+        # drift; source_quality_report ceded in round 6 —
+        # source_quality_drift is the same report + the drift dimension;
+        # embedding_margin_pairs ceded in round 7 to the same
+        # hyperplane-cell machinery in embedding_coverage_sample;
+        # embedding_cosine_topk ceded to embedding_sign_hamming_topk —
+        # identical broadcast brute-force + rank-window plan)
+        "embedding_coverage_sample",
         "inference_batch_plan", "source_quality_drift",
-        # round-5 flagships (table maintenance + temporal sketch)
-        "shard_compaction_plan", "reshard_movement",
-        "events_distinct_kmv_running", "events_zorder_buckets",
+        # round-5 flagships (reshard_movement ceded in round 7 to
+        # shard_compaction_plan + inference_batch_plan;
+        # events_distinct_kmv_running to streaming_kmv_distinct_parity's
+        # identical sketch merge + stateful twin; orders_price_percentiles
+        # to events_daily_anomalies' quantile machinery)
+        "shard_compaction_plan", "events_zorder_buckets",
         # round-6 flagships: the round-5 families' first driver rows
-        "purchase_attribution", "session_top_paths", "doc_script_stats",
+        "purchase_attribution", "doc_script_stats",
         "events_daily_anomalies", "streaming_kmv_distinct_parity",
         "shuffle_skew_profile",
+        # round-7 flagships: the round-6 families' first driver rows
+        "doc_kn_bigram_logprob", "copurchase_core_numbers",
+        "quality_aes_sample", "embedding_sign_hamming_topk",
+        "user_state_cdc_merge", "behavior_signature_pairs",
+        "media_png_decode_stats",
+        # round-7 new surface: URL/host crawl hygiene
+        "url_canonical_dedup", "host_quality_rollup",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -1,0 +1,167 @@
+"""URL/host-level corpus hygiene: the crawl-preprocessing steps a web
+corpus runs BEFORE content dedup — URL canonicalization, exact-URL
+dedup (keep-first), and the per-host rollup view used for host-level
+quality decisions (cf. C4's URL dedup in Raffel et al. 2020 §2.2,
+CCNet's per-snapshot URL dedup in Wenzek et al. 2020 §3.1, and
+RefinedWeb's URL filtering + host-level curation in Penedo et al. 2023
+§3.1). No analog in the reference (`Week5_datingNLP.R` ingests a flat
+CSV); this module is north-star training-data surface.
+
+Scale shape: canonicalization is pure string/HOF column algebra —
+``regexp_extract`` / ``split`` / ``filter`` / ``array_sort`` /
+``array_join`` — a shuffle-free scan-speed map with no Python in the
+loop (one WholeStageCodegen span at 100 TB). Dedup aggregates
+``min(id)`` per canonical URL with a groupBy (map-side partial) and
+joins the keeper back on the canonical key rather than using a window:
+a window min would buffer every duplicate of a hot URL in one task,
+while the groupBy+join form partial-aggregates map-side and lets AQE
+split a skewed probe side. The host rollup is a single map-side-partial
+groupBy on the canonical host.
+
+Canonical form (the common normalization core of the pipelines above):
+  * scheme lowercased
+  * host lowercased, one leading ``www.`` label stripped
+  * default ports dropped (``:80`` for http, ``:443`` for https);
+    non-default ports kept
+  * path: repeated ``/`` collapsed, trailing ``/`` stripped (so the
+    root path canonicalizes to the empty string)
+  * query: ``&``-split, tracking params dropped (``utm_*``, ``fbclid``,
+    ``gclid``, ``msclkid``, ``ref``), the rest byte-sorted and rejoined
+  * fragment dropped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one leading www. label (case already folded when this is applied)
+_WWW_PAT = "^www\\."
+
+# tracking query parameters dropped during canonicalization
+TRACKING_PARAM_PAT = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def url_scheme(url: Column | str) -> Column:
+    return F.lower(F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+
+
+def _authority(url: Column | str) -> Column:
+    return F.regexp_extract(_col(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+
+
+def canonical_host(url: Column | str) -> Column:
+    """Lowercased host with one leading ``www.`` stripped and any
+    explicit port removed — the host-level grouping key."""
+    host = F.lower(F.regexp_extract(_authority(url), r"^([^:]*)", 1))
+    return F.regexp_replace(host, _WWW_PAT, "")
+
+
+def _canonical_port(url: Column | str) -> Column:
+    """``:port`` suffix kept only when non-default for the scheme."""
+    port = F.regexp_extract(_authority(url), r":(\d+)$", 1)
+    scheme = url_scheme(url)
+    default = (
+        (scheme == F.lit("http")) & (port == F.lit("80"))
+    ) | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    return F.when(
+        (port == F.lit("")) | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+
+def _canonical_path(url: Column | str) -> Column:
+    path = F.regexp_extract(
+        _col(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    collapsed = F.regexp_replace(path, "/{2,}", "/")
+    return F.regexp_replace(collapsed, "/+$", "")
+
+
+def _canonical_query(url: Column | str) -> Column:
+    """Tracking params out, survivors byte-sorted, ``?`` re-prefixed
+    (empty when nothing survives)."""
+    qs = F.regexp_extract(_col(url), r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PAT),
+    )
+    joined = F.array_join(F.array_sort(params), "&")
+    return F.when(joined == F.lit(""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), joined)
+    )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Full canonical form — pure Catalyst string algebra, no UDF."""
+    return F.concat(
+        url_scheme(url),
+        F.lit("://"),
+        canonical_host(url),
+        _canonical_port(url),
+        _canonical_path(url),
+        _canonical_query(url),
+    )
+
+
+def url_dedup_keep_first(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL dedup, keep-first: canonicalize, elect ``min(id)`` per
+    canonical URL, flag everything else as a duplicate. Adds
+    ``canonical_url`` and ``is_kept``; rows and all input columns pass
+    through.
+
+    Keeper election is groupBy ``min`` + equi-join back (not a window):
+    partial aggregation bounds a hot URL's cost map-side and AQE can
+    split the skewed join — the same bound-before-join discipline the
+    dedup family uses (see operators/dedup.py).
+    """
+    with_canon = df.withColumn("canonical_url", canonical_url(url_col))
+    keepers = with_canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    return (
+        with_canon.join(keepers, "canonical_url")
+        .withColumn("is_kept", F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
+
+
+def host_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host corpus view (RefinedWeb §3.1's host-level curation
+    signal): page count, distinct canonical URLs, exact-dup rate, word
+    totals, and mean document length. One map-side-partial groupBy on
+    the canonical host; word counts are scan-speed HOF expressions.
+
+    Returned columns: ``host``, ``n_docs``, ``n_urls`` (distinct
+    canonical), ``n_dup_docs`` (docs that lost keep-first election),
+    ``total_words``, ``avg_words`` (round 6).
+    """
+    deduped = url_dedup_keep_first(df, url_col=url_col, id_col=id_col)
+    t = F.trim(_col(text_col))
+    n_words = F.when(t == F.lit(""), F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+    return (
+        deduped.withColumn("host", canonical_host(url_col))
+        .withColumn("_w", n_words)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_url").alias("n_urls"),
+            F.sum((~F.col("is_kept")).cast("long")).alias("n_dup_docs"),
+            F.sum("_w").alias("total_words"),
+            F.round(F.avg("_w"), 6).alias("avg_words"),
+        )
+    )

@@ -46,6 +46,7 @@ from week5_datingnlp_big_data_spark.operators import (
     skew,
     textstats,
     tfidf,
+    web,
 )
 from week5_datingnlp_big_data_spark.session import spread
 from week5_datingnlp_big_data_spark.sources.catalog import load_table, register_views
@@ -5804,15 +5805,68 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(edges, src="item_a", dst="item_b", min_degree=2)
 
 
-@query("copurchase_core_numbers")
+@query(
+    "copurchase_core_numbers",
+    """
+    WITH RECURSIVE bi0 AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), ok AS (
+      SELECT basket FROM bi0 GROUP BY 1 HAVING count(*) <= 100
+    ), bi AS (
+      SELECT bi0.* FROM bi0 JOIN ok USING (basket)
+    ), e0 AS (
+      SELECT a.item AS u, b.item AS v
+      FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), edges AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    -- adjacency snapshot as ONE map value: DuckDB's recursive working
+    -- table supports only a single well-defined scan per iteration, so
+    -- the peel below keeps the whole alive set in one list-typed row and
+    -- reads adjacency from this (materialized) map — no joins against
+    -- the working table. list(DISTINCT v) dedups explicitly: CTEs are
+    -- re-inlined inside the recursive term, where a UNION-dedup upstream
+    -- is not reliably preserved.
+    adjm AS MATERIALIZED (
+      SELECT map_from_entries(list({'k': u, 'v': nbrs})) AS m
+      FROM (SELECT u, list(DISTINCT v) AS nbrs FROM edges GROUP BY u)
+    ),
+    -- simultaneous peel: drop every alive node with alive-degree <= k;
+    -- advance k only on a fixpoint round. A node's core number is the
+    -- largest k it was ever alive at.
+    peel(nodes, k) AS (
+      SELECT (SELECT list(DISTINCT u ORDER BY u) FROM edges), 0
+      UNION ALL
+      SELECT CASE WHEN len(s.survivors) < len(s.nodes)
+                  THEN s.survivors ELSE s.nodes END,
+             CASE WHEN len(s.survivors) < len(s.nodes)
+                  THEN s.k ELSE s.k + 1 END
+      FROM (
+        SELECT p.nodes, p.k,
+               list_filter(p.nodes,
+                 n -> len(list_filter(coalesce(adjm.m[n][1], []),
+                                      x -> list_contains(p.nodes, x))) > p.k
+               ) AS survivors
+        FROM peel p, adjm
+        WHERE len(p.nodes) > 0
+      ) s
+    )
+    SELECT t.node AS item, CAST(max(p.k) AS BIGINT) AS core
+    FROM peel p, unnest(p.nodes) AS t(node)
+    GROUP BY t.node
+    """,
+)
 def copurchase_core_numbers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the co-purchase graph — per-part core
     numbers (the dense-subgraph membership signal; spam/bot subgraphs
-    surface as anomalously high cores). Iterative simultaneous peeling →
-    no SQL twin (rows-only); exactness is pinned by forcing the
-    distributed and driver peeling paths to identical output on random
-    graphs plus hand-computed cores in tests/test_graph.py. See
-    operators/graph.py:core_numbers."""
+    surface as anomalously high cores). The DuckDB twin runs the same
+    simultaneous peel as a recursive CTE whose working table is a single
+    list-typed row (alive set + current k) — core numbers are a graph
+    invariant, so the sequential driver twin, the distributed peel, and
+    the SQL peel agree exactly; the CTE form is additionally fuzzed
+    against the driver twin on random graphs in tests/test_graph.py.
+    See operators/graph.py:core_numbers."""
     li = _t(spark, sf_dir, "lineitem")
     edges = relational.basket_pair_support(
         li, "l_orderkey", "l_partkey", min_support=2, max_basket_size=100
@@ -7766,7 +7820,41 @@ def media_jpeg_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.unregister_codec("jpeg")
 
 
-@query("media_png_decode_stats")
+@query(
+    "media_png_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN '80'
+                  ELSE hex(encode(text)) END AS hx,
+             CASE WHEN text IS NULL OR text = '' THEN 1
+                  ELSE octet_length(encode(text)) END AS L,
+             CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             CAST(12 + doc_id % 13 AS INT) AS w
+      FROM documents
+    ), geo AS (
+      SELECT *, greatest(1, least(L // w, 32)) AS h,
+             w * greatest(1, least(L // w, 32)) * ch AS need
+      FROM dims
+    ), sums AS (
+      SELECT g.doc_id,
+             sum(('0x' || substr(g.hx, CAST(t.i AS INT) * 2 + 1, 2))::BIGINT)
+               AS total,
+             sum(CASE WHEN t.i < g.need % g.L
+                      THEN ('0x' || substr(g.hx,
+                                           CAST(t.i AS INT) * 2 + 1, 2))::BIGINT
+                      ELSE 0 END) AS prefix
+      FROM geo g, unnest(range(g.L)) t(i)
+      GROUP BY g.doc_id
+    )
+    SELECT g.doc_id AS media_id, 'image' AS kind, g.w AS width,
+           g.h AS height,
+           CAST((g.need // g.L) * s.total + s.prefix AS DOUBLE) / g.need
+             AS mean_byte
+    FROM geo g JOIN sums s USING (doc_id)
+    """,
+)
 def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode through the plug-in seam: each document's UTF-8 bytes
     fill a tile whose color type cycles gray / RGB / RGBA by doc_id,
@@ -7775,10 +7863,16 @@ def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adam7-interlaced so the seven-pass deinterlace runs too), then
     decoded back through decode_media(use_real_codec=True) with the
     bundled stdlib-zlib + spec-unfilter decoder on the seam. Lossless,
-    so width/height/mean are exactly the synthesized tile's. Rows-only
-    (no PNG bitstream twin in SQL); the codec is pinned by lossless
-    round-trip units in tests/test_pngcodec.py. See
-    functions/pngcodec.py and
+    so width/height/mean_byte are exactly the synthesized tile's — which
+    is what the DuckDB twin recomputes straight from the source bytes
+    (hex(encode(text)) byte sums over the repeated buffer; the single
+    IEEE division of exact integer sums is bit-identical to np.mean on
+    the decoded pixels). Any filter/deinterlace/zlib defect in the
+    decode path shifts mean_byte and breaks the hash — the round trip is
+    value-verified through the driver contract, not just row-counted.
+    n_bytes/payload_sha (compressed-stream properties, not
+    SQL-expressible) stay pinned by the lossless round-trip units in
+    tests/test_pngcodec.py. See functions/pngcodec.py and
     operators/multimodal.py:register_bundled_png_codec."""
     from collections.abc import Iterator
 
@@ -7821,7 +7915,9 @@ def media_png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         media = docs.mapInPandas(
             encode, "media_id long, kind string, payload binary"
         )
-        return mm.decode_media(media, use_real_codec=True)
+        return mm.decode_media(media, use_real_codec=True).select(
+            "media_id", "kind", "width", "height", "mean_byte"
+        )
     finally:
         mm.unregister_codec("png")
 
@@ -8000,6 +8096,146 @@ def media_jpeg_progressive_stats_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# URL/host corpus hygiene (operators/web.py). The synthetic corpus has
+# no URL column, so each doc gets a deterministic md5-synthesized URL:
+# a canonical identity k (~150 distinct URLs over 500 docs, so the
+# keep-first election is exercised with real collisions) plus
+# decoration bits — mixed-case host, a www. label, default/explicit
+# ports, duplicate + trailing slashes, shuffled query-param order, a
+# tracking param, a fragment — every rule the canonicalizer must undo.
+# The DuckDB twins do NOT re-run the canonicalizer: they derive the
+# canonical form CLOSED-FORM from k, so any mishandled decoration on
+# the Spark side breaks the hash (an independent derivation, not a
+# twin of the same code path).
+# ---------------------------------------------------------------------------
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic decorated URL per doc_id (spec above; the oracle
+    SQL in _SQL_URL_CANON mirrors the k-derived identity)."""
+    h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+
+    def hx(pos: int, width: int = 1) -> Column:
+        return F.conv(F.substring(h, pos, width), 16, 10).cast("long")
+
+    k = hx(1, 3) % 150
+    site = (k % 25).cast("string")
+    scheme = F.when(k % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    b_www, b_case = hx(4) % 2 == 0, hx(5) % 2 == 0
+    b_defport, b_slash = hx(6) % 2 == 0, hx(7) % 2 == 0
+    b_utm, b_order = hx(8) % 2 == 0, hx(9) % 2 == 0
+    b_frag, b_dslash = hx(10) % 2 == 0, hx(13) % 2 == 0
+    hostcore = F.when(
+        b_case, F.concat(F.lit("Site"), site, F.lit(".Example.COM"))
+    ).otherwise(F.concat(F.lit("site"), site, F.lit(".example.com")))
+    www = F.when(
+        b_www & b_case, F.lit("WWW.")
+    ).when(b_www, F.lit("www.")).otherwise(F.lit(""))
+    port = F.when(k % 7 == 0, F.lit(":8080")).when(
+        b_defport,
+        F.when(scheme == F.lit("http"), F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/cat"), (k % 4).cast("string"),
+        F.when(b_dslash, F.lit("//")).otherwise(F.lit("/")),
+        F.lit("item"), (k % 6).cast("string"),
+        F.when(b_slash, F.lit("/")).otherwise(F.lit("")),
+    )
+    p_page = F.concat(F.lit("page="), (k % 3).cast("string"))
+    p_q = F.concat(F.lit("q=term"), (k % 5).cast("string"))
+    qs = F.when(
+        b_order, F.concat(p_q, F.lit("&"), p_page)
+    ).otherwise(F.concat(p_page, F.lit("&"), p_q))
+    qs = F.when(
+        b_utm,
+        F.concat(qs, F.lit("&utm_source=news"), (hx(11) % 10).cast("string")),
+    ).otherwise(qs)
+    frag = F.when(
+        b_frag, F.concat(F.lit("#sec"), (hx(12) % 10).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(scheme, F.lit("://"), www, hostcore, port, path,
+                 F.lit("?"), qs, frag),
+    )
+
+
+# closed-form canonical identity, shared by both URL oracles
+_SQL_URL_CANON = """
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_words,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+               % 150 AS k
+      FROM documents
+"""
+
+_SQL_URL_CANON_FORM = """
+      SELECT doc_id, n_words,
+             'site' || CAST(k % 25 AS VARCHAR) || '.example.com' AS host,
+             (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://site' || CAST(k % 25 AS VARCHAR) || '.example.com'
+               || (CASE WHEN k % 7 = 0 THEN ':8080' ELSE '' END)
+               || '/cat' || CAST(k % 4 AS VARCHAR)
+               || '/item' || CAST(k % 6 AS VARCHAR)
+               || '?page=' || CAST(k % 3 AS VARCHAR)
+               || '&q=term' || CAST(k % 5 AS VARCHAR) AS canonical_url
+      FROM ks
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH ks AS ({_SQL_URL_CANON}),
+    c AS ({_SQL_URL_CANON_FORM})
+    SELECT doc_id, canonical_url,
+           doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_kept
+    FROM c
+    """,
+)
+def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact-URL dedup keep-first (C4 §2.2 /
+    CCNet §3.1 preprocessing): every decoration the synthesizer adds —
+    host case, www., default ports, doubled + trailing slashes, param
+    order, utm_* params, fragments — must be undone to land on the
+    closed-form canonical the oracle derives independently from k.
+    Scan-speed string algebra + one min-per-key groupBy join; see
+    operators/web.py:url_dedup_keep_first."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = web.url_dedup_keep_first(_synth_urls(docs), url_col="url")
+    return out.select("doc_id", "canonical_url", "is_kept")
+
+
+@query(
+    "host_quality_rollup",
+    f"""
+    WITH ks AS ({_SQL_URL_CANON}),
+    c AS ({_SQL_URL_CANON_FORM}),
+    kept AS (
+      SELECT *, doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_kept
+      FROM c
+    )
+    SELECT host, count(*) AS n_docs,
+           count(DISTINCT canonical_url) AS n_urls,
+           CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS avg_words
+    FROM kept GROUP BY host
+    """,
+)
+def host_quality_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus rollup (RefinedWeb §3.1's host-level curation
+    view): page/URL/dup counts and word totals per canonical host — the
+    table a crawl pipeline thresholds to drop low-quality or
+    duplicate-heavy hosts before content dedup. One map-side-partial
+    groupBy on the canonical host; see operators/web.py:host_rollup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return web.host_rollup(_synth_urls(docs), url_col="url")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -8117,12 +8353,19 @@ DEMOTED: tuple[str, ...] = (
     # count/prefix-filter path on top; only the frequency-direction
     # labeling stays parity-gate-only
     "vocab_typo_pairs",
-    # registered before the TPC-H tail, so without a demotion it would
-    # displace q22 (the window's anti-join + scalar-avg + rollup shape):
-    # its broadcast brute-force + rank-window machinery is in-window via
-    # embedding_cosine_topk (same plan, different metric); the packed
-    # XOR/popcount distance stays parity+unit gated
-    "embedding_sign_hamming_topk",
+    # round-7 rotation (VERDICT r6 item 1): the round-6 families take
+    # their first driver-green rows; every demoted query's shape is
+    # carried by an in-window sibling and stays parity+fuzz gated
+    "lm_quality_buckets",         # unigram-LM logprob buckets ⊂ doc_kn_bigram_logprob (richer interpolated-KN scoring, incoming) + gopher_quality_flags (bucketed quality flags, in-window)
+    "ngram_jaccard_near_dups",    # shingle-blocked verify self-join ⊂ minhash_near_dups (banded-LSH verify join) + media_phash_near_dups (Hamming block join), both in-window
+    "near_dup_keep_best",         # per-component keeper election ⊂ line_dedup_rewrite (same keep-first elect rule) + near_dup_components (same component machinery), both in-window
+    "funnel_conversion",          # ordered-step conversion ⊂ prep_cascade_funnel (same cascade shape over documents) + purchase_attribution (ordered event credit), both in-window
+    "embedding_cosine_topk",      # broadcast brute-force + rank-window top-k ⊂ embedding_sign_hamming_topk (incoming — identical plan, packed-Hamming metric; its unpacked oracle also recomputes the float dot products)
+    "orders_price_percentiles",   # percentile_disc buckets ⊂ events_daily_anomalies' median/MAD quantile machinery + inference_batch_plan's boundary bucketing, both in-window
+    "reshard_movement",           # inline-argmax movement plan ⊂ shard_compaction_plan (same manifest + global-cumsum packing family) + inference_batch_plan (same bucket assignment), both in-window
+    "embedding_margin_pairs",     # LSH-cell-blocked margin mining ⊂ embedding_coverage_sample (same hyperplane-cell signature, in-window) + the in-window embedding top-k row
+    "session_top_paths",          # ordered path n-grams ⊂ session_concurrency (same sessionize CTE, in-window) + purchase_attribution (ordered event sequences, in-window)
+    "events_distinct_kmv_running",  # per-day KMV running distinct ⊂ streaming_kmv_distinct_parity (same sketch merge PLUS the stateful streaming twin, in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -8186,6 +8429,25 @@ PROMOTED: tuple[str, ...] = (
     # DEMOTED notes)
     "copurchase_triangles",
     "vocab_fuzzy_pairs",
+    # round-7 flagships (VERDICT r6 item 1): first driver-green rows for
+    # the round-6 families — interpolated Kneser-Ney scoring, the
+    # recursive-CTE k-core peel, A-ES weighted sampling, packed sign-bit
+    # Hamming retrieval, CDC changelog merge, the 2nd-domain edit-≤2
+    # fuzzy join, and the lossless-PNG real-codec round trip (its twin
+    # recomputes the decoded stats from source bytes in pure SQL)
+    "doc_kn_bigram_logprob",
+    "copurchase_core_numbers",
+    "quality_aes_sample",
+    "embedding_sign_hamming_topk",
+    "user_state_cdc_merge",
+    "behavior_signature_pairs",
+    "media_png_decode_stats",
+    # round-7 new surface: URL/host crawl hygiene (VERDICT r6 item 2) —
+    # the closed-form oracles derive the canonical URL independently
+    # from the synthesis key, so these rows pin the canonicalizer, the
+    # keep-first election, and the host rollup end to end
+    "url_canonical_dedup",
+    "host_quality_rollup",
 )
 
 
