@@ -153,6 +153,12 @@ HEADLINE = [
     "copurchase_core_numbers",
     "embedding_sign_hamming_topk",
     "behavior_signature_pairs",
+    # round-7 additions: URL/host crawl hygiene, jusText-style
+    # main-content extraction, the unigram E-step driver surface
+    "url_canonical_dedup",
+    "host_quality_rollup",
+    "boilerplate_line_stats",
+    "unigram_char_em_counts",
 ]
 
 

@@ -158,6 +158,14 @@ QUERIES = [
     "events_daily_anomalies",
     "purchase_attribution",
     "media_jpeg_decode_stats",
+    # round-7: URL hygiene (scan-speed string algebra + min-per-key
+    # join), host rollup (one groupBy), per-line boilerplate (explode +
+    # per-doc window — line volume 10x), unigram E-step (alphabet-
+    # bounded aggregate, near-flat expected)
+    "url_canonical_dedup",
+    "host_quality_rollup",
+    "boilerplate_line_stats",
+    "unigram_char_em_counts",
 ]
 
 

@@ -69,8 +69,10 @@ def test_driver_window_holds_flagships():
         # slot in round 7 to doc_kn_bigram_logprob — the richer
         # interpolated-KN form of the same LM-scoring family;
         # near_dup_keep_best ceded to the in-window line_dedup_rewrite
-        # elect rule + near_dup_components machinery)
-        "c4_line_filter_stats", "gopher_quality_flags",
+        # elect rule + near_dup_components machinery;
+        # c4_line_filter_stats ceded to boilerplate_line_stats — the
+        # same per-line HOF classification plus the jusText context rule)
+        "gopher_quality_flags",
         "pii_redaction_stats",
         "bloom_dedup_incremental", "dsir_target_sample",
         # round-7 flagships (ngram_jaccard_near_dups ceded its slot in
@@ -115,7 +117,11 @@ def test_driver_window_holds_flagships():
         "quality_aes_sample", "embedding_sign_hamming_topk",
         "user_state_cdc_merge", "behavior_signature_pairs",
         "media_png_decode_stats",
-        # round-7 new surface: URL/host crawl hygiene
+        # round-7 new surface: URL/host crawl hygiene + main-content
+        # extraction
         "url_canonical_dedup", "host_quality_rollup",
+        "boilerplate_line_stats",
+        # round-7: the unigram E-step's hash-equal row
+        "unigram_char_em_counts",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

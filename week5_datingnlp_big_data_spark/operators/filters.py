@@ -214,3 +214,103 @@ def gopher_quality_flags(
             & ok_stops
         ).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# Boilerplate / main-content extraction (jusText-style, DOM-free).
+# ----------------------------------------------------------------------
+
+# anchor tags: the only markup the DOM-free heuristic needs to see.
+# [^<]* instead of a non-greedy .*? keeps the pattern's behavior
+# engine-independent (Java regex vs RE2 in the DuckDB twin).
+_ANCHOR_PAT = "<[aA]\\b[^>]*>[^<]*</[aA]>"
+
+
+def boilerplate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 5,
+    min_stopword_ratio: float = 0.05,
+    max_link_density: float = 0.4,
+    short_words: int = 3,
+    stop_words: tuple[str, ...] = None,
+) -> DataFrame:
+    """Per-line main-content classification in the style of jusText
+    (Pomikálek 2011, "Removing boilerplate and duplicate content from
+    web corpora", §3) without a DOM: newline-delimited lines are scored
+    on link density (chars inside ``<a>…</a>``), stopword density, and
+    length, classified ``boiler`` / ``good`` / ``short`` / ``near``,
+    and then jusText's context rule runs — a ``near`` line adjacent to
+    a ``good`` line is promoted into the kept set, while ``short`` and
+    ``boiler`` lines never are. Nav strips (two or more ``|``
+    separators) and copyright notices are boilerplate outright.
+
+    Returns one row per non-blank line: id, ``line_idx`` (position in
+    the raw newline split), ``n_words``, ``link_density`` (round 6),
+    ``stopword_ratio`` (round 6), ``klass``, ``keep``.
+
+    Scale shape: the feature block is scan-speed HOF/regex algebra; the
+    only shuffle is the lag/lead context window partitioned by the doc
+    id (per-doc line counts are bounded, so no skewed partitions). The
+    explode multiplies rows before the window — at 100 TB, partition
+    sizing follows lines not docs, which maxPartitionBytes already
+    handles since the explode is post-scan.
+    """
+    from pyspark.sql import Window
+
+    from week5_datingnlp_big_data_spark.functions.stopwords import SNOWBALL_EN
+
+    stops = list(stop_words) if stop_words is not None else list(SNOWBALL_EN)
+    s = F.coalesce(_col(text_col), F.lit(""))
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(s, "\n")).alias("line_idx", "_raw"),
+    ).withColumn("_line", F.trim("_raw"))
+    lines = exploded.filter(F.length("_line") > 0)
+
+    line = F.col("_line")
+    words = F.split(line, "\\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*stops))
+    )
+    stopword_ratio = F.round(stop_hits / n_words, 6)
+    delinked = F.regexp_replace(line, _ANCHOR_PAT, "")
+    link_density = F.round(
+        (F.length(line) - F.length(delinked)) / F.length(line), 6
+    )
+    n_pipes = F.length(line) - F.length(F.regexp_replace(line, "\\|", ""))
+    is_boiler = (
+        (link_density > F.lit(max_link_density))
+        | F.lower(line).contains("copyright")
+        | F.lower(line).contains("©")
+        | (n_pipes >= 2)
+    )
+    klass = (
+        F.when(is_boiler, F.lit("boiler"))
+        .when(n_words < short_words, F.lit("short"))
+        .when(
+            (n_words >= min_words)
+            & (stopword_ratio >= F.lit(min_stopword_ratio)),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("near"))
+    )
+    scored = lines.select(
+        F.col(id_col),
+        F.col("line_idx"),
+        n_words.alias("n_words"),
+        link_density.alias("link_density"),
+        stopword_ratio.alias("stopword_ratio"),
+        klass.alias("klass"),
+    )
+    w = Window.partitionBy(id_col).orderBy("line_idx")
+    prev_k = F.lag("klass").over(w)
+    next_k = F.lead("klass").over(w)
+    keep = (F.col("klass") == "good") | (
+        (F.col("klass") == "near")
+        & ((prev_k == "good") | (next_k == "good"))
+    )
+    return scored.withColumn("keep", keep)

@@ -8236,6 +8236,252 @@ def host_quality_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate extraction fixture: the synthetic docs are single-line, so
+# each doc is re-chunked into a deterministic "web page" — content lines
+# of W words (W md5-varied per doc) wrapped in a nav-strip header, an
+# optional link-dense anchor line at an md5-chosen position, and a
+# copyright footer. Both engines synthesize the identical page, then the
+# Spark side classifies through the operator and the oracle recomputes
+# the same features + jusText context rule in SQL.
+# ---------------------------------------------------------------------------
+
+_BP_HEADERS = (
+    "Home | About | Contact | Login",
+    "Menu | News | Sports | Weather | Opinion",
+    "Home | Products | Pricing | Support | Blog",
+)
+_BP_FOOTERS = (
+    "Copyright 2021 Example Inc All Rights Reserved",
+    "Privacy Policy | Terms of Service | Copyright 2022",
+    "copyright 2023 example com",
+)
+_BP_NAVS = (
+    '<a href="/more">Read more</a> <a href="/subscribe">Subscribe now</a>'
+    ' <a href="/share">Share this</a>',
+    '<a href="/next">Next page</a> <a href="/prev">Previous page</a>',
+)
+
+
+def _synth_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic page per doc (spec above; the SQL twin inside the
+    boilerplate_line_stats oracle mirrors this construction)."""
+    h = F.md5(F.concat(F.lit("page:"), F.col("doc_id").cast("string")))
+
+    def hx(pos: int) -> Column:
+        return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+")
+    n = F.size(words)
+    w_per = (hx(1) % 5 + 8).cast("int")
+    n_lines = F.floor((n + w_per - 1) / w_per).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, (i * w_per + 1).cast("int"), w_per), " "
+        ),
+    )
+    header = F.element_at(
+        F.array(*[F.lit(x) for x in _BP_HEADERS]), (hx(2) % 3 + 1).cast("int")
+    )
+    footer = F.element_at(
+        F.array(*[F.lit(x) for x in _BP_FOOTERS]), (hx(3) % 3 + 1).cast("int")
+    )
+    nav = F.when(
+        hx(4) % 2 == 0,
+        F.array(
+            F.element_at(
+                F.array(*[F.lit(x) for x in _BP_NAVS]),
+                (hx(5) % 2 + 1).cast("int"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = (hx(6) % (n_lines + 1)).cast("int")
+    page_lines = F.concat(
+        F.array(header),
+        F.slice(content, 1, p),
+        nav,
+        F.slice(content, p + 1, n_lines - p),
+        F.array(footer),
+    )
+    return docs.select(
+        "doc_id", F.array_join(page_lines, "\n").alias("text")
+    )
+
+
+def _sql_boilerplate() -> str:
+    stops = ", ".join(f"'{_sq(w)}'" for w in SNOWBALL_EN)
+    headers = ", ".join(f"'{_sq(x)}'" for x in _BP_HEADERS)
+    footers = ", ".join(f"'{_sq(x)}'" for x in _BP_FOOTERS)
+    navs = ", ".join(f"'{_sq(x)}'" for x in _BP_NAVS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5('page:' || CAST(doc_id AS VARCHAR)) AS h,
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
+      FROM documents
+    ), geo AS (
+      SELECT doc_id, ws,
+             ('0x' || substr(h, 1, 1))::INT % 5 + 8 AS W,
+             ('0x' || substr(h, 2, 1))::INT % 3 + 1 AS hi,
+             ('0x' || substr(h, 3, 1))::INT % 3 + 1 AS fi,
+             ('0x' || substr(h, 4, 1))::INT % 2 AS has_nav,
+             ('0x' || substr(h, 5, 1))::INT % 2 + 1 AS ni,
+             ('0x' || substr(h, 6, 1))::INT AS praw
+      FROM base
+    ), pages AS (
+      SELECT doc_id,
+             list_concat(list_concat(list_concat(list_concat(
+               [([{headers}])[hi]],
+               list_transform(range(nl), i ->
+                 array_to_string(ws[(i * W + 1)::INT : (i * W + W)::INT], ' '))
+                 [1 : (praw % (nl + 1))::INT]),
+               CASE WHEN has_nav = 0 THEN [([{navs}])[ni]] ELSE [] END),
+               list_transform(range(nl), i ->
+                 array_to_string(ws[(i * W + 1)::INT : (i * W + W)::INT], ' '))
+                 [(praw % (nl + 1) + 1)::INT : nl]),
+               [([{footers}])[fi]]) AS lines
+      FROM (SELECT *, (len(ws) + W - 1) // W AS nl FROM geo)
+    ), lined AS (
+      SELECT doc_id, CAST(u.s['idx'] AS INT) AS line_idx,
+             u.s['line'] AS line
+      FROM pages,
+           unnest(list_transform(range(len(lines)),
+                                 i -> {{'idx': i,
+                                        'line': lines[(i + 1)::INT]}})) u(s)
+    ), feat AS (
+      SELECT doc_id, line_idx,
+             len(regexp_split_to_array(line, '\\s+')) AS n_words,
+             round(CAST(len(line) - len(regexp_replace(line,
+                     '<[aA]\\b[^>]*>[^<]*</[aA]>', '', 'g')) AS DOUBLE)
+                   / len(line), 6) AS link_density,
+             round(CAST(len(list_filter(regexp_split_to_array(line, '\\s+'),
+                     x -> list_contains([{stops}], lower(x)))) AS DOUBLE)
+                   / len(regexp_split_to_array(line, '\\s+')), 6)
+               AS stopword_ratio,
+             len(line) - len(replace(line, '|', '')) AS n_pipes,
+             contains(lower(line), 'copyright')
+               OR contains(lower(line), '©') AS has_copy
+      FROM lined
+    ), klassed AS (
+      SELECT doc_id, line_idx, n_words, link_density, stopword_ratio,
+             CASE WHEN link_density > 0.4 OR has_copy OR n_pipes >= 2
+                    THEN 'boiler'
+                  WHEN n_words < 3 THEN 'short'
+                  WHEN n_words >= 5 AND stopword_ratio >= 0.05 THEN 'good'
+                  ELSE 'near' END AS klass
+      FROM feat
+    )
+    SELECT doc_id, line_idx, n_words, link_density, stopword_ratio, klass,
+           klass = 'good' OR (klass = 'near'
+             AND (lag(klass) OVER w = 'good' OR lead(klass) OVER w = 'good'))
+             AS keep
+    FROM klassed
+    WINDOW w AS (PARTITION BY doc_id ORDER BY line_idx)
+    """
+
+
+@query(
+    "unigram_char_em_counts",
+    """
+    WITH wf AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS word
+            FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0)
+      WHERE length(word) > 0 GROUP BY word
+    ), bi AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS bg, sum(cnt) AS cnt
+      FROM wf, unnest(range(1, length(word))) t(i)
+      WHERE length(word) >= 2
+      GROUP BY 1
+    ), contrib AS (
+      SELECT substr(bg, 1, 1) AS piece, cnt FROM bi
+      UNION ALL
+      SELECT substr(bg, 2, 1) AS piece, cnt FROM bi
+    ), ec AS (
+      SELECT piece, CAST(sum(cnt) * 1048576 AS BIGINT) AS ec
+      FROM contrib GROUP BY piece
+    ), tot AS (SELECT CAST(sum(ec) AS BIGINT) AS t FROM ec)
+    SELECT piece, ec, round(ln(CAST(ec AS DOUBLE) / t), 6) AS logprob
+    FROM ec, tot
+    """,
+)
+def unigram_char_em_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM distributed E-step through the driver contract:
+    one REAL ``_expected_counts`` pass (Arrow-batched forward-backward,
+    per-batch map-side count combine, floor(ec·2²⁰) int64 quantization,
+    the vocab-sized groupBy sum, the log-likelihood carrier row) over a
+    char-bigram word table with max_piece_len=1 — a trivial-lattice
+    fixture chosen ON PURPOSE: a single-path lattice makes every
+    per-arc posterior EXACTLY 1.0 in IEEE float (the exponent cancels
+    to 0.0 term-for-term for paths of ≤ 2 arcs), so the quantized
+    counts have the closed form ec(char) = 2²⁰ · Σ cnt·multiplicity
+    that the DuckDB twin recomputes — a hash-equal check of the whole
+    distributed E-step machinery. Multi-piece lattices (where float
+    posteriors are not closed-form) stay pinned by the exact
+    pure-Python forward-backward twin, monotone-likelihood, and
+    round-trip tests in tests/test_unigram.py. The M-step projection
+    (logprob = ln(ec/Σec), round 6) rides the same row. See
+    operators/unigram.py:_expected_counts."""
+    import math
+
+    from week5_datingnlp_big_data_spark.operators import unigram
+    from week5_datingnlp_big_data_spark.operators.bpe import word_frequencies
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    wf = word_frequencies(docs)
+    bigrams = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("word"),
+            F.col("cnt"),
+        )
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # uniform seed distribution over the (alphabet-bounded) char set —
+    # the posterior of a single-path lattice is 1.0 whatever the seed
+    chars = sorted(
+        r["c"]
+        for r in bigrams.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    )
+    logp = {c: math.log(1.0 / max(len(chars), 1)) for c in chars}
+    ec = unigram._expected_counts(bigrams, logp, max_piece_len=1).filter(
+        F.col("piece") != unigram._LL_KEY
+    )
+    total = ec.agg(F.sum("ec").alias("t"))
+    return ec.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "ec",
+        F.round(F.log(F.col("ec") / F.col("t")), 6).alias("logprob"),
+    )
+
+
+@query("boilerplate_line_stats", _sql_boilerplate())
+def boilerplate_line_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (jusText-style, DOM-free): per-line
+    link-density / stopword-density / length classification plus the
+    context rule that rescues near-good lines adjacent to good ones.
+    The fixture pages plant nav strips, anchor-dense lines, and
+    copyright footers at md5-chosen positions, so every rule fires and
+    the keep flags carry real signal. Scan-speed HOF features + one
+    per-doc window; see operators/filters.py:boilerplate_line_stats."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return filters.boilerplate_line_stats(_synth_pages(docs))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -8366,6 +8612,7 @@ DEMOTED: tuple[str, ...] = (
     "embedding_margin_pairs",     # LSH-cell-blocked margin mining ⊂ embedding_coverage_sample (same hyperplane-cell signature, in-window) + the in-window embedding top-k row
     "session_top_paths",          # ordered path n-grams ⊂ session_concurrency (same sessionize CTE, in-window) + purchase_attribution (ordered event sequences, in-window)
     "events_distinct_kmv_running",  # per-day KMV running distinct ⊂ streaming_kmv_distinct_parity (same sketch merge PLUS the stateful streaming twin, in-window)
+    "c4_line_filter_stats",       # C4 per-line keep rules ⊂ boilerplate_line_stats (same per-line HOF classification + the jusText context rule, in-window) + gopher_quality_flags (doc-level quality rules, in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -8448,6 +8695,12 @@ PROMOTED: tuple[str, ...] = (
     # keep-first election, and the host rollup end to end
     "url_canonical_dedup",
     "host_quality_rollup",
+    # round-7 new surface: jusText-style main-content extraction
+    # (takes the per-line classification slot from c4_line_filter_stats)
+    "boilerplate_line_stats",
+    # round-7: the unigram-LM distributed E-step's hash-equal row
+    # (trivial-lattice fixture; see the query docstring)
+    "unigram_char_em_counts",
 )
 
 
