@@ -766,3 +766,87 @@ def test_streaming_latest_user_state_across_batches(spark, sf_dir, tmp_path):
         (F.col("upd") >= 2) & (F.col("ts_us") > F.unix_micros(F.lit(cut)))
     ).count()
     assert superseded > 0
+
+
+def test_streaming_latest_user_state_out_of_order(spark, sf_dir, tmp_path):
+    """8th stream-batch parity gate: the changelog arrives OUT OF ORDER.
+    Batches are split by an md5 parity of event_id — time-decorrelated,
+    so for many users batch 2 delivers events OLDER than the state batch
+    1 already wrote (the late-arrival case a time-split feed never
+    exercises). The latest-state argmax must resist the regression
+    (never let an older event supersede newer state) and drain to the
+    same per-user snapshot as one batch pass."""
+    from week5_datingnlp_big_data_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    parity = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 2
+    )
+    _drop_file(events.filter(parity == 0), tmp_path, "ooo", "b1.parquet")
+    _drop_file(events.filter(parity == 1), tmp_path, "ooo", "b2.parquet")
+
+    stream = sc.stream_events(spark, str(tmp_path / "ooo"))
+    q = sc.run_stream_to_memory(
+        sc.streaming_latest_user_state(stream), "ooo_state",
+        output_mode="update",
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    latest = (
+        spark.table("ooo_state")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["user_id"], r["ts_us"], r["event_id"], r["event_type"])
+        for r in latest.collect()
+    }
+    batch = {
+        (r["user_id"], r["ts_us"], r["event_id"], r["event_type"])
+        for r in relational.latest_state(
+            events.withColumn("ts_us", F.unix_micros("ts")),
+            ["user_id"], ["ts", "event_id"], "event_type",
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # the split must have produced genuine LATE arrivals: users whose
+    # global argmax rode batch 1 but who still received (older) batch-2
+    # rows afterwards — their state saw a second update and must NOT
+    # have regressed (it did not, or the set compare above would fail)
+    agg = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        parity.alias("par"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    tops = (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("par").alias("top_par"))
+    )
+    late_users = (
+        agg.join(tops, "user_id")
+        .filter((F.col("top_par") == 0) & (F.col("par") == 1))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert late_users > 0
+    multi_update = latest.filter(F.col("upd") >= 2).count()
+    assert multi_update > 0
