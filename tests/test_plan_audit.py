@@ -81,7 +81,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # rarest-gram prefix + delete-neighborhood union, and
                  # the changelog anti-join must all stay equi-joins
                  "copurchase_triangles", "vocab_fuzzy_pairs",
-                 "user_state_cdc_merge"):
+                 "user_state_cdc_merge",
+                 # round-7: the canonical-URL keeper join must stay an
+                 # equi-join; host rollup and the boilerplate window are
+                 # join-free scan shapes
+                 "url_canonical_dedup", "host_quality_rollup",
+                 "boilerplate_line_stats"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
@@ -165,3 +170,20 @@ def test_round5_bnlj_sides_are_bounded(spark, sf_dir):
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]
         assert hard == [], (name, out["warnings"])
+
+
+def test_url_canonicalization_is_scan_speed(spark):
+    # The canonicalizer must stay pure Catalyst string algebra: no
+    # Python stage, no exchange — adding the canonical column to a scan
+    # is a zero-shuffle map.
+    from week5_datingnlp_big_data_spark.operators import web
+    from week5_datingnlp_big_data_spark.plans.audit import audit_plan
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://WWW.Site"), F.col("id").cast("string"),
+                 F.lit(".Example.COM:443/a//b/?z=1&utm_source=x#f")).alias("url")
+    ).select(web.canonical_url("url").alias("c"))
+    out = audit_plan(df, max_exchanges=0)
+    assert out["n_exchanges"] == 0 and out["warnings"] == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pythonudf" not in plan.lower().replace(" ", "")
