@@ -159,6 +159,7 @@ HEADLINE = [
     "host_quality_rollup",
     "boilerplate_line_stats",
     "unigram_char_em_counts",
+    "main_content_extract",
 ]
 
 

@@ -166,6 +166,7 @@ QUERIES = [
     "host_quality_rollup",
     "boilerplate_line_stats",
     "unigram_char_em_counts",
+    "main_content_extract",
 ]
 
 

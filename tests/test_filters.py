@@ -50,3 +50,27 @@ def test_boilerplate_blank_lines_skipped_indexes_kept(spark):
     df = spark.createDataFrame([(1, page)], "doc_id long, text string")
     rows = boilerplate_line_stats(df).orderBy("line_idx").collect()
     assert [r["line_idx"] for r in rows] == [0, 3]
+
+
+def test_extract_main_content_rebuilds_in_order(spark):
+    from week5_datingnlp_big_data_spark.operators.filters import (
+        extract_main_content,
+    )
+
+    good1 = "the quick brown fox jumped over the lazy sleeping dog"
+    near = "words lacking function vocabulary terms"
+    good2 = "fox den near the river bank was quiet today it seems"
+    page = "\n".join([
+        "Home | About | Contact | Login",
+        good1, near, good2,
+        "Copyright 2021 Example Inc All Rights Reserved",
+    ])
+    all_boiler = "Menu | News | Sports\nCopyright 2022 Example"
+    df = spark.createDataFrame(
+        [(1, page), (2, all_boiler)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in extract_main_content(df).collect()}
+    assert rows[1]["main_text"] == "\n".join([good1, near, good2])
+    assert (rows[1]["n_lines"], rows[1]["n_kept_lines"]) == (5, 3)
+    # all-boilerplate docs keep an empty rewrite, not a dropped row
+    assert rows[2]["main_text"] == "" and rows[2]["n_kept_lines"] == 0

@@ -236,6 +236,7 @@ def boilerplate_line_stats(
     max_link_density: float = 0.4,
     short_words: int = 3,
     stop_words: tuple[str, ...] = None,
+    with_line_text: bool = False,
 ) -> DataFrame:
     """Per-line main-content classification in the style of jusText
     (Pomikálek 2011, "Removing boilerplate and duplicate content from
@@ -249,7 +250,10 @@ def boilerplate_line_stats(
 
     Returns one row per non-blank line: id, ``line_idx`` (position in
     the raw newline split), ``n_words``, ``link_density`` (round 6),
-    ``stopword_ratio`` (round 6), ``klass``, ``keep``.
+    ``stopword_ratio`` (round 6), ``klass``, ``keep`` — plus the
+    trimmed ``line`` itself when ``with_line_text`` (the rewrite
+    consumer :func:`extract_main_content` needs it; the stats consumer
+    shouldn't shuffle line bodies through the context window).
 
     Scale shape: the feature block is scan-speed HOF/regex algebra; the
     only shuffle is the lag/lead context window partitioned by the doc
@@ -298,14 +302,17 @@ def boilerplate_line_stats(
         )
         .otherwise(F.lit("near"))
     )
-    scored = lines.select(
+    cols = [
         F.col(id_col),
         F.col("line_idx"),
         n_words.alias("n_words"),
         link_density.alias("link_density"),
         stopword_ratio.alias("stopword_ratio"),
         klass.alias("klass"),
-    )
+    ]
+    if with_line_text:
+        cols.append(line.alias("line"))
+    scored = lines.select(*cols)
     w = Window.partitionBy(id_col).orderBy("line_idx")
     prev_k = F.lag("klass").over(w)
     next_k = F.lead("klass").over(w)
@@ -314,3 +321,47 @@ def boilerplate_line_stats(
         & ((prev_k == "good") | (next_k == "good"))
     )
     return scored.withColumn("keep", keep)
+
+
+def extract_main_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The destructive consumer of :func:`boilerplate_line_stats` (the
+    flags-then-cut pairing every filter family here ships): rebuild each
+    document from its kept lines only. Returns one row per input doc —
+    ``(id, n_lines, n_kept_lines, main_text)``, where docs whose every
+    line was boilerplate keep an empty ``main_text`` rather than being
+    dropped, so the same plan serves the rewrite and the audit.
+
+    One groupBy on the doc id; line order is restored by sorting the
+    collected (line_idx, line) structs, not by trusting collect_list
+    order (which is partition-arrival-dependent).
+    """
+    scored = boilerplate_line_stats(
+        docs, text_col=text_col, id_col=id_col, with_line_text=True, **kwargs
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("line_idx"), F.col("line"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct),
+                            lambda s: s.isNotNull(),
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("main_text"),
+        )
+    )

@@ -8308,11 +8308,24 @@ def _synth_pages(docs: DataFrame) -> DataFrame:
     )
 
 
-def _sql_boilerplate() -> str:
+def _sql_boilerplate(rewrite: bool = False) -> str:
     stops = ", ".join(f"'{_sq(w)}'" for w in SNOWBALL_EN)
     headers = ", ".join(f"'{_sq(x)}'" for x in _BP_HEADERS)
     footers = ", ".join(f"'{_sq(x)}'" for x in _BP_FOOTERS)
     navs = ", ".join(f"'{_sq(x)}'" for x in _BP_NAVS)
+    if rewrite:
+        tail = """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_lines,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_idx), '') AS main_text
+    FROM verdict GROUP BY doc_id"""
+    else:
+        tail = """
+    SELECT doc_id, line_idx, n_words, link_density, stopword_ratio, klass,
+           keep
+    FROM verdict"""
     return f"""
     WITH base AS (
       SELECT doc_id,
@@ -8349,7 +8362,7 @@ def _sql_boilerplate() -> str:
                                  i -> {{'idx': i,
                                         'line': lines[(i + 1)::INT]}})) u(s)
     ), feat AS (
-      SELECT doc_id, line_idx,
+      SELECT doc_id, line_idx, line,
              len(regexp_split_to_array(line, '\\s+')) AS n_words,
              round(CAST(len(line) - len(regexp_replace(line,
                      '<[aA]\\b[^>]*>[^<]*</[aA]>', '', 'g')) AS DOUBLE)
@@ -8363,20 +8376,23 @@ def _sql_boilerplate() -> str:
                OR contains(lower(line), '©') AS has_copy
       FROM lined
     ), klassed AS (
-      SELECT doc_id, line_idx, n_words, link_density, stopword_ratio,
+      SELECT doc_id, line_idx, line, n_words, link_density, stopword_ratio,
              CASE WHEN link_density > 0.4 OR has_copy OR n_pipes >= 2
                     THEN 'boiler'
                   WHEN n_words < 3 THEN 'short'
                   WHEN n_words >= 5 AND stopword_ratio >= 0.05 THEN 'good'
                   ELSE 'near' END AS klass
       FROM feat
+    ), verdict AS (
+      SELECT doc_id, line_idx, line, n_words, link_density, stopword_ratio,
+             klass,
+             klass = 'good' OR (klass = 'near'
+               AND (lag(klass) OVER w = 'good' OR lead(klass) OVER w = 'good'))
+               AS keep
+      FROM klassed
+      WINDOW w AS (PARTITION BY doc_id ORDER BY line_idx)
     )
-    SELECT doc_id, line_idx, n_words, link_density, stopword_ratio, klass,
-           klass = 'good' OR (klass = 'near'
-             AND (lag(klass) OVER w = 'good' OR lead(klass) OVER w = 'good'))
-             AS keep
-    FROM klassed
-    WINDOW w AS (PARTITION BY doc_id ORDER BY line_idx)
+    {tail}
     """
 
 
@@ -8479,6 +8495,19 @@ def boilerplate_line_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window; see operators/filters.py:boilerplate_line_stats."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return filters.boilerplate_line_stats(_synth_pages(docs))
+
+
+@query("main_content_extract", _sql_boilerplate(rewrite=True))
+def main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The destructive rewrite paired with boilerplate_line_stats (the
+    flags-then-cut discipline of the dedup family): rebuild each fixture
+    page from its kept lines only, in original line order — the hash
+    covers the full reconstructed text, so ordering, the context rule,
+    and the all-boilerplate empty-doc edge are all value-verified. One
+    groupBy per doc with struct-sorted line reassembly; see
+    operators/filters.py:extract_main_content."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return filters.extract_main_content(_synth_pages(docs))
 
 
 # ---------------------------------------------------------------------------
