@@ -160,6 +160,7 @@ HEADLINE = [
     "boilerplate_line_stats",
     "unigram_char_em_counts",
     "main_content_extract",
+    "url_frontier_schedule",
 ]
 
 

@@ -167,6 +167,7 @@ QUERIES = [
     "boilerplate_line_stats",
     "unigram_char_em_counts",
     "main_content_extract",
+    "url_frontier_schedule",
 ]
 
 

@@ -80,3 +80,37 @@ def test_host_rollup_counts_and_words(spark):
     assert (b["n_docs"], b["n_urls"], b["n_dup_docs"], b["total_words"]) == (
         1, 1, 0, 0,
     )
+
+
+def test_frontier_schedule_politeness_and_interleave(spark):
+    rows = [
+        (1, "http://a.io/1", 10),
+        (2, "http://a.io/2", 30),
+        (3, "http://a.io/3", 20),
+        (4, "http://b.io/1", 5),
+        (5, "http://b.io/2", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, priority long")
+    out = {r["doc_id"]: r for r in web.frontier_schedule(df).collect()}
+    # within a host: higher priority first
+    assert [out[i]["tick"] for i in (2, 3, 1)] == [0, 1, 2]
+    assert [out[i]["tick"] for i in (5, 4)] == [0, 1]
+    # one fetch per host per tick; ticks interleave hosts round-robin
+    # (hosts sorted: a.io -> idx 0, b.io -> idx 1; n_hosts = 2)
+    assert out[2]["crawl_order"] == 0 and out[5]["crawl_order"] == 1
+    assert out[3]["crawl_order"] == 2 and out[4]["crawl_order"] == 3
+    assert out[1]["crawl_order"] == 4
+    orders = sorted(r["crawl_order"] for r in out.values())
+    assert orders == sorted(set(orders))  # total order, no collisions
+
+
+def test_frontier_schedule_max_per_host_budget(spark):
+    rows = [(i, f"http://a.io/{i}", 100 - i) for i in range(6)] + [
+        (10, "http://b.io/x", 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, priority long")
+    out = web.frontier_schedule(df, max_per_host=3)
+    per_host = {r["host"]: 0 for r in out.collect()}
+    for r in out.collect():
+        per_host[r["host"]] += 1
+    assert per_host == {"a.io": 3, "b.io": 1}

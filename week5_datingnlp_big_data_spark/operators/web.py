@@ -165,3 +165,57 @@ def host_rollup(
             F.round(F.avg("_w"), 6).alias("avg_words"),
         )
     )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier schedule: each host is fetched at
+    most once per tick (the one-connection-per-host rule every polite
+    crawler enforces), higher-priority URLs within a host go first, and
+    ticks interleave hosts fairly. Returns the input plus ``host``,
+    ``canonical_url``, ``tick`` (0-based per-host fetch round) and
+    ``crawl_order`` (global dispatch key = tick · n_hosts + host_idx —
+    a total order that round-robins across hosts).
+
+    Scale shape: the only URL-cardinality window is the per-host rank
+    (one shuffle on host, per-partition size = URLs of one host, the
+    same key politeness itself bounds). The GLOBAL interleave is NOT a
+    global window over URLs — ``host_idx`` comes from a window over the
+    host DIMENSION (host-cardinality, orders of magnitude smaller) and
+    ``n_hosts`` from a 1-row aggregate broadcast, so ``crawl_order`` is
+    computed scan-side in integer arithmetic. Exact duplicates should be
+    removed first (:func:`url_dedup_keep_first`); ``max_per_host`` caps
+    runaway hosts (the crawl-budget rule, RefinedWeb §3.1).
+    """
+    from pyspark.sql import Window
+
+    canon = df.withColumn("canonical_url", canonical_url(url_col)).withColumn(
+        "host", canonical_host(url_col)
+    )
+    per_host = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.asc("canonical_url"), F.asc(id_col)
+    )
+    ranked = canon.withColumn(
+        "tick", (F.row_number().over(per_host) - 1).cast("long")
+    )
+    if max_per_host is not None:
+        ranked = ranked.filter(F.col("tick") < max_per_host)
+    hosts = canon.select("host").distinct()
+    host_dim = hosts.withColumn(
+        "host_idx",
+        (F.row_number().over(Window.orderBy("host")) - 1).cast("long"),
+    )
+    n_hosts = host_dim.agg(F.count(F.lit(1)).alias("n_hosts"))
+    return (
+        ranked.join(F.broadcast(host_dim), "host")
+        .join(F.broadcast(n_hosts))
+        .withColumn(
+            "crawl_order", F.col("tick") * F.col("n_hosts") + F.col("host_idx")
+        )
+        .drop("n_hosts")
+    )

@@ -8235,6 +8235,56 @@ def host_quality_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.host_rollup(_synth_urls(docs), url_col="url")
 
 
+@query(
+    "url_frontier_schedule",
+    f"""
+    WITH ks AS ({_SQL_URL_CANON}),
+    c AS ({_SQL_URL_CANON_FORM}),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, n_words, host, canonical_url,
+               doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+                 AS is_kept
+        FROM c
+      ) WHERE is_kept
+    ), ranked AS (
+      SELECT doc_id, host, canonical_url,
+             CAST(row_number() OVER (
+               PARTITION BY host
+               ORDER BY n_words DESC, canonical_url, doc_id) - 1 AS BIGINT)
+               AS tick
+      FROM kept
+    ), hosts AS (
+      SELECT host,
+             CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS host_idx
+      FROM (SELECT DISTINCT host FROM kept)
+    ), nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts)
+    SELECT r.doc_id, r.host, r.tick, r.tick * nh.n + h.host_idx AS crawl_order
+    FROM ranked r JOIN hosts h USING (host) CROSS JOIN nh
+    """,
+)
+def url_frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness schedule over the deduped URL set:
+    per-host fetch ticks (priority = document word count, ties broken
+    lexically) interleaved into a global round-robin dispatch order via
+    tick · n_hosts + host_idx — integer arithmetic with the only
+    URL-cardinality window partitioned by host (the key politeness
+    itself bounds); the global interleave rides the host DIMENSION.
+    See operators/web.py:frontier_schedule."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.trim(F.col("text"))
+    raw = _synth_urls(docs).withColumn(
+        "priority",
+        F.when(t == F.lit(""), F.lit(0)).otherwise(
+            F.size(F.split(t, "\\s+"))
+        ),
+    )
+    kept = web.url_dedup_keep_first(raw, url_col="url").filter("is_kept")
+    return web.frontier_schedule(kept, url_col="url").select(
+        "doc_id", "host", "tick", "crawl_order"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate extraction fixture: the synthetic docs are single-line, so
 # each doc is re-chunked into a deterministic "web page" — content lines
