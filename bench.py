@@ -186,23 +186,24 @@ CORE = 20  # first 20 HEADLINE entries == the r01/r02 comparable set
 # VM health probe: BENCH_r06 was recorded during a documented degraded
 # phase of this VM (docs/BENCH_ADJUDICATION_r6.md) and overstated the
 # engine ~20% vs the recovered-machine closing run. The probe times a
-# fixed single-thread workload (min-of-5 of a 1024x1024 float64 matmul)
-# whose healthy value on this box is ~25-30 ms; a probe beyond
-# VM_PROBE_HEALTHY_MS * 1.5 marks the artifact vm_degraded so the judge
-# can weight the numbers without re-running.
-VM_PROBE_HEALTHY_MS = 32.0
+# fixed SINGLE-THREADED workload — sha256 over a 16 MiB buffer,
+# GIL-bound by construction (a BLAS matmul was rejected: its thread
+# count floats with ambient load, swinging 5→28 ms) — measured at a
+# steady 12.4-12.7 ms on this box idle across repeated calibrations.
+# A probe beyond VM_PROBE_HEALTHY_MS * 1.3 marks the artifact
+# vm_degraded so the judge can weight the numbers without re-running.
+VM_PROBE_HEALTHY_MS = 13.0
+VM_PROBE_DEGRADED_FACTOR = 1.3
 
 
 def _vm_probe() -> float:
-    import numpy as np
+    import hashlib
 
-    rng = np.random.default_rng(7)
-    a = rng.standard_normal((1024, 1024))
-    b = rng.standard_normal((1024, 1024))
+    buf = b"\x5a" * (1 << 24)
     best = None
     for _ in range(5):
         t0 = time.perf_counter()
-        (a @ b).sum()
+        hashlib.sha256(buf).hexdigest()
         dt = (time.perf_counter() - t0) * 1000.0
         best = dt if best is None else min(best, dt)
     return round(best, 2)
@@ -232,7 +233,7 @@ def _emit(
     if probe_ms is not None:
         full["vm_probe_ms"] = probe_ms
         full["vm_probe_healthy_ms"] = VM_PROBE_HEALTHY_MS
-        full["vm_degraded"] = probe_ms > VM_PROBE_HEALTHY_MS * 1.5
+        full["vm_degraded"] = probe_ms > VM_PROBE_HEALTHY_MS * VM_PROBE_DEGRADED_FACTOR
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
@@ -254,7 +255,7 @@ def _emit(
     }
     if probe_ms is not None:
         base["vm_probe_ms"] = probe_ms
-        base["vm_degraded"] = probe_ms > VM_PROBE_HEALTHY_MS * 1.5
+        base["vm_degraded"] = probe_ms > VM_PROBE_HEALTHY_MS * VM_PROBE_DEGRADED_FACTOR
     line = json.dumps(base, separators=(",", ":"))
     for n in rest:
         reported[n] = timings[n]

@@ -205,15 +205,31 @@ def frontier_schedule(
     )
     if max_per_host is not None:
         ranked = ranked.filter(F.col("tick") < max_per_host)
-    hosts = canon.select("host").distinct()
-    host_dim = hosts.withColumn(
-        "host_idx",
-        (F.row_number().over(Window.orderBy("host")) - 1).cast("long"),
+    # host_idx AND n_hosts in ONE pass over the host dimension: both
+    # windows share the dim's single exchange, so the (arbitrarily
+    # expensive) input lineage is re-executed once for the dim branch
+    # and once for the ranked branch — not a third time for a separate
+    # count aggregate.
+    host_dim = (
+        canon.select("host")
+        .distinct()
+        .select(
+            "host",
+            (F.row_number().over(Window.orderBy("host")) - 1)
+            .cast("long")
+            .alias("host_idx"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("n_hosts"),
+        )
     )
-    n_hosts = host_dim.agg(F.count(F.lit(1)).alias("n_hosts"))
     return (
         ranked.join(F.broadcast(host_dim), "host")
-        .join(F.broadcast(n_hosts))
         .withColumn(
             "crawl_order", F.col("tick") * F.col("n_hosts") + F.col("host_idx")
         )
