@@ -161,6 +161,8 @@ HEADLINE = [
     "unigram_char_em_counts",
     "main_content_extract",
     "url_frontier_schedule",
+    "nb_lang_predictions",
+    "nb_lang_confusion",
 ]
 
 

@@ -408,3 +408,118 @@ def cluster_plot_data(
             "cluster",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Multinomial Naive Bayes in pure DataFrame algebra — the engine's first
+# HASH-EQUAL classifier. MLlib's tree (above) is invariant-pinned because
+# its sampling/pruning semantics are library-internal; NB's math is three
+# aggregations, so the whole train→predict→confusion path can be
+# bit-identical across engines when the log-likelihoods are quantized to
+# integers (floor(ln(p)·1e9) int64 — the graph.py/unigram.py trick):
+# scores become pure int64 sums, immune to float partial-sum order, and
+# the DuckDB twin reproduces them exactly (both engines call the same
+# libm ln on the same IEEE division of exact integer counts).
+# ----------------------------------------------------------------------
+
+NB_SCALE = 10**9
+
+
+def naive_bayes_model(
+    train: DataFrame,
+    label_col: str = "label",
+    tokens_col: str = "tokens",
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB with add-one smoothing over the training
+    vocabulary. Returns ``(model, priors)``:
+
+    * ``model``: DENSE ``(label, term, llr)`` — every (class, vocab-term)
+      pair, ``llr = floor(ln((cnt+1)/(total_c+V)) · 1e9)`` as int64, so
+      a vocab term absent from a class still contributes its smoothed
+      penalty (exact NB, not an inner-join approximation). V·C rows:
+      model-sized (Zipf-bounded vocab × handful of classes), never
+      corpus-sized.
+    * ``priors``: ``(label, prior)`` with ``prior = floor(ln(n_c/n)·1e9)``.
+    """
+    tt = train.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens_col).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = tt.groupBy("label", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = counts.select("term").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    class_tot = counts.groupBy("label").agg(F.sum("cnt").alias("total"))
+    dense = (
+        class_tot.crossJoin(F.broadcast(vocab))
+        .join(counts, ["label", "term"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "label",
+            "term",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("total") + F.col("v"))
+                )
+                * NB_SCALE
+            )
+            .cast("long")
+            .alias("llr"),
+        )
+    )
+    n_docs = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    total_docs = n_docs.agg(F.sum("n_c").alias("n"))
+    priors = n_docs.crossJoin(F.broadcast(total_docs)).select(
+        "label",
+        F.floor(F.log(F.col("n_c") / F.col("n")) * NB_SCALE)
+        .cast("long")
+        .alias("prior"),
+    )
+    return dense, priors
+
+
+def naive_bayes_predict(
+    test: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Score and classify: ``score(d, c) = prior_c + Σ_t cnt_dt · llr_tc``
+    over the test doc's vocabulary terms (out-of-vocabulary terms are
+    ignored — standard multinomial NB at inference). All int64
+    arithmetic; argmax ties break on the lexically smallest label, so
+    the prediction is a pure function of the row set. A doc with no
+    in-vocabulary term falls back to the prior argmax rather than
+    disappearing (priors ride a docs × classes attach, classes being a
+    broadcastable handful).
+
+    Returns ``(id, predicted, score)`` — score in 1e-9 log units.
+    """
+    counts = (
+        test.select(F.col(id_col), F.explode(tokens_col).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term_scores = (
+        counts.join(model, "term")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("cnt") * F.col("llr")).alias("ts"))
+    )
+    base = test.select(id_col).distinct().crossJoin(F.broadcast(priors))
+    scored = base.join(term_scores, [id_col, "label"], "left").select(
+        id_col,
+        "label",
+        (F.col("prior") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("label").alias("predicted"), "score")
+    )

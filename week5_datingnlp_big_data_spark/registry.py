@@ -8547,6 +8547,134 @@ def boilerplate_line_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filters.boilerplate_line_stats(_synth_pages(docs))
 
 
+# ---------------------------------------------------------------------------
+# Hash-equal Naive Bayes (operators/ml.py:naive_bayes_model/predict):
+# train/test split by md5(doc_id), whitespace-lower tokens, add-one
+# smoothing, log-likelihoods quantized to floor(ln(p)·1e9) int64 so
+# scores are pure integer sums — the first classifier in the repo whose
+# ENTIRE train→predict path is value-verified against DuckDB, not
+# invariant-pinned (the MLlib tree stays invariant-pinned; its
+# sampling/pruning semantics are library-internal).
+# ---------------------------------------------------------------------------
+
+_SQL_NB_COMMON = """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10
+                 >= 8 AS is_test,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS term
+        FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+      ), t2 AS (
+        SELECT * FROM toks WHERE length(term) > 0
+      ), counts AS (
+        SELECT lang AS label, term, count(*) AS cnt
+        FROM t2 WHERE NOT is_test GROUP BY 1, 2
+      ), vocab AS (SELECT DISTINCT term FROM counts),
+      v AS (SELECT count(*) AS v FROM vocab),
+      tot AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY 1),
+      model AS (
+        SELECT t.label, vb.term,
+               CAST(floor(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+                             / (t.total + v.v)) * 1000000000) AS BIGINT)
+                 AS llr
+        FROM tot t CROSS JOIN vocab vb CROSS JOIN v
+        LEFT JOIN counts c ON c.label = t.label AND c.term = vb.term
+      ), traindocs AS (
+        SELECT lang AS label, count(*) AS n_c
+        FROM documents
+        WHERE length(trim(coalesce(text, ''))) > 0
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10 < 8
+        GROUP BY 1
+      ), priors AS (
+        SELECT label,
+               CAST(floor(ln(CAST(n_c AS DOUBLE)
+                             / (SELECT sum(n_c) FROM traindocs))
+                          * 1000000000) AS BIGINT) AS prior
+        FROM traindocs
+      ), testdocs AS (
+        SELECT doc_id, lang FROM documents
+        WHERE length(trim(coalesce(text, ''))) > 0
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10 >= 8
+      ), tc AS (
+        SELECT doc_id, term, count(*) AS cnt
+        FROM t2 WHERE is_test GROUP BY 1, 2
+      ), ts AS (
+        SELECT tc.doc_id, m.label, CAST(sum(tc.cnt * m.llr) AS BIGINT) AS ts
+        FROM tc JOIN model m USING (term) GROUP BY 1, 2
+      ), scored AS (
+        SELECT d.doc_id, p.label,
+               p.prior + coalesce(ts.ts, 0) AS score
+        FROM testdocs d CROSS JOIN priors p
+        LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = p.label
+      ), pred AS (
+        SELECT doc_id, label AS predicted, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM scored
+      )
+"""
+
+
+def _nb_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    nonempty = docs.filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    toks = nonempty.select(
+        "doc_id",
+        F.col("lang"),
+        F.split(F.trim(F.lower("text")), "\\s+").alias("tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                   16, 10).cast("long") % 10 >= 8
+        ).alias("is_test"),
+    )
+    return toks.filter(~F.col("is_test")), toks.filter("is_test")
+
+
+@query(
+    "nb_lang_predictions",
+    _SQL_NB_COMMON
+    + """
+    SELECT doc_id, predicted, score FROM pred WHERE rn = 1
+    """,
+)
+def nb_lang_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NB language predictions on the md5-held-out 20% test
+    split — the int64 scores (1e-9 log units) ride the hash, so the
+    smoothed model, the dense vocab×class attach, the OOV-ignore rule,
+    and the argmax tiebreak are all value-verified end to end."""
+    train, test = _nb_split(_t(spark, sf_dir, "documents"))
+    model, priors = ml.naive_bayes_model(train, label_col="lang")
+    return ml.naive_bayes_predict(test, model, priors)
+
+
+@query(
+    "nb_lang_confusion",
+    _SQL_NB_COMMON
+    + """
+    SELECT d.lang, p.predicted, count(*) AS n
+    FROM (SELECT doc_id, predicted FROM pred WHERE rn = 1) p
+    JOIN testdocs d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def nb_lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB confusion matrix on the held-out split (the trained-classifier
+    counterpart of the heuristic lang_id_confusion row) — integer cell
+    counts, hash-equal."""
+    docs = _t(spark, sf_dir, "documents")
+    train, test = _nb_split(docs)
+    model, priors = ml.naive_bayes_model(train, label_col="lang")
+    pred = ml.naive_bayes_predict(test, model, priors)
+    truth = test.select("doc_id", "lang")
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("main_content_extract", _sql_boilerplate(rewrite=True))
 def main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The destructive rewrite paired with boilerplate_line_stats (the
