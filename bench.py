@@ -163,6 +163,8 @@ HEADLINE = [
     "url_frontier_schedule",
     "nb_lang_predictions",
     "nb_lang_confusion",
+    "hashed_features_dfm",
+    "phrase_search_counts",
 ]
 
 

@@ -147,3 +147,39 @@ def test_rrf_fuse_tie_break_deterministic(spark):
 def test_rrf_fuse_respects_top_limit(spark):
     a = spark.createDataFrame([(i, float(100 - i)) for i in range(30)], ["doc_id", "score"])
     assert ir.rrf_fuse({"A": a}, top=7).count() == 7
+
+
+def test_phrase_match_counts_positions(spark):
+    from week5_datingnlp_big_data_spark.operators.ir import phrase_match_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big".split()),
+            (2, "data big".split()),
+            (3, "big big data".split()),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_hits"]
+        for r in phrase_match_counts(docs, [["big", "data"], ["data", "big"]]).collect()
+    }
+    assert got[(1, "big data")] == 2
+    assert got[(1, "data big")] == 2
+    assert got[(2, "data big")] == 1
+    assert got[(3, "big data")] == 1
+    assert (2, "big data") not in got  # no hit -> no row
+
+
+def test_phrase_match_three_token_chain(spark):
+    from week5_datingnlp_big_data_spark.operators.ir import phrase_match_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b".split()), (2, "c b a".split())],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_hits"]
+        for r in phrase_match_counts(docs, [["a", "b", "c"]]).collect()
+    }
+    assert got == {(1, "a b c"): 2}

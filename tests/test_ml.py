@@ -65,3 +65,22 @@ def test_naive_bayes_scores_are_integer_sums(spark):
     exp_b = p["b"] + 2 * m[("b", "x")] + m[("b", "z")]
     assert row["score"] == max(exp_a, exp_b)
     assert row["predicted"] == ("a" if exp_a >= exp_b else "b")
+
+
+def test_hashed_features_signed_collision_cancel(spark):
+    from week5_datingnlp_big_data_spark.operators.ml import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, ["alpha", "alpha", "beta"]), (2, [])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = hashed_features(docs, n_buckets=8).collect()
+    # only doc 1 emits; per-bucket values are signed sums of counts
+    assert all(r["doc_id"] == 1 for r in rows)
+    assert sum(abs(r["val"]) for r in rows) in (1, 3)  # ±2±1 same or diff bucket
+    # determinism across reruns (md5-seedless)
+    again = hashed_features(docs, n_buckets=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # unsigned mode counts plainly
+    uns = hashed_features(docs, n_buckets=8, signed=False).collect()
+    assert sum(r["val"] for r in uns) == 3

@@ -212,3 +212,78 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(top)
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: one ``(id, term, pos)`` row per token
+    occurrence (0-based position in the token stream) — the posting
+    format phrase and proximity queries need. Pure posexplode: the index
+    is corpus-token-sized, built in one scan with no shuffle; writers
+    should partition/bucket it by term for the query path."""
+    return docs.select(
+        F.col(id_col), F.posexplode(tokens_col).alias("pos", "term")
+    ).filter(F.length("term") > 0)
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrases: list[list[str]],
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over the positional index: for each phrase
+    (a token sequence), count its occurrences per document by chaining
+    position equi-joins — term_i at ``pos`` matches term_{i+1} at
+    ``pos + 1`` (the classic positional-postings AND-merge, e.g.
+    Manning et al., IIR §2.4.2). Returns ``(id, phrase, n_hits)`` for
+    phrases with at least one hit.
+
+    Scale shape: each join leg filters postings to ONE term before
+    joining (predicate pushdown to the scan), so per-phrase work is
+    bounded by the rarest term's postings, never the corpus; joins are
+    equi-joins on ``(id, pos)``. Phrases are a driver-side list (a query
+    workload, not data)."""
+    postings = positional_postings(docs, tokens_col, id_col).persist()
+    try:
+        outs = []
+        for phrase in phrases:
+            if not phrase:
+                continue
+            cur = postings.filter(F.col("term") == phrase[0]).select(
+                F.col(id_col), F.col("pos")
+            )
+            for i, term in enumerate(phrase[1:], start=1):
+                nxt = postings.filter(F.col("term") == term).select(
+                    F.col(id_col).alias("_id2"),
+                    (F.col("pos") - i).alias("_p2"),
+                )
+                cur = cur.join(
+                    nxt,
+                    (F.col(id_col) == F.col("_id2"))
+                    & (F.col("pos") == F.col("_p2")),
+                ).select(F.col(id_col), F.col("pos"))
+            outs.append(
+                cur.groupBy(id_col).agg(
+                    F.count(F.lit(1)).alias("n_hits")
+                ).select(
+                    F.col(id_col),
+                    F.lit(" ".join(phrase)).alias("phrase"),
+                    "n_hits",
+                )
+            )
+        if not outs:
+            return docs.sparkSession.createDataFrame(
+                [], f"{id_col} long, phrase string, n_hits long"
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        # materialize before releasing the shared postings cache
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        postings.unpersist()

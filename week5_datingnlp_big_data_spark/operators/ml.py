@@ -523,3 +523,46 @@ def naive_bayes_predict(
         .filter(F.col("_rn") == 1)
         .select(id_col, F.col("label").alias("predicted"), "score")
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning"): long-form hashed term counts
+    ``(id, bucket, val)`` with ``bucket = md5(term) % n_buckets`` and,
+    when ``signed``, the collision-debiasing sign ``±1`` from an
+    independent md5 bit — the fixed-width vectorizer that needs NO vocab
+    pass (the property that matters at 100 TB: one scan, no global
+    dictionary, no second job). md5-derived (seedless) so the mapping is
+    reproducible across engines and runs; zero-valued buckets (signed
+    collisions cancelling) are kept so the output is a pure function of
+    the token multiset."""
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens_col).alias("term")
+    ).filter(F.length("term") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 14), 16, 10).cast("long")
+        % n_buckets
+    )
+    if signed:
+        sign = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("sign:"), F.col("term"))), 1, 2),
+                16, 10,
+            ).cast("long")
+            % 2
+        ) * 2 - 1
+    else:
+        sign = F.lit(1)
+    return (
+        terms.select(
+            F.col(id_col), bucket.alias("bucket"), sign.alias("_s")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("val"))
+    )

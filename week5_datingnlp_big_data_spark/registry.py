@@ -8547,6 +8547,93 @@ def boilerplate_line_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filters.boilerplate_line_stats(_synth_pages(docs))
 
 
+@query(
+    "hashed_features_dfm",
+    """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(term), 1, 14))::BIGINT % 1024 AS bucket,
+           CAST(sum(((('0x' || substr(md5('sign:' || term), 1, 2))::INT % 2)
+                     * 2) - 1) AS BIGINT) AS val
+    FROM terms WHERE length(term) > 0
+    GROUP BY 1, 2
+    """,
+)
+def hashed_features_dfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): long-form signed hashed
+    term counts, bucket = md5(term) % 1024 — the vectorizer that needs
+    NO vocabulary pass (one scan, no global dictionary; what a 100 TB
+    featurization job actually runs). md5-seedless, so the oracle
+    recomputes the identical mapping; signed collisions cancelling to 0
+    stay in the output. See operators/ml.py:hashed_features."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(
+        "doc_id", F.split(F.trim(F.lower("text")), "\\s+").alias("tokens")
+    )
+    return ml.hashed_features(docs)
+
+
+@query(
+    "phrase_search_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(u.s['i'] AS INT) AS pos, u.s['t'] AS term
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0),
+           unnest(list_transform(range(len(ws)),
+                                 i -> {'i': i, 't': ws[(i + 1)::INT]})) u(s)
+      WHERE length(u.s['t']) > 0
+    ), bi AS (
+      SELECT a.term || ' ' || b.term AS phrase, count(*) AS c
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1
+    ), top3 AS (
+      SELECT phrase FROM bi ORDER BY c DESC, phrase LIMIT 3
+    )
+    SELECT a.doc_id, a.term || ' ' || b.term AS phrase,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN top3 t ON t.phrase = a.term || ' ' || b.term
+    GROUP BY 1, 2
+    """,
+)
+def phrase_search_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: the corpus's
+    top-3 bigrams (count desc, phrase asc — deterministic) are looked up
+    as phrases by chaining (doc, pos) equi-joins, term_i at pos matching
+    term_{i+1} at pos+1 (IIR §2.4.2 positional AND-merge). Per-phrase
+    work is bounded by the rarest term's postings — the postings filter
+    sits BEFORE every join. See operators/ir.py:phrase_match_counts."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(
+        "doc_id", F.split(F.trim(F.lower("text")), "\\s+").alias("tokens")
+    )
+    ws = F.col("tokens")
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat(
+                    F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+                ),
+            )
+        ).alias("phrase")
+    ).groupBy("phrase").agg(F.count(F.lit(1)).alias("c"))
+    top3 = [
+        r["phrase"].split(" ")
+        for r in bigrams.orderBy(F.desc("c"), F.asc("phrase")).limit(3).collect()
+    ]
+    return ir.phrase_match_counts(docs, top3)
+
+
 # ---------------------------------------------------------------------------
 # Hash-equal Naive Bayes (operators/ml.py:naive_bayes_model/predict):
 # train/test split by md5(doc_id), whitespace-lower tokens, add-one
