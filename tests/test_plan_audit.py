@@ -86,7 +86,14 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # equi-join; host rollup and the boilerplate window are
                  # join-free scan shapes
                  "url_canonical_dedup", "host_quality_rollup",
-                 "boilerplate_line_stats"):
+                 "boilerplate_line_stats",
+                 # round-7 continuation: the NB dense-model attach, the
+                 # frontier host-dim join, and the phrase position
+                 # chains must all stay equi-joins (the only cross joins
+                 # are 1-row/handful-row broadcast attaches)
+                 "nb_lang_predictions", "url_frontier_schedule",
+                 "phrase_search_counts", "hashed_features_dfm",
+                 "main_content_extract"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

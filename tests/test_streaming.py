@@ -850,3 +850,81 @@ def test_streaming_latest_user_state_out_of_order(spark, sf_dir, tmp_path):
     assert late_users > 0
     multi_update = latest.filter(F.col("upd") >= 2).count()
     assert multi_update > 0
+
+
+def test_streaming_url_keep_first_parity(spark, sf_dir, tmp_path):
+    """9th stream-batch parity gate: the URL canonicalizer + keep-first
+    election under streaming. Batches are split by md5 parity of doc_id
+    (arrival-order-decorrelated, so for many canonical URLs the keeper
+    — the minimum doc_id — arrives in batch 2 AFTER batch 1 already
+    elected a provisional keeper: real cross-batch supersede). The
+    drained latest state per canonical URL must equal the batch
+    operator's kept set."""
+    from week5_datingnlp_big_data_spark import registry
+    from week5_datingnlp_big_data_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    parity = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 3, 8),
+               16, 10).cast("long") % 2
+    )
+    _drop_file(docs.filter(parity == 0), tmp_path, "urls", "b1.parquet")
+    _drop_file(docs.filter(parity == 1), tmp_path, "urls", "b2.parquet")
+
+    # URL synthesis is pure Catalyst string algebra, so it runs
+    # IN-STREAM — the gate covers synth + canonicalize + stateful elect
+    stream = registry._synth_urls(
+        sc.stream_documents(spark, str(tmp_path / "urls")).select(
+            "doc_id", "text"
+        )
+    )
+    q = sc.run_stream_to_memory(
+        sc.streaming_url_keep_first(stream), "url_state",
+        output_mode="update",
+    )
+    raw = registry._synth_urls(docs.select("doc_id", "text"))
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    latest = (
+        spark.table("url_state")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_url").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["canonical_url"], r["keep_id"]) for r in latest.collect()
+    }
+    batch = {
+        (r["canonical_url"], r["doc_id"])
+        for r in web.url_dedup_keep_first(raw).filter("is_kept").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # witness: keepers really superseded provisional elections across
+    # batches for at least one URL (keeper parity 1, a parity-0 row
+    # existed for the same canonical)
+    canon = raw.select(
+        web.canonical_url("url").alias("c"), "doc_id", parity.alias("par")
+    )
+    keepers = canon.groupBy("c").agg(F.min("doc_id").alias("k"))
+    superseded = (
+        canon.join(keepers, "c")
+        .groupBy("c")
+        .agg(
+            F.max((F.col("doc_id") == F.col("k")).cast("int")
+                  * (F.col("par") + 1)).alias("keeper_par_plus1"),
+            F.sum((F.col("par") == 0).cast("int")).alias("n_par0"),
+        )
+        .filter((F.col("keeper_par_plus1") == 2) & (F.col("n_par0") > 0))
+        .count()
+    )
+    assert superseded > 0
+    multi = latest.filter(F.col("upd") >= 2).count()
+    assert multi > 0

@@ -878,3 +878,60 @@ def streaming_latest_user_state(events_stream: DataFrame) -> DataFrame:
     return rows.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_url_keep_first(
+    docs_stream: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-URL dedup keep-first — the stream half of
+    operators/web.py:url_dedup_keep_first, with the canonicalizer
+    running IN-STREAM (pure Catalyst string algebra, so the same
+    expression tree plans on an unbounded source). Per canonical URL,
+    arbitrary state holds the minimum id seen; each micro-batch emits
+    ``(canonical_url, keep_id, upd)`` so an update-mode sink's latest
+    row per URL is the keep-first election. min() is a pure function of
+    the row SET, so batching/arrival order cannot change the drained
+    result — the 9th stream-batch parity gate pins it against the batch
+    operator. State is O(1) per distinct canonical URL (one id); bound
+    it with a watermark-keyed variant when the crawl horizon rotates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from week5_datingnlp_big_data_spark.operators import web
+
+    rows = docs_stream.select(
+        web.canonical_url(url_col).alias("canonical_url"),
+        F.col(id_col).alias("_id"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            keep, upd = state.get
+        else:
+            keep, upd = None, 0
+        for pdf in pdfs:
+            for i in pdf["_id"]:
+                i = int(i)
+                if keep is None or i < keep:
+                    keep = i
+        upd += 1
+        state.update((keep, upd))
+        yield pd.DataFrame(
+            {"canonical_url": [key[0]], "keep_id": [keep], "upd": [upd]}
+        )
+
+    return rows.groupBy("canonical_url").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
