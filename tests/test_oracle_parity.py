@@ -55,7 +55,9 @@ def test_driver_window_holds_flagships():
         # carried by quality_scores + inference_batch_plan; quality_scores
         # itself ceded in round 6 to the gopher/c4/lm rows + the incoming
         # doc_script_stats scan-stat row)
-        "lang_id_confusion",
+        # (lang_id_confusion ceded its slot in round 8 to
+        # nb_lang_confusion — the same confusion cells plus the
+        # value-verified int64 train→predict path)
         "near_dup_components",
         # the TPC-H window spans every distinct shape, including the round-3
         # tail (Q2/Q9/Q11/Q21/Q22) and the four shapes round 2 left outside
@@ -63,7 +65,9 @@ def test_driver_window_holds_flagships():
         # q8's join tree, q11's scalar-subquery HAVING is q15's shape;
         # q2/q20 ceded in round 6 — correlated-min is q15's extremum shape
         # over q8's join tree, semi-join family kept by q16/q18/q22)
-        "q8_market_share", "q15_top_supplier", "q16_supplier_part_counts",
+        # (q16 ceded in round 8 — NOT-IN negation carried by q22's
+        # anti-join + q18's join+group+HAVING)
+        "q8_market_share", "q15_top_supplier",
         "q22_global_sales_opportunity",
         # round-3 training-data flagships (lm_quality_buckets ceded its
         # slot in round 7 to doc_kn_bigram_logprob — the richer
@@ -91,8 +95,11 @@ def test_driver_window_holds_flagships():
         # funnel_conversion ceded in round 7 to prep_cascade_funnel +
         # purchase_attribution; session_top_paths to session_concurrency's
         # sessionize + purchase_attribution's ordered sequences)
-        "session_concurrency", "vocab_fuzzy_pairs",
-        "copurchase_triangles", "textrank_keywords",
+        # (vocab_fuzzy_pairs ceded in round 8 to behavior_signature_pairs
+        # — the 2nd domain of the same Gravano/prefix machinery;
+        # textrank_keywords to host_link_pagerank — the identical integer
+        # PageRank recurrence with a closed-form edge oracle)
+        "session_concurrency", "copurchase_triangles",
         # round-10 flagships (coverage sampling, batch planning, PSI
         # drift; source_quality_report ceded in round 6 —
         # source_quality_drift is the same report + the drift dimension;
@@ -100,16 +107,22 @@ def test_driver_window_holds_flagships():
         # hyperplane-cell machinery in embedding_coverage_sample;
         # embedding_cosine_topk ceded to embedding_sign_hamming_topk —
         # identical broadcast brute-force + rank-window plan)
-        "embedding_coverage_sample",
+        # (embedding_coverage_sample ceded in round 8 to
+        # embedding_sign_hamming_topk — the same hyperplane sign-cell
+        # signature, packed)
         "inference_batch_plan", "source_quality_drift",
         # round-5 flagships (reshard_movement ceded in round 7 to
         # shard_compaction_plan + inference_batch_plan;
         # events_distinct_kmv_running to streaming_kmv_distinct_parity's
         # identical sketch merge + stateful twin; orders_price_percentiles
         # to events_daily_anomalies' quantile machinery)
-        "shard_compaction_plan", "events_zorder_buckets",
+        # (events_zorder_buckets ceded in round 8 to shard_compaction_plan
+        # + inference_batch_plan — the storage-layout family's richer rows)
+        "shard_compaction_plan",
         # round-6 flagships: the round-5 families' first driver rows
-        "purchase_attribution", "doc_script_stats",
+        # (doc_script_stats ceded in round 8 to charset_mismatch_stats —
+        # the same byte/script scan classification + declared-vs-actual)
+        "purchase_attribution",
         "events_daily_anomalies", "streaming_kmv_distinct_parity",
         "shuffle_skew_profile",
         # round-7 flagships: the round-6 families' first driver rows
@@ -117,11 +130,20 @@ def test_driver_window_holds_flagships():
         "quality_aes_sample", "embedding_sign_hamming_topk",
         "user_state_cdc_merge", "behavior_signature_pairs",
         "media_png_decode_stats",
-        # round-7 new surface: URL/host crawl hygiene + main-content
-        # extraction
-        "url_canonical_dedup", "host_quality_rollup",
-        "boilerplate_line_stats",
+        # round-7 new surface: URL/host crawl hygiene (url_canonical_dedup
+        # ceded in round 8 to host_quality_rollup — which embeds the same
+        # election — + url_frontier_schedule; boilerplate_line_stats to
+        # main_content_extract — same classification, destructive rewrite
+        # rides the hash)
+        "host_quality_rollup",
         # round-7: the unigram E-step's hash-equal row
         "unigram_char_em_counts",
+        # round-8 flagships: the round-7 families' first driver rows +
+        # the charset and host-link-graph surface
+        "url_frontier_schedule", "main_content_extract",
+        "nb_lang_predictions", "nb_lang_confusion",
+        "hashed_features_dfm", "phrase_search_counts",
+        "charset_mismatch_stats", "mojibake_repair_rewrite",
+        "host_link_pagerank",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -114,3 +114,89 @@ def test_frontier_schedule_max_per_host_budget(spark):
     for r in out.collect():
         per_host[r["host"]] += 1
     assert per_host == {"a.io": 3, "b.io": 1}
+
+
+def test_canonical_url_null_and_schemeless(spark):
+    # NULL url -> NULL canonical; schemeless/relative urls fall back to
+    # the raw string (no degenerate '://' collapse)
+    df = spark.createDataFrame(
+        [(1, None), (2, "example.com/a"), (3, "/relative/path"),
+         (4, "example.com/a"), (5, "other.org/b")],
+        "doc_id long, url string",
+    )
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", web.canonical_url("url").alias("c")).collect()
+    }
+    assert canon[1] is None
+    assert canon[2] == "example.com/a" and canon[3] == "/relative/path"
+    assert canon[2] != canon[5]  # distinct schemeless urls stay distinct
+
+
+def test_url_dedup_keep_first_null_and_schemeless_rows_survive(spark):
+    rows = [
+        (1, None),                    # NULL url: pass-through keeper
+        (2, None),                    # second NULL: also a keeper
+        (3, "example.com/a"),         # schemeless: dedups per raw string
+        (4, "example.com/a"),         # exact dup of 3 -> loses election
+        (5, "other.org/b"),           # distinct schemeless -> keeper
+        (6, "http://example.com/a"),  # proper url, untouched semantics
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in web.url_dedup_keep_first(df).collect()}
+    assert len(out) == 6  # no row silently dropped
+    assert out[1]["is_kept"] and out[2]["is_kept"]  # NULLs never dedup
+    assert out[3]["is_kept"] and not out[4]["is_kept"]
+    assert out[5]["is_kept"] and out[6]["is_kept"]
+
+
+def test_host_rollup_null_text_counts_zero_words(spark):
+    rows = [
+        (1, "http://a.io/x", None),           # NULL text -> 0 words
+        (2, "http://a.io/y", "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    a = {r["host"]: r for r in web.host_rollup(df).collect()}["a.io"]
+    assert a["n_docs"] == 2 and a["total_words"] == 2
+    assert a["avg_words"] == 1.0  # NULL-text row included as 0, not excluded
+
+
+def test_frontier_host_idx_dense_alphabetical_many_hosts(spark):
+    # the dense host index must equal the global alphabetical rank even
+    # when the host dim spans many range partitions
+    rows = [
+        (i, f"http://host{i:03d}.io/p", 1) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, priority long")
+    out = web.frontier_schedule(df.repartition(8))
+    got = {r["host"]: r["crawl_order"] for r in out.collect()}
+    hosts = sorted(got)
+    # every host has tick 0, so crawl_order == host_idx == alpha rank
+    assert [got[h] for h in hosts] == list(range(40))
+
+
+def test_frontier_schedule_plan_has_no_hostdim_broadcast_hint_or_global_sort(spark):
+    # VERDICT r7: the host-dim branch must not force a broadcast of an
+    # unbounded dim nor sort all hosts in one task. The only allowed
+    # single-partition window/broadcast is over the per-partition count
+    # table (one row per shuffle partition).
+    rows = [(i, f"http://h{i}.io/p", 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, priority long")
+    import re
+
+    out = web.frontier_schedule(df)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one broadcast hint: the offsets join (keyed by _pid, one
+    # row per shuffle partition); the host dim itself is never hinted
+    hinted = [
+        ln for ln in optimized.splitlines() if "strategy=broadcast" in ln
+    ]
+    assert len(hinted) == 1 and "_pid" in hinted[0], optimized
+    # no UNPARTITIONED window ordered by host (the old single-task
+    # global sort): in plan text that shape reads
+    # windowspecdefinition(host#N ASC ... — host as the FIRST arg with a
+    # sort direction means empty partition spec. Partitioned windows
+    # (host#N, ...) and the _pid-ordered count-table window are allowed.
+    assert not re.search(r"windowspecdefinition\(host#\d+ ASC", optimized), (
+        optimized
+    )

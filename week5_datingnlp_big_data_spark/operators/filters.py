@@ -334,7 +334,11 @@ def extract_main_content(
     document from its kept lines only. Returns one row per input doc —
     ``(id, n_lines, n_kept_lines, main_text)``, where docs whose every
     line was boilerplate keep an empty ``main_text`` rather than being
-    dropped, so the same plan serves the rewrite and the audit.
+    dropped, so the same plan serves the rewrite and the audit. Truly
+    empty docs (zero non-blank lines — NULL, empty, or all-whitespace
+    text) also keep their row, with ``n_lines`` 0: the aggregation is
+    left-joined back onto the distinct input ids so the "one row per
+    input doc" contract holds for every input.
 
     One groupBy on the doc id; line order is restored by sorting the
     collected (line_idx, line) structs, not by trusting collect_list
@@ -346,7 +350,7 @@ def extract_main_content(
     kept_struct = F.when(
         F.col("keep"), F.struct(F.col("line_idx"), F.col("line"))
     )
-    return (
+    agg = (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -364,4 +368,13 @@ def extract_main_content(
                 "\n",
             ).alias("main_text"),
         )
+    )
+    ids = docs.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce(F.col("n_kept_lines"), F.lit(0).cast("long")).alias(
+            "n_kept_lines"
+        ),
+        F.coalesce(F.col("main_text"), F.lit("")).alias("main_text"),
     )

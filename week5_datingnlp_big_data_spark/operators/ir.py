@@ -276,8 +276,26 @@ def phrase_match_counts(
                 )
             )
         if not outs:
+            # derive the id field's type from the input so the empty
+            # schema agrees with the non-empty path for string doc ids
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
             return docs.sparkSession.createDataFrame(
-                [], f"{id_col} long, phrase string, n_hits long"
+                [],
+                StructType(
+                    [
+                        StructField(
+                            id_col, docs.schema[id_col].dataType, True
+                        ),
+                        StructField("phrase", StringType(), True),
+                        StructField("n_hits", LongType(), True),
+                    ]
+                ),
             )
         out = outs[0]
         for o in outs[1:]:

@@ -96,8 +96,14 @@ def _canonical_query(url: Column | str) -> Column:
 
 
 def canonical_url(url: Column | str) -> Column:
-    """Full canonical form — pure Catalyst string algebra, no UDF."""
-    return F.concat(
+    """Full canonical form — pure Catalyst string algebra, no UDF.
+
+    Robustness contract: a URL with no ``scheme://`` prefix (relative or
+    schemeless input, which real crawl frontiers do contain) falls back
+    to the raw string — distinct schemeless URLs must NOT collapse into
+    one degenerate ``://``-prefixed dedup group. A NULL url canonicalizes
+    to NULL (callers treat NULL-keyed rows as pass-through keepers)."""
+    canon = F.concat(
         url_scheme(url),
         F.lit("://"),
         canonical_host(url),
@@ -105,6 +111,7 @@ def canonical_url(url: Column | str) -> Column:
         _canonical_path(url),
         _canonical_query(url),
     )
+    return F.when(url_scheme(url) == F.lit(""), _col(url)).otherwise(canon)
 
 
 def url_dedup_keep_first(
@@ -121,14 +128,24 @@ def url_dedup_keep_first(
     partial aggregation bounds a hot URL's cost map-side and AQE can
     split the skewed join — the same bound-before-join discipline the
     dedup family uses (see operators/dedup.py).
+
+    NULL urls canonicalize to NULL and pass through as keepers
+    (``is_kept`` true): the keeper attach is a LEFT join, so a NULL key —
+    which an equi-join would silently drop — keeps its row, and NULL
+    rows are never deduped against each other. Schemeless URLs
+    canonicalize to themselves (see :func:`canonical_url`), so only
+    byte-identical raw strings dedup.
     """
     with_canon = df.withColumn("canonical_url", canonical_url(url_col))
-    keepers = with_canon.groupBy("canonical_url").agg(
-        F.min(id_col).alias("_keep_id")
-    )
+    keepers = with_canon.filter(F.col("canonical_url").isNotNull()).groupBy(
+        "canonical_url"
+    ).agg(F.min(id_col).alias("_keep_id"))
     return (
-        with_canon.join(keepers, "canonical_url")
-        .withColumn("is_kept", F.col(id_col) == F.col("_keep_id"))
+        with_canon.join(keepers, "canonical_url", "left")
+        .withColumn(
+            "is_kept",
+            F.coalesce(F.col(id_col) == F.col("_keep_id"), F.lit(True)),
+        )
         .drop("_keep_id")
     )
 
@@ -149,7 +166,10 @@ def host_rollup(
     ``total_words``, ``avg_words`` (round 6).
     """
     deduped = url_dedup_keep_first(df, url_col=url_col, id_col=id_col)
-    t = F.trim(_col(text_col))
+    # coalesce BEFORE trim: a NULL text must count as 0 words (the bare
+    # equality predicate would be NULL and fall through to size(split(
+    # NULL)) = NULL, silently dropping the row from avg_words)
+    t = F.trim(F.coalesce(_col(text_col), F.lit("")))
     n_words = F.when(t == F.lit(""), F.lit(0)).otherwise(
         F.size(F.split(t, "\\s+"))
     )
@@ -185,12 +205,20 @@ def frontier_schedule(
     Scale shape: the only URL-cardinality window is the per-host rank
     (one shuffle on host, per-partition size = URLs of one host, the
     same key politeness itself bounds). The GLOBAL interleave is NOT a
-    global window over URLs — ``host_idx`` comes from a window over the
-    host DIMENSION (host-cardinality, orders of magnitude smaller) and
-    ``n_hosts`` from a 1-row aggregate broadcast, so ``crawl_order`` is
-    computed scan-side in integer arithmetic. Exact duplicates should be
-    removed first (:func:`url_dedup_keep_first`); ``max_per_host`` caps
-    runaway hosts (the crawl-budget rule, RefinedWeb §3.1).
+    global window over URLs — ``host_idx`` is the host's dense
+    alphabetical rank over the host DIMENSION, computed WITHOUT a
+    single-partition sort (a 100 TB crawl has ~10⁸ hosts, so even the
+    dim must never funnel through one task): range-partition the
+    distinct hosts, rank within each range partition, and add the
+    exclusive prefix sum of per-partition counts — the distributed
+    zipWithIndex pattern in pure DataFrame algebra. Only the
+    per-partition count table (one row per shuffle partition, bounded
+    by cluster config, never by data) rides a single-partition window
+    and a broadcast; the host dim itself is joined back with NO
+    broadcast hint — AQE picks the strategy from its measured size.
+    Exact duplicates should be removed first
+    (:func:`url_dedup_keep_first`); ``max_per_host`` caps runaway hosts
+    (the crawl-budget rule, RefinedWeb §3.1).
     """
     from pyspark.sql import Window
 
@@ -205,33 +233,92 @@ def frontier_schedule(
     )
     if max_per_host is not None:
         ranked = ranked.filter(F.col("tick") < max_per_host)
-    # host_idx AND n_hosts in ONE pass over the host dimension: both
-    # windows share the dim's single exchange, so the (arbitrarily
-    # expensive) input lineage is re-executed once for the dim branch
-    # and once for the ranked branch — not a third time for a separate
-    # count aggregate.
-    host_dim = (
+    # Dense alphabetical host index, scale-safe: local rank within a
+    # RANGE partition + exclusive prefix-sum of partition counts equals
+    # the global row_number ORDER BY host, with no host-cardinality
+    # data ever in one task.
+    local = (
         canon.select("host")
         .distinct()
-        .select(
-            "host",
-            (F.row_number().over(Window.orderBy("host")) - 1)
-            .cast("long")
-            .alias("host_idx"),
-            F.count(F.lit(1))
-            .over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .cast("long")
-            .alias("n_hosts"),
+        .repartitionByRange("host")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number()
+            .over(Window.partitionBy("_pid").orderBy("host"))
+            .cast("long"),
         )
     )
+    # one row per shuffle partition — bounded by config, not data; the
+    # single-partition window and the broadcast below are over THIS
+    # table only, never the host dim
+    part_counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part_counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+        F.sum("_cnt").over(w_all).cast("long").alias("n_hosts"),
+    )
+    host_dim = local.join(F.broadcast(offsets), "_pid").select(
+        "host",
+        (F.col("_off") + F.col("_local") - 1).alias("host_idx"),
+        "n_hosts",
+    )
     return (
-        ranked.join(F.broadcast(host_dim), "host")
+        ranked.join(host_dim, "host")
         .withColumn(
             "crawl_order", F.col("tick") * F.col("n_hosts") + F.col("host_idx")
         )
         .drop("n_hosts")
+    )
+
+
+# href attribute of an anchor tag; group 1 is the target URL. [^>]* and
+# [^"]* (never .*?) keep the behavior identical between Java regex and
+# RE2 (the DuckDB twin's engine).
+ANCHOR_HREF_PAT = '<[aA][^>]*\\shref="([^"]*)"'
+
+
+def extract_links(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Host→host link edges from anchor hrefs — the input to the
+    link-graph quality prior (PageRank over hosts; cf. Page et al.
+    1999, and RefinedWeb §3.1's URL-level quality signals): extract
+    every ``<a href="...">`` target, canonicalize source and target
+    hosts, and aggregate to a weighted edge list ``(src_host,
+    dst_host, w)``. Relative hrefs (no scheme — intra-host by
+    definition) and self-links are dropped: the signal is cross-host
+    endorsement.
+
+    Scale shape: extraction is one scan-speed regexp_extract_all +
+    explode; the only shuffle is the (src,dst) groupBy whose
+    cardinality is host-pair-bounded, orders of magnitude below the
+    page count. No UDF, no collect."""
+    src = canonical_host(url_col)
+    hrefs = F.regexp_extract_all(
+        F.coalesce(_col(text_col), F.lit("")),
+        F.lit(ANCHOR_HREF_PAT),
+        F.lit(1),
+    )
+    pairs = df.select(
+        src.alias("src_host"), F.explode(hrefs).alias("_href")
+    ).select("src_host", canonical_host("_href").alias("dst_host"))
+    return (
+        pairs.filter(
+            (F.col("dst_host") != F.lit(""))
+            & (F.col("src_host") != F.lit(""))
+            & (F.col("dst_host") != F.col("src_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("w"))
     )

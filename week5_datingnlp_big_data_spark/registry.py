@@ -29,6 +29,7 @@ from week5_datingnlp_big_data_spark.functions.text import (
     tokenize,
 )
 from week5_datingnlp_big_data_spark.operators import (
+    charset,
     corpus,
     dedup,
     dfm,
@@ -8272,7 +8273,7 @@ def url_frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself bounds); the global interleave rides the host DIMENSION.
     See operators/web.py:frontier_schedule."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    t = F.trim(F.col("text"))
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
     raw = _synth_urls(docs).withColumn(
         "priority",
         F.when(t == F.lit(""), F.lit(0)).otherwise(
@@ -8364,13 +8365,22 @@ def _sql_boilerplate(rewrite: bool = False) -> str:
     footers = ", ".join(f"'{_sq(x)}'" for x in _BP_FOOTERS)
     navs = ", ".join(f"'{_sq(x)}'" for x in _BP_NAVS)
     if rewrite:
+        # left join back onto the distinct input ids: a doc with zero
+        # non-blank lines keeps its row with n_lines 0 (mirrors the
+        # operator's one-row-per-input-doc contract)
         tail = """
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept_lines,
-           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
-                               ORDER BY line_idx), '') AS main_text
-    FROM verdict GROUP BY doc_id"""
+    SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+           coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+           coalesce(a.main_text, '') AS main_text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_lines,
+             coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                 ORDER BY line_idx), '') AS main_text
+      FROM verdict GROUP BY doc_id
+    ) a USING (doc_id)"""
     else:
         tail = """
     SELECT doc_id, line_idx, n_words, link_density, stopword_ratio, klass,
@@ -8405,12 +8415,16 @@ def _sql_boilerplate(rewrite: bool = False) -> str:
                [([{footers}])[fi]]) AS lines
       FROM (SELECT *, (len(ws) + W - 1) // W AS nl FROM geo)
     ), lined AS (
+      -- blank-line filter mirrors the Spark operator (filters.py drops
+      -- lines whose trim is empty); line_idx keeps the PRE-filter
+      -- position, exactly like posexplode-then-filter
       SELECT doc_id, CAST(u.s['idx'] AS INT) AS line_idx,
-             u.s['line'] AS line
+             trim(u.s['line']) AS line
       FROM pages,
            unnest(list_transform(range(len(lines)),
                                  i -> {{'idx': i,
                                         'line': lines[(i + 1)::INT]}})) u(s)
+      WHERE len(trim(u.s['line'])) > 0
     ), feat AS (
       SELECT doc_id, line_idx, line,
              len(regexp_split_to_array(line, '\\s+')) AS n_words,
@@ -8776,6 +8790,274 @@ def main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Charset / encoding hygiene (operators/charset.py). The synthetic
+# corpus is clean ASCII, so an md5-chosen quarter of the docs gets
+# deterministic mojibake injected: 1-3 words of the form w<marker>rd
+# where <marker> is a UTF-8-read-as-cp1252 sequence from the public
+# repair table. The profile oracle derives the injected mark/char
+# counts CLOSED-FORM from the synthesis key; the repair oracle goes
+# further — it builds the FIXED text by injecting the CLEAN character
+# directly (it never runs the repair), so a mis-repaired, missed, or
+# mis-ordered replacement breaks the hash. Base-text contributions are
+# replayed in SQL (the corpus is ASCII today; the twin stays honest if
+# that ever changes).
+# ---------------------------------------------------------------------------
+
+_MOJI_N = len(charset.MOJIBAKE_TABLE)
+_MOJI_LEN_LIST = ", ".join(str(len(m)) for m, _ in charset.MOJIBAKE_TABLE)
+_MOJI_CLEAN_LIST = ", ".join(f"'{_sq(c)}'" for _, c in charset.MOJIBAKE_TABLE)
+
+# Σ over markers of (len(text) - len(replace(text, marker, ''))) / len —
+# the same length-difference trick the operator compiles, replayed in SQL
+_SQL_MOJI_BASE_MARKS = " + ".join(
+    f"(length(text) - length(replace(text, '{_sq(m)}', ''))) // {len(m)}"
+    for m, _ in charset.MOJIBAKE_TABLE
+)
+
+
+def _sql_moji_repair_chain(col: str) -> str:
+    """Nested replace() chain over ``col`` in MOJIBAKE_TABLE order
+    (longest marker first — identical application order to the Spark
+    operator)."""
+    expr = col
+    for m, c in charset.MOJIBAKE_TABLE:
+        expr = f"replace({expr}, '{_sq(m)}', '{_sq(c)}')"
+    return expr
+
+
+_SQL_MOJI_GEO = f"""
+      SELECT doc_id, coalesce(text, '') AS text, h,
+             ('0x' || substr(h, 1, 1))::INT % 4 = 0 AS b_moji,
+             ('0x' || substr(h, 2, 1))::INT % 3 + 1 AS n_inj,
+             ('0x' || substr(h, 11, 1))::INT % 3 AS dsel
+      FROM (SELECT doc_id, text,
+                   md5('moji:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+"""
+
+
+def _synth_mojibake(docs: DataFrame) -> DataFrame:
+    """Deterministic mojibake pollution per doc (spec above; the
+    charset oracles derive the injected part closed-form from the same
+    key). Adds a declared-charset label the classifier checks against."""
+    h = F.md5(F.concat(F.lit("moji:"), F.col("doc_id").cast("string")))
+
+    def hx(pos: int) -> Column:
+        return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+    moji_arr = F.array(*[F.lit(m) for m, _ in charset.MOJIBAKE_TABLE])
+    b_moji = hx(1) % 4 == 0
+    n_inj = (hx(2) % 3 + 1).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_inj - 1),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.element_at(
+                moji_arr,
+                (
+                    F.conv(h.substr(j + F.lit(3), F.lit(1)), 16, 10)
+                    .cast("long")
+                    % _MOJI_N
+                    + 1
+                ).cast("int"),
+            ),
+            F.lit("rd"),
+        ),
+    )
+    base = F.coalesce(F.col("text"), F.lit(""))
+    text_m = F.when(
+        b_moji, F.concat(base, F.lit(" "), F.array_join(words, " "))
+    ).otherwise(base)
+    declared = F.element_at(
+        F.array(F.lit("utf-8"), F.lit("ascii"), F.lit("latin-1")),
+        (hx(11) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id", text_m.alias("text"), declared.alias("declared")
+    )
+
+
+@query(
+    "charset_mismatch_stats",
+    f"""
+    WITH geo AS ({_SQL_MOJI_GEO}),
+    inj AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_marks,
+             CAST(sum(([{_MOJI_LEN_LIST}])[
+                    ('0x' || substr(h, (3 + j)::INT, 1))::INT % {_MOJI_N} + 1
+                  ]) AS BIGINT) AS mark_chars
+      FROM geo, unnest(range(n_inj)) u(j)
+      WHERE b_moji GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(length(g.text)
+                + CASE WHEN g.b_moji
+                       THEN i.mark_chars + 4 * g.n_inj ELSE 0 END
+             AS BIGINT) AS n_chars,
+           CAST(length(g.text)
+                - length(regexp_replace(g.text, '[^\\x00-\\x7F]', '', 'g'))
+                + CASE WHEN g.b_moji THEN i.mark_chars ELSE 0 END
+             AS BIGINT) AS n_nonascii,
+           CAST({_SQL_MOJI_BASE_MARKS}
+                + CASE WHEN g.b_moji THEN i.n_marks ELSE 0 END
+             AS BIGINT) AS n_moji_marks,
+           CASE WHEN ({_SQL_MOJI_BASE_MARKS})
+                     + CASE WHEN g.b_moji THEN i.n_marks ELSE 0 END > 0
+                  THEN 'mojibake'
+                WHEN length(g.text)
+                     - length(regexp_replace(g.text, '[^\\x00-\\x7F]', '',
+                                             'g'))
+                     + CASE WHEN g.b_moji THEN i.mark_chars ELSE 0 END = 0
+                  THEN 'ascii'
+                ELSE 'utf8' END AS charset_class,
+           (['utf-8', 'ascii', 'latin-1'])[g.dsel + 1] AS declared,
+           (({_SQL_MOJI_BASE_MARKS})
+              + CASE WHEN g.b_moji THEN i.n_marks ELSE 0 END > 0)
+           OR ((['utf-8', 'ascii', 'latin-1'])[g.dsel + 1] = 'ascii'
+               AND NOT (length(g.text)
+                        - length(regexp_replace(g.text, '[^\\x00-\\x7F]',
+                                                '', 'g'))
+                        + CASE WHEN g.b_moji THEN i.mark_chars ELSE 0 END
+                        = 0)) AS is_mismatch
+    FROM geo g LEFT JOIN inj i USING (doc_id)
+    """,
+)
+def charset_mismatch_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-actual encoding classification (the charset triage a
+    crawl pipeline runs before tokenization): per-doc mojibake-marker
+    and non-ASCII counts, byte-pattern class, and the mismatch flag
+    against the declared charset. The oracle derives every injected
+    mark/char count CLOSED-FORM from the md5 synthesis key and replays
+    only the base-text scan in SQL, so a mis-detected marker breaks the
+    hash. Scan-speed chained-replace algebra, no regex in the marker
+    path; see operators/charset.py:encoding_profile."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return charset.encoding_profile(
+        _synth_mojibake(docs), declared_col="declared"
+    )
+
+
+@query(
+    "mojibake_repair_rewrite",
+    f"""
+    WITH geo AS ({_SQL_MOJI_GEO}),
+    fixedwords AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_inj,
+             string_agg('w' || ([{_MOJI_CLEAN_LIST}])[
+                   ('0x' || substr(h, (3 + j)::INT, 1))::INT % {_MOJI_N} + 1
+                 ] || 'rd', ' ' ORDER BY j) AS wtail
+      FROM geo, unnest(range(n_inj)) u(j)
+      WHERE b_moji GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST({_SQL_MOJI_BASE_MARKS}
+                + CASE WHEN g.b_moji THEN f.n_inj ELSE 0 END
+             AS BIGINT) AS n_repairs,
+           {_sql_moji_repair_chain("g.text")}
+             || CASE WHEN g.b_moji THEN ' ' || f.wtail ELSE '' END
+             AS text_fixed
+    FROM geo g LEFT JOIN fixedwords f USING (doc_id)
+    """,
+)
+def mojibake_repair_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The destructive charset repair (ftfy's core case as pure column
+    algebra): undo every UTF-8-read-as-cp1252 marker. The oracle builds
+    the expected text by injecting the CLEAN character closed-form from
+    the synthesis key — it never executes the repair — so the full
+    repaired text riding the hash proves the replace chain, its
+    ordering, and the marker table are exactly right. See
+    operators/charset.py:mojibake_repair."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return charset.mojibake_repair(_synth_mojibake(docs))
+
+
+# ---------------------------------------------------------------------------
+# Host link graph (operators/web.py:extract_links + graph.pagerank_int).
+# Each doc gets a source host (the URL fixture's identity) and 1-3
+# absolute <a href> anchors to md5-chosen sibling hosts; the oracle
+# derives the edge list closed-form from the keys and unrolls the same
+# integer PageRank recurrence the TextRank oracle proves.
+# ---------------------------------------------------------------------------
+
+
+def _synth_anchor_pages(docs_with_url: DataFrame) -> DataFrame:
+    """Deterministic cross-host anchor text per doc (spec above)."""
+    h = F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string")))
+    nl = (
+        F.conv(F.substring(h, 4, 1), 16, 10).cast("long") % 3 + 1
+    ).cast("int")
+    anchors = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda j: F.concat(
+            F.lit('<a href="http://site'),
+            (
+                F.conv(h.substr(j + F.lit(6), F.lit(1)), 16, 10)
+                .cast("long")
+                % 25
+            ).cast("string"),
+            F.lit('.example.com/p">go</a>'),
+        ),
+    )
+    return docs_with_url.withColumn("text", F.array_join(anchors, " "))
+
+
+@query(
+    "host_link_pagerank",
+    f"""
+    WITH ks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))
+               ::BIGINT % 150 AS k,
+             md5('link:' || CAST(doc_id AS VARCHAR)) AS lh
+      FROM documents
+    ), l AS (
+      SELECT k % 25 AS s,
+             ('0x' || substr(lh, 4, 1))::INT % 3 + 1 AS nl, lh
+      FROM ks
+    ), tgt AS (
+      SELECT s, ('0x' || substr(lh, (6 + j)::INT, 1))::INT % 25 AS t
+      FROM l, unnest(range(nl)) u(j)
+    ), e AS (
+      SELECT 'site' || CAST(s AS VARCHAR) || '.example.com' AS src,
+             'site' || CAST(t AS VARCHAR) || '.example.com' AS dst,
+             count(*) AS w
+      FROM tgt WHERE s <> t GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, sum(w) AS out_w FROM e GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), c AS (
+      SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000000 // c.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN c
+    ), {_sql_pagerank_chain(5, 10**9)}
+    SELECT node AS host, CAST(rank AS BIGINT) AS rank_scaled FROM r5
+    """,
+)
+def host_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic web-quality prior: PageRank over the host→host link
+    graph (Page et al. 1999; RefinedWeb §3.1 consumes URL/host quality
+    lists). Anchor hrefs are extracted from the fixture pages with the
+    real operator, canonicalized to hosts, aggregated to weighted edges,
+    and ranked by the SAME bit-identical integer PageRank iteration the
+    TextRank oracle proves (div-floor recurrence, damping 85/100,
+    1e-9-unit ranks). The oracle derives the edge list closed-form from
+    the md5 keys — it never parses HTML — so extraction, host folding,
+    self-link/relative-link drops, and the iteration all ride the hash.
+    See operators/web.py:extract_links and operators/graph.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _synth_anchor_pages(_synth_urls(docs))
+    edges = web.extract_links(pages, text_col="text", url_col="url")
+    ranks = graph.pagerank_int(edges, src="src_host", dst="dst_host", iters=5)
+    return ranks.select(
+        F.col("node").alias("host"), F.col("rank").alias("rank_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -8806,7 +9088,7 @@ DEMOTED: tuple[str, ...] = (
     "doc_sentence_stats",         # per-doc scan stats; quality_scores/token_counts cover
     "events_props_map",           # map-extract; events_json_extract covers the shape
     "events_last_signup",         # last_value window; user_event_lag/events_asof cover
-    "lang_id_chargram_confusion", # confusion shape covered by lang_id_confusion
+    "lang_id_chargram_confusion", # confusion shape covered by nb_lang_confusion (in-window since round 8)
     "rich_customers_no_recent_orders",  # ⊂ q22_global_sales_opportunity (adds scalar avg + rollup)
     "q4_order_priority_check",    # EXISTS; q21_waiting_suppliers is the richer dual-quantifier form
     "acctbal_rollup",             # ROLLUP ⊂ GROUPING SETS; revenue_grouping_sets stays
@@ -8836,7 +9118,7 @@ DEMOTED: tuple[str, ...] = (
     # round-7 swaps: each demoted query's coverage is carried by an
     # in-window sibling; the freed slots go to the round-7 flagships
     "media_decode_stats",         # fake-codec decode plumbing ⊂ media_phash_near_dups (same Arrow path + dHash + Hamming join)
-    "q13_customer_order_distribution",  # outer-join count distribution; q16 (group counts + NOT-IN) and q18 (join+group+HAVING) stay
+    "q13_customer_order_distribution",  # outer-join count distribution; q18 (join+group+HAVING) and q22 (anti + scalar) stay
     "lang_proportions",           # label marginals ⊂ lang_id_confusion's cell counts; A4 also unit-pinned
     "simhash_near_dups",          # hamming_near_dup_pairs machinery now driver-verified via media_phash_near_dups (same generic block join); simhash stays parity+fuzz gated
     # late round-7 additions that register early in the file: the window
@@ -8859,7 +9141,7 @@ DEMOTED: tuple[str, ...] = (
     # (coverage-balanced sampling, margin-ratio mining, per-source report)
     "q9_product_type_profit",     # profit rollup shares q8's join tree + share calc (q8 stays in-window)
     "q11_important_parts",        # scalar-subquery HAVING ⊂ q15's scalar-subquery = max shape (q15 stays)
-    "embedding_near_dup_pairs",   # hyperplane-bucket self-join machinery now driver-verified via embedding_coverage_sample (same signature) + media_phash/minhash banded self-joins in-window
+    "embedding_near_dup_pairs",   # hyperplane-bucket self-join machinery driver-verified via embedding_sign_hamming_topk (same sign signature) + media_phash/minhash banded self-joins in-window
     "token_counts",               # ws/BPE-ish scan counts ⊂ quality_scores (scan stats) + inference_batch_plan (ws counts feed the bucketing); still parity+fuzz gated
     "events_range_attribution",   # point-in-interval bucket join ⊂ session_error_exposure's interval×interval form (same bucketization + meet rule, in-window)
     # round-5 swaps: four window slots freed for the new shape families
@@ -8869,7 +9151,7 @@ DEMOTED: tuple[str, ...] = (
     "exact_dedup",                # sha2 hash-key keeper election ⊂ line_dedup_rewrite (same elect rule) + near_dup_keep_best + bloom_dedup_incremental (all in-window)
     "winnow_dup_pairs",           # banded self-join + verify ⊂ minhash_near_dups / ngram_jaccard_near_dups / media_phash_near_dups (in-window)
     "user_event_lag",             # lag window ⊂ session_concurrency's sweep-line windows + events_distinct_kmv_running's per-day rank windows
-    "q21_waiting_suppliers",      # exists/not-exists multi-join; q20 (semi), q22 (anti + scalar), q16 (NOT IN) keep the family's driver rows
+    "q21_waiting_suppliers",      # exists/not-exists multi-join; q22 (anti + scalar) + q18 (join+group+HAVING) keep the family's driver rows
     # round-6 swaps: six window slots freed for the round-5 families'
     # first driver-green rows (attribution, session paths, script stats,
     # daily anomalies, streaming KMV parity, skew profiler); every
@@ -8878,9 +9160,9 @@ DEMOTED: tuple[str, ...] = (
     "doc_repetition_scores",      # repetition fractions ⊂ gopher_quality_flags (same dup-word/dup-ngram family, in-window)
     "benchmark_ngram_overlap",    # n-gram collision join ⊂ ngram_jaccard_near_dups (same shingle-join machinery, in-window)
     "source_quality_report",      # per-source report ⊂ source_quality_drift (same report + the temporal drift dimension, in-window)
-    "quality_scores",             # per-doc scan stats ⊂ gopher/c4/lm quality rows (in-window) + incoming doc_script_stats scan-stat row
+    "quality_scores",             # per-doc scan stats ⊂ gopher_quality_flags (in-window) + charset_mismatch_stats scan-stat row (in-window since round 8)
     "q2_min_cost_supplier",       # correlated-min multi-join ⊂ q15 (scalar-subquery = extremum) + q8 (same join tree), both in-window
-    "q20_heavy_suppliers",        # semi-join + nested agg; q22 (anti + scalar avg), q16 (NOT IN), q18 (join+group+HAVING) keep the family
+    "q20_heavy_suppliers",        # semi-join + nested agg; q22 (anti + scalar avg) + q18 (join+group+HAVING) keep the family
     # round-6 continuation: triangle counting drives the SAME basket
     # pair-support core end-to-end (distinct → size guard → within-
     # basket self-join → support filter) plus the orientation/wedge/
@@ -8903,10 +9185,23 @@ DEMOTED: tuple[str, ...] = (
     "embedding_cosine_topk",      # broadcast brute-force + rank-window top-k ⊂ embedding_sign_hamming_topk (incoming — identical plan, packed-Hamming metric; its unpacked oracle also recomputes the float dot products)
     "orders_price_percentiles",   # percentile_disc buckets ⊂ events_daily_anomalies' median/MAD quantile machinery + inference_batch_plan's boundary bucketing, both in-window
     "reshard_movement",           # inline-argmax movement plan ⊂ shard_compaction_plan (same manifest + global-cumsum packing family) + inference_batch_plan (same bucket assignment), both in-window
-    "embedding_margin_pairs",     # LSH-cell-blocked margin mining ⊂ embedding_coverage_sample (same hyperplane-cell signature, in-window) + the in-window embedding top-k row
+    "embedding_margin_pairs",     # LSH-cell-blocked margin mining ⊂ embedding_sign_hamming_topk (same hyperplane sign-cell signature, packed, in-window) + coverage_sample under the parity gate
     "session_top_paths",          # ordered path n-grams ⊂ session_concurrency (same sessionize CTE, in-window) + purchase_attribution (ordered event sequences, in-window)
     "events_distinct_kmv_running",  # per-day KMV running distinct ⊂ streaming_kmv_distinct_parity (same sketch merge PLUS the stateful streaming twin, in-window)
-    "c4_line_filter_stats",       # C4 per-line keep rules ⊂ boilerplate_line_stats (same per-line HOF classification + the jusText context rule, in-window) + gopher_quality_flags (doc-level quality rules, in-window)
+    "c4_line_filter_stats",       # C4 per-line keep rules ⊂ main_content_extract (same per-line HOF classification + jusText context rule, recomputed inside the in-window rewrite) + gopher_quality_flags (doc-level quality rules, in-window)
+    # round-8 rotation (VERDICT r7 items 1, 5, 6): the six round-7
+    # parity-only queries and the three round-8 flagships take their
+    # first driver-green rows; every demoted query's shape is carried by
+    # an in-window sibling and stays parity+fuzz gated
+    "lang_id_confusion",          # confusion-matrix shape ⊂ nb_lang_confusion (incoming — same cell counts PLUS the value-verified int64 train→predict path); A6 also unit-pinned
+    "vocab_fuzzy_pairs",          # edit-≤2 q-gram self-join ⊂ behavior_signature_pairs (in-window — the 2nd domain of the SAME Gravano count + rarest-gram prefix machinery, driver-green since r7)
+    "textrank_keywords",          # integer-PageRank iteration ⊂ host_link_pagerank (incoming — identical div-floor recurrence, closed-form edge oracle); graph family keeps copurchase_triangles + copurchase_core_numbers in-window
+    "doc_script_stats",           # byte/script scan classification ⊂ charset_mismatch_stats (incoming — same scan-stat shape plus the declared-vs-actual signal); gopher_quality_flags keeps the doc-level scan-stat row
+    "events_zorder_buckets",      # storage-layout audit ⊂ shard_compaction_plan (manifest + global-cumsum packing) + inference_batch_plan (boundary bucketing), both in-window
+    "q16_supplier_part_counts",   # group-count + NOT-IN ⊂ q22 (anti-join + scalar avg) + q18 (join+group+HAVING), both in-window
+    "url_canonical_dedup",        # canonicalizer + keep-first election ⊂ host_quality_rollup (in-window — embeds the same election end to end) + url_frontier_schedule (incoming — same canonicalizer feeding the frontier)
+    "boilerplate_line_stats",     # per-line jusText classification ⊂ main_content_extract (incoming — recomputes the same features + context rule; the destructive rewrite's full text rides the hash)
+    "embedding_coverage_sample",  # hyperplane sign-cell signature ⊂ embedding_sign_hamming_topk (in-window — the same sign quantization, packed to words) + dsir_target_sample (md5-cut sampling, in-window)
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -8995,6 +9290,19 @@ PROMOTED: tuple[str, ...] = (
     # round-7: the unigram-LM distributed E-step's hash-equal row
     # (trivial-lattice fixture; see the query docstring)
     "unigram_char_em_counts",
+    # round-8 flagships (VERDICT r7 items 1, 5, 6): first driver-green
+    # rows for the six round-7 parity-only queries and the new charset +
+    # host-link-graph surface (slots freed by the matching round-8
+    # demotions above)
+    "url_frontier_schedule",
+    "main_content_extract",
+    "nb_lang_predictions",
+    "nb_lang_confusion",
+    "hashed_features_dfm",
+    "phrase_search_counts",
+    "charset_mismatch_stats",
+    "mojibake_repair_rewrite",
+    "host_link_pagerank",
 )
 
 

@@ -895,7 +895,12 @@ def streaming_url_keep_first(
     the row SET, so batching/arrival order cannot change the drained
     result — the 9th stream-batch parity gate pins it against the batch
     operator. State is O(1) per distinct canonical URL (one id); bound
-    it with a watermark-keyed variant when the crawl horizon rotates."""
+    it with a watermark-keyed variant when the crawl horizon rotates.
+
+    NULL urls canonicalize to NULL and are NOT elections: the batch
+    operator passes them through as keepers (never deduped against each
+    other), so the stream must not fold them into one NULL-keyed state
+    group — they are filtered out of the stateful path entirely."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -904,7 +909,7 @@ def streaming_url_keep_first(
     rows = docs_stream.select(
         web.canonical_url(url_col).alias("canonical_url"),
         F.col(id_col).alias("_id"),
-    )
+    ).filter(F.col("canonical_url").isNotNull())
 
     out_schema = T.StructType([
         T.StructField("canonical_url", T.StringType()),
