@@ -226,6 +226,69 @@ def gopher_quality_flags(
 _ANCHOR_PAT = "<[aA]\\b[^>]*>[^<]*</[aA]>"
 
 
+def classify_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "_line",
+    *,
+    min_words: int = 5,
+    min_stopword_ratio: float = 0.05,
+    max_link_density: float = 0.4,
+    short_words: int = 3,
+    stop_words: tuple[str, ...] = None,
+    with_line_text: bool = False,
+) -> DataFrame:
+    """Scan-side per-line feature + class stage over PRE-EXPLODED lines
+    ``(id, line_idx, <line_col>)`` — the stateless half of
+    :func:`boilerplate_line_stats`, factored out so the streaming twin
+    (streaming/counts.py:streaming_boilerplate_stats) classifies with
+    the IDENTICAL Catalyst expressions and only the cross-line context
+    rule lives in state. Returns ``(id, line_idx, n_words,
+    link_density, stopword_ratio, klass[, line])``."""
+    from week5_datingnlp_big_data_spark.functions.stopwords import SNOWBALL_EN
+
+    stops = list(stop_words) if stop_words is not None else list(SNOWBALL_EN)
+    line = _col(line_col)
+    words = F.split(line, "\\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*stops))
+    )
+    stopword_ratio = F.round(stop_hits / n_words, 6)
+    delinked = F.regexp_replace(line, _ANCHOR_PAT, "")
+    link_density = F.round(
+        (F.length(line) - F.length(delinked)) / F.length(line), 6
+    )
+    n_pipes = F.length(line) - F.length(F.regexp_replace(line, "\\|", ""))
+    is_boiler = (
+        (link_density > F.lit(max_link_density))
+        | F.lower(line).contains("copyright")
+        | F.lower(line).contains("©")
+        | (n_pipes >= 2)
+    )
+    klass = (
+        F.when(is_boiler, F.lit("boiler"))
+        .when(n_words < short_words, F.lit("short"))
+        .when(
+            (n_words >= min_words)
+            & (stopword_ratio >= F.lit(min_stopword_ratio)),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("near"))
+    )
+    cols = [
+        F.col(id_col),
+        F.col("line_idx"),
+        n_words.alias("n_words"),
+        link_density.alias("link_density"),
+        stopword_ratio.alias("stopword_ratio"),
+        klass.alias("klass"),
+    ]
+    if with_line_text:
+        cols.append(line.alias("line"))
+    return lines.select(*cols)
+
+
 def boilerplate_line_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -264,55 +327,22 @@ def boilerplate_line_stats(
     """
     from pyspark.sql import Window
 
-    from week5_datingnlp_big_data_spark.functions.stopwords import SNOWBALL_EN
-
-    stops = list(stop_words) if stop_words is not None else list(SNOWBALL_EN)
     s = F.coalesce(_col(text_col), F.lit(""))
     exploded = docs.select(
         F.col(id_col),
         F.posexplode(F.split(s, "\n")).alias("line_idx", "_raw"),
     ).withColumn("_line", F.trim("_raw"))
     lines = exploded.filter(F.length("_line") > 0)
-
-    line = F.col("_line")
-    words = F.split(line, "\\s+")
-    n_words = F.size(words)
-    stop_hits = F.size(
-        F.filter(words, lambda w: F.lower(w).isin(*stops))
+    scored = classify_lines(
+        lines,
+        id_col=id_col,
+        min_words=min_words,
+        min_stopword_ratio=min_stopword_ratio,
+        max_link_density=max_link_density,
+        short_words=short_words,
+        stop_words=stop_words,
+        with_line_text=with_line_text,
     )
-    stopword_ratio = F.round(stop_hits / n_words, 6)
-    delinked = F.regexp_replace(line, _ANCHOR_PAT, "")
-    link_density = F.round(
-        (F.length(line) - F.length(delinked)) / F.length(line), 6
-    )
-    n_pipes = F.length(line) - F.length(F.regexp_replace(line, "\\|", ""))
-    is_boiler = (
-        (link_density > F.lit(max_link_density))
-        | F.lower(line).contains("copyright")
-        | F.lower(line).contains("©")
-        | (n_pipes >= 2)
-    )
-    klass = (
-        F.when(is_boiler, F.lit("boiler"))
-        .when(n_words < short_words, F.lit("short"))
-        .when(
-            (n_words >= min_words)
-            & (stopword_ratio >= F.lit(min_stopword_ratio)),
-            F.lit("good"),
-        )
-        .otherwise(F.lit("near"))
-    )
-    cols = [
-        F.col(id_col),
-        F.col("line_idx"),
-        n_words.alias("n_words"),
-        link_density.alias("link_density"),
-        stopword_ratio.alias("stopword_ratio"),
-        klass.alias("klass"),
-    ]
-    if with_line_text:
-        cols.append(line.alias("line"))
-    scored = lines.select(*cols)
     w = Window.partitionBy(id_col).orderBy("line_idx")
     prev_k = F.lag("klass").over(w)
     next_k = F.lead("klass").over(w)

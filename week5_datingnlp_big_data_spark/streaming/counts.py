@@ -940,3 +940,110 @@ def streaming_url_keep_first(
     return rows.groupBy("canonical_url").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_boilerplate_stats(
+    lines_stream: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming jusText-style boilerplate classification — the stream
+    half of operators/filters.py:boilerplate_line_stats and the 10th
+    stream-batch parity gate. Input is PRE-EXPLODED lines ``(doc_id,
+    line_idx, _line)`` that may arrive split across micro-batches in any
+    order.
+
+    The stateless per-line features and class come from the IDENTICAL
+    Catalyst expressions the batch operator compiles
+    (filters.classify_lines runs IN-STREAM), so the numerics cannot
+    drift; only the jusText CONTEXT rule — a ``near`` line adjacent (in
+    line_idx sort order) to a ``good`` line is kept — needs cross-line
+    state: per-doc arbitrary state accumulates every classified line and
+    re-evaluates the keep flags as neighbors arrive (a batch-2 line can
+    rescue, or separate, a batch-1 neighbor — verdicts are genuinely
+    revised across batches, which is what the gate witnesses). Each
+    update emits the doc's full current verdict set; an update-mode
+    sink's latest row per (doc, line) is the batch answer.
+
+    State is O(lines-of-one-doc) — the same bound the batch window's
+    per-doc partition carries."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from week5_datingnlp_big_data_spark.operators import filters
+
+    scored = filters.classify_lines(lines_stream, id_col=id_col)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("line_idx", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("klass", T.StringType()),
+        T.StructField("keep", T.BooleanType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("idxs", T.ArrayType(T.IntegerType())),
+        T.StructField("nws", T.ArrayType(T.IntegerType())),
+        T.StructField("lds", T.ArrayType(T.DoubleType())),
+        T.StructField("srs", T.ArrayType(T.DoubleType())),
+        T.StructField("kls", T.ArrayType(T.StringType())),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            idxs, nws, lds, srs, kls, upd = state.get
+            store = {
+                int(i): (int(nw), float(ld), float(sr), str(kl))
+                for i, nw, ld, sr, kl in zip(idxs, nws, lds, srs, kls)
+            }
+        else:
+            store, upd = {}, 0
+        for pdf in pdfs:
+            for i, nw, ld, sr, kl in zip(
+                pdf["line_idx"], pdf["n_words"], pdf["link_density"],
+                pdf["stopword_ratio"], pdf["klass"],
+            ):
+                # a line is immutable once seen (keep-first like the
+                # batch explode, which yields each line exactly once)
+                store.setdefault(
+                    int(i), (int(nw), float(ld), float(sr), str(kl))
+                )
+        upd += 1
+        items = sorted(store.items())
+        ks = [v[3] for _, v in items]
+        keep = [
+            k == "good"
+            or (
+                k == "near"
+                and (
+                    (j > 0 and ks[j - 1] == "good")
+                    or (j + 1 < len(ks) and ks[j + 1] == "good")
+                )
+            )
+            for j, k in enumerate(ks)
+        ]
+        state.update((
+            [i for i, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+            [v[2] for _, v in items],
+            ks,
+            upd,
+        ))
+        yield pd.DataFrame({
+            id_col: [key[0]] * len(items),
+            "line_idx": [i for i, _ in items],
+            "n_words": [v[0] for _, v in items],
+            "link_density": [v[1] for _, v in items],
+            "stopword_ratio": [v[2] for _, v in items],
+            "klass": ks,
+            "keep": keep,
+            "upd": [upd] * len(items),
+        })
+
+    return scored.groupBy(id_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
