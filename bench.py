@@ -165,6 +165,14 @@ HEADLINE = [
     "nb_lang_confusion",
     "hashed_features_dfm",
     "phrase_search_counts",
+    # round-8 additions: charset/mojibake hygiene (chained-replace scan
+    # algebra), host link-graph PageRank (anchor extraction + integer
+    # iteration)
+    "charset_mismatch_stats",
+    "mojibake_repair_rewrite",
+    "host_link_pagerank",
+    "robots_rules_parsed",
+    "frontier_robots_filter",
 ]
 
 

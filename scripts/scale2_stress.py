@@ -66,6 +66,12 @@ QUERIES = [
     "minhash_near_dups",
     "vocab_fuzzy_pairs",
     "media_audio_dup_pairs",
+    # round-8 (VERDICT r7 item 3): one URL-family and one boilerplate
+    # query get a measured second decade — the rollup exercises the
+    # canonicalizer + keep-first election + host groupBy, the rewrite
+    # exercises the line explode + per-doc window + struct-sorted rebuild
+    "host_quality_rollup",
+    "main_content_extract",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

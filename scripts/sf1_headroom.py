@@ -172,6 +172,16 @@ QUERIES = [
     "nb_lang_confusion",
     "hashed_features_dfm",
     "phrase_search_counts",
+    # round-8: charset profile + repair (scan-speed chained replace —
+    # near-data-factor is the expectation), host link PageRank (anchor
+    # explode + host-pair-bounded edge agg + driver-path iteration)
+    "charset_mismatch_stats",
+    "mojibake_repair_rewrite",
+    "host_link_pagerank",
+    # round-8: robots parse (host-dim-bounded window parse) + frontier
+    # verdicts (host equi-join, per-URL fan-out = the host's rule count)
+    "robots_rules_parsed",
+    "frontier_robots_filter",
 ]
 
 

@@ -200,3 +200,66 @@ def test_frontier_schedule_plan_has_no_hostdim_broadcast_hint_or_global_sort(spa
     assert not re.search(r"windowspecdefinition\(host#\d+ ASC", optimized), (
         optimized
     )
+
+
+ROBOTS_FIXTURE = """# example robots
+User-agent: *
+Disallow: /private/
+Allow: /private/pub
+Disallow: /*.tmp$
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /
+
+User-agent: freebot
+Disallow:
+"""
+
+
+def test_parse_robots_groups_and_patterns(spark):
+    df = spark.createDataFrame([("a.io", ROBOTS_FIXTURE)],
+                               "host string, robots_txt string")
+    rules = web.parse_robots(df).collect()
+    by_agent = {}
+    for r in rules:
+        by_agent.setdefault(r["agent"], []).append(r)
+    # star group: 3 rules; comment + blank lines ignored
+    star = {r["pattern"]: r for r in by_agent["*"]}
+    assert set(star) == {"/private/", "/private/pub", "/*.tmp$"}
+    assert star["/private/pub"]["allow"] and not star["/private/"]["allow"]
+    # consecutive UA lines share the SAME group's rules
+    assert {r["pattern"] for r in by_agent["specialbot"]} == {"/"}
+    assert {r["pattern"] for r in by_agent["otherbot"]} == {"/"}
+    # empty Disallow value -> no rule at all
+    assert "freebot" not in by_agent
+    # compiled regexes: wildcard + trailing anchor + escaped dot
+    assert star["/*.tmp$"]["pattern_re"] == "^/.*\\.tmp$"
+    assert star["/private/"]["pattern_re"] == "^/private/"
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    rules_src = spark.createDataFrame([("a.io", ROBOTS_FIXTURE)],
+                                      "host string, robots_txt string")
+    rules = web.parse_robots(rules_src)
+    frontier = spark.createDataFrame(
+        [
+            (1, "http://a.io/private/secret"),   # Disallow /private/
+            (2, "http://a.io/private/pub/x"),    # Allow overrides (longer)
+            (3, "http://a.io/open/page"),        # no rule -> allowed
+            (4, "http://a.io/files/x.tmp"),      # wildcard+anchor blocks
+            (5, "http://a.io/files/x.tmp.bak"),  # anchor does NOT match
+            (6, "http://b.io/anything"),         # host without robots
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in web.robots_filter(frontier, rules).collect()}
+    assert not got[1]["is_allowed"] and got[1]["matched_pattern"] == "/private/"
+    assert got[2]["is_allowed"] and got[2]["matched_pattern"] == "/private/pub"
+    assert got[3]["is_allowed"] and got[3]["matched_pattern"] is None
+    assert not got[4]["is_allowed"] and got[4]["matched_pattern"] == "/*.tmp$"
+    assert got[5]["is_allowed"]
+    assert got[6]["is_allowed"]
+    # the agent filter keeps botzilla-style groups out of '*' verdicts
+    blocked = web.robots_filter(frontier, rules, agent="specialbot").collect()
+    assert all(not r["is_allowed"] for r in blocked if r["host"] == "a.io")

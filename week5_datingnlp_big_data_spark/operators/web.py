@@ -322,3 +322,159 @@ def extract_links(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+# ----------------------------------------------------------------------
+# robots.txt politeness rules (RFC 9309, the Robots Exclusion Protocol).
+# Engine spec (documented subset of the RFC, same in the DuckDB twins):
+#   * lines are `Directive: value`; `#` comments stripped; blanks ignored
+#   * a GROUP is one-or-more consecutive User-agent lines followed by
+#     its Allow/Disallow rules; a User-agent line after a rule line
+#     starts a NEW group (RFC 9309 §2.2.1)
+#   * empty rule values are ignored (an empty Disallow allows all)
+#   * patterns: literal path prefixes, `*` wildcards, and a TRAILING `$`
+#     end anchor (§2.2.3); matching is against the URL PATH
+#   * verdict: longest matching pattern wins, ties go to Allow
+#     (§2.2.2); no matching rule means allowed
+# ----------------------------------------------------------------------
+
+# regex metachars escaped when compiling a robots pattern to a regex —
+# `*` (wildcard) and `$` (anchor, trailing only) get special handling
+_ROBOTS_ESC_CHARS = "\\.[]{}()+?^|"
+
+
+def robots_pattern_regex(pattern: Column | str) -> Column:
+    """Compile a robots path pattern to an anchored regex — pure column
+    algebra so both engines build the identical regex: escape metachars,
+    `*` → `.*`, keep one TRAILING `$` as the end anchor (non-trailing
+    `$` is literal), prepend `^`."""
+    p = _col(pattern)
+    anchored = p.endswith("$")
+    body = F.when(
+        anchored, F.substring(p, 1, F.length(p) - 1)
+    ).otherwise(p)
+    esc = body
+    for ch in _ROBOTS_ESC_CHARS + "$":
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), esc, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-host robots.txt into a flat rules table ``(host, agent,
+    allow, pattern, pattern_len, pattern_re)`` — one row per (agent ×
+    rule) pair in the agent's group.
+
+    Group assignment is gaps-and-islands over the line order: a
+    User-agent line whose previous directive line is NOT a User-agent
+    line opens a new group (consecutive User-agent lines share their
+    rules, per RFC 9309 §2.2.1). One per-host window — robots.txt is
+    spec-capped (500 KiB), so per-host line counts are bounded and the
+    rules table is host-cardinality-sized: a dimension, never data."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(_col(robots_col), F.lit("")), "\n")
+        ).alias("line_no", "_raw"),
+    ).withColumn("_l", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+    directive = F.lower(F.trim(F.regexp_extract("_l", "^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract("_l", "^[^:]+:(.*)$", 1))
+    parsed = (
+        lines.filter(F.length("_l") > 0)
+        .select(
+            "host",
+            "line_no",
+            directive.alias("_d"),
+            value.alias("_v"),
+        )
+        .filter(F.col("_d").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("_d") == "user-agent"
+    new_grp = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(new_grp.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host", "grp", F.lower(F.col("_v")).alias("agent")
+    )
+    rules = grouped.filter(~is_ua & (F.length("_v") > 0)).select(
+        "host",
+        "grp",
+        (F.col("_d") == "allow").alias("allow"),
+        F.col("_v").alias("pattern"),
+        F.length("_v").cast("long").alias("pattern_len"),
+        robots_pattern_regex(F.col("_v")).alias("pattern_re"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "allow", "pattern", "pattern_len", "pattern_re"
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply parsed robots rules to a crawl frontier: per URL, the
+    longest matching pattern among the agent's rules decides (ties go to
+    Allow; no match means allowed). Returns the frontier's id plus
+    ``host``, ``path``, ``is_allowed``, and the winning
+    ``matched_pattern`` (NULL when no rule matched).
+
+    Scale shape: one equi-join frontier→rules on host (per-URL fan-out
+    bounded by the host's rule count — robots.txt is spec-capped), the
+    regex match rides the join rows at scan speed, and the verdict is a
+    groupBy struct-max (longest, then Allow, then pattern — a total
+    order): no window ever buffers a URL's rows, and AQE sizes the join
+    since the rules side is a host-cardinality dimension."""
+    path = F.regexp_extract(
+        _col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    base = frontier.select(
+        F.col(id_col),
+        canonical_host(url_col).alias("host"),
+        path.alias("path"),
+    )
+    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+        "host", "allow", "pattern", "pattern_len", "pattern_re"
+    )
+    j = base.join(r, "host", "left")
+    m = F.expr("path rlike pattern_re")
+    best = (
+        j.groupBy(id_col, "host", "path")
+        .agg(
+            F.max(
+                F.when(
+                    m,
+                    F.struct(
+                        F.col("pattern_len"),
+                        F.col("allow").cast("int").alias("allow_i"),
+                        F.col("pattern"),
+                    ),
+                )
+            ).alias("_best")
+        )
+    )
+    return best.select(
+        id_col,
+        "host",
+        "path",
+        F.coalesce(F.col("_best.allow_i") == 1, F.lit(True)).alias(
+            "is_allowed"
+        ),
+        F.col("_best.pattern").alias("matched_pattern"),
+    )

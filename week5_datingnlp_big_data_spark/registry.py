@@ -9058,6 +9058,235 @@ def host_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robots.txt politeness (operators/web.py:parse_robots/robots_filter).
+# Each host gets a deterministic md5-synthesized robots.txt: a `*` group
+# with a Disallow prefix, an Allow longest-match override, an optional
+# `*`-wildcard rule and an optional `$`-anchored rule, a comment, a blank
+# line, and a second (botzilla) group that must NOT leak into the `*`
+# verdicts. Both engines synthesize the identical text; the DuckDB twins
+# re-parse it with independent SQL (gaps-and-islands group assignment)
+# and re-compile the same pattern→regex algebra, so group boundaries,
+# precedence, anchors, and wildcard compilation all ride the hash.
+# ---------------------------------------------------------------------------
+
+
+def _synth_robots(hosts: DataFrame) -> DataFrame:
+    """Deterministic robots.txt per host (spec above); ``hosts`` has one
+    ``host`` column."""
+    h = F.md5(F.concat(F.lit("robots:"), F.col("host")))
+
+    def hx(pos: int) -> Column:
+        return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+    a = (hx(1) % 4).cast("string")
+    b = (hx(2) % 6).cast("string")
+    c = (hx(3) % 6).cast("string")
+    a2 = ((hx(1) % 4 + 1) % 4).cast("string")
+    wild = hx(4) % 2 == 0
+    anch = hx(5) % 3 == 0
+    txt = F.concat(
+        F.lit("# robots for "), F.col("host"), F.lit("\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /cat"), a, F.lit("/\n"),
+        F.lit("Allow: /cat"), a, F.lit("/item"), b, F.lit("\n"),
+        F.when(
+            wild, F.concat(F.lit("Disallow: /*item"), c, F.lit("\n"))
+        ).otherwise(F.lit("")),
+        F.when(
+            anch,
+            F.concat(
+                F.lit("Disallow: /cat"), a2, F.lit("/item"), b,
+                F.lit("$\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\nUser-agent: botzilla\nDisallow: /"),
+    )
+    return hosts.select("host", txt.alias("robots_txt"))
+
+
+# the same escape chain robots_pattern_regex compiles, as nested SQL
+# replace() — built from the same constant so the engines cannot drift
+def _sql_robots_regex(col: str) -> str:
+    body = (
+        f"CASE WHEN {col} LIKE '%$' "
+        f"THEN substr({col}, 1, length({col}) - 1) ELSE {col} END"
+    )
+    esc = body
+    for ch in web._ROBOTS_ESC_CHARS + "$":
+        lit = ch.replace("'", "''")
+        esc = f"replace({esc}, '{lit}', '\\{lit}')"
+    esc = f"replace({esc}, '*', '.*')"
+    return (
+        f"'^' || {esc} || CASE WHEN {col} LIKE '%$' THEN '$' ELSE '' END"
+    )
+
+
+_SQL_ROBOTS_RULES = f"""
+    hostdim AS (
+      SELECT DISTINCT 'site' || CAST(
+               (('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))
+                 ::BIGINT % 150) % 25 AS VARCHAR) || '.example.com' AS host
+      FROM documents
+    ), rgeo AS (
+      SELECT host,
+             ('0x' || substr(h, 1, 1))::INT % 4 AS a,
+             ('0x' || substr(h, 2, 1))::INT % 6 AS b,
+             ('0x' || substr(h, 3, 1))::INT % 6 AS c,
+             (('0x' || substr(h, 1, 1))::INT % 4 + 1) % 4 AS a2,
+             ('0x' || substr(h, 4, 1))::INT % 2 = 0 AS wild,
+             ('0x' || substr(h, 5, 1))::INT % 3 = 0 AS anch
+      FROM (SELECT host, md5('robots:' || host) AS h FROM hostdim)
+    ), rtxt AS (
+      SELECT host,
+             '# robots for ' || host || chr(10)
+             || 'User-agent: *' || chr(10)
+             || 'Disallow: /cat' || a || '/' || chr(10)
+             || 'Allow: /cat' || a || '/item' || b || chr(10)
+             || CASE WHEN wild
+                  THEN 'Disallow: /*item' || c || chr(10) ELSE '' END
+             || CASE WHEN anch
+                  THEN 'Disallow: /cat' || a2 || '/item' || b || '$'
+                       || chr(10)
+                  ELSE '' END
+             || chr(10) || 'User-agent: botzilla' || chr(10)
+             || 'Disallow: /' AS txt
+      FROM rgeo
+    ), rlines AS (
+      SELECT host, CAST(u.s['i'] AS INT) AS line_no,
+             trim(regexp_replace(u.s['l'], '#.*$', '')) AS l
+      FROM (SELECT host, regexp_split_to_array(txt, '\\n') AS ls FROM rtxt),
+           unnest(list_transform(range(len(ls)),
+                                 i -> {{'i': i, 'l': ls[(i + 1)::INT]}})) u(s)
+    ), rparsed AS (
+      SELECT host, line_no,
+             lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS d,
+             trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS v
+      FROM rlines WHERE length(l) > 0
+    ), rkept AS (
+      SELECT * FROM rparsed WHERE d IN ('user-agent', 'allow', 'disallow')
+    ), rmark AS (
+      SELECT host, line_no, d, v,
+             CASE WHEN d = 'user-agent'
+                  AND coalesce(lag(d) OVER w, '') <> 'user-agent'
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM rkept
+      WINDOW w AS (PARTITION BY host ORDER BY line_no)
+    ), rgrp AS (
+      SELECT host, line_no, d, v,
+             sum(new_grp) OVER (PARTITION BY host ORDER BY line_no
+                                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM rmark
+    ), ragents AS (
+      SELECT host, grp, lower(v) AS agent FROM rgrp WHERE d = 'user-agent'
+    ), rrules AS (
+      SELECT host, grp, d = 'allow' AS allow, v AS pattern,
+             CAST(length(v) AS BIGINT) AS pattern_len,
+             {_sql_robots_regex('v')} AS pattern_re
+      FROM rgrp WHERE d <> 'user-agent' AND length(v) > 0
+    ), rflat AS (
+      SELECT a.host, a.agent, r.allow, r.pattern, r.pattern_len,
+             r.pattern_re
+      FROM ragents a JOIN rrules r USING (host, grp)
+    )
+"""
+
+
+@query(
+    "robots_rules_parsed",
+    f"""
+    WITH {_SQL_ROBOTS_RULES}
+    SELECT host, agent, allow, pattern, pattern_len, pattern_re
+    FROM rflat
+    """,
+)
+def robots_rules_parsed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (RFC 9309): comment/blank stripping,
+    gaps-and-islands User-agent group assignment (consecutive UA lines
+    share rules; a UA line after a rule opens a new group), empty-value
+    drop, and pattern→regex compilation (`*` wildcard, trailing `$`
+    anchor, metachars escaped). The compiled regex rides the hash, so
+    both engines must build it byte-identically. See
+    operators/web.py:parse_robots."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = (
+        _synth_urls(docs)
+        .select(web.canonical_host("url").alias("host"))
+        .distinct()
+    )
+    return web.parse_robots(_synth_robots(hosts))
+
+
+@query(
+    "frontier_robots_filter",
+    f"""
+    WITH {_SQL_ROBOTS_RULES},
+    ks AS ({_SQL_URL_CANON}),
+    c AS ({_SQL_URL_CANON_FORM}),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, k, host, canonical_url,
+               doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+                 AS is_kept
+        FROM (SELECT doc_id, n_words,
+                     'site' || CAST(k % 25 AS VARCHAR) || '.example.com'
+                       AS host,
+                     (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+                       || '://site' || CAST(k % 25 AS VARCHAR)
+                       || '.example.com'
+                       || (CASE WHEN k % 7 = 0 THEN ':8080' ELSE '' END)
+                       || '/cat' || CAST(k % 4 AS VARCHAR)
+                       || '/item' || CAST(k % 6 AS VARCHAR)
+                       || '?page=' || CAST(k % 3 AS VARCHAR)
+                       || '&q=term' || CAST(k % 5 AS VARCHAR)
+                       AS canonical_url,
+                     k
+              FROM ks)
+      ) WHERE is_kept
+    ), fr AS (
+      SELECT doc_id, host,
+             '/cat' || CAST(k % 4 AS VARCHAR)
+             || '/item' || CAST(k % 6 AS VARCHAR) AS path
+      FROM kept
+    ), star AS (
+      SELECT host, allow, pattern, pattern_len, pattern_re
+      FROM rflat WHERE agent = '*'
+    ), matched AS (
+      SELECT f.doc_id, f.host, f.path, s.allow, s.pattern, s.pattern_len,
+             regexp_matches(f.path, s.pattern_re) AS m
+      FROM fr f LEFT JOIN star s USING (host)
+    ), ranked AS (
+      SELECT doc_id, host, path, allow, pattern,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY m DESC, pattern_len DESC,
+                        CASE WHEN allow THEN 1 ELSE 0 END DESC,
+                        pattern DESC) AS rn,
+             m
+      FROM matched
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN m THEN allow ELSE true END AS is_allowed,
+           CASE WHEN m THEN pattern END AS matched_pattern
+    FROM ranked WHERE rn = 1
+    """,
+)
+def frontier_robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots verdicts over the deduped crawl frontier: per URL, the
+    longest matching `*`-group pattern decides (tie → Allow; no match →
+    allowed) — the Allow override inside a Disallowed prefix, the
+    wildcard rule, the `$` anchor, and the botzilla-group exclusion all
+    carry hash signal. One host equi-join + scan-side regex + struct-max
+    verdict; see operators/web.py:robots_filter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = web.url_dedup_keep_first(_synth_urls(docs)).filter("is_kept")
+    hosts = kept.select(
+        web.canonical_host("canonical_url").alias("host")
+    ).distinct()
+    rules = web.parse_robots(_synth_robots(hosts))
+    return web.robots_filter(kept, rules, url_col="canonical_url")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
