@@ -173,6 +173,9 @@ HEADLINE = [
     "host_link_pagerank",
     "robots_rules_parsed",
     "frontier_robots_filter",
+    "host_link_hits",
+    "doc_readability_scores",
+    "host_link_communities",
 ]
 
 

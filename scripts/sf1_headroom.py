@@ -182,6 +182,11 @@ QUERIES = [
     # verdicts (host equi-join, per-URL fan-out = the host's rule count)
     "robots_rules_parsed",
     "frontier_robots_filter",
+    # round-8: integer HITS (host-dim graph, driver path at this scale)
+    # + readability (pure scan algebra — near-data-factor expected)
+    "host_link_hits",
+    "doc_readability_scores",
+    "host_link_communities",
 ]
 
 

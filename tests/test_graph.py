@@ -364,3 +364,79 @@ def test_core_numbers_recursive_sql_oracle_matches_twin():
         got = dict(con.execute(core_sql).fetchall())
         con.close()
         assert got == graph._core_numbers_py(edge_list)
+
+
+def test_hits_int_hand_graph_and_both_paths_identical(spark):
+    from week5_datingnlp_big_data_spark.operators import graph
+
+    # star: everyone links to 'hub-target' c; a links b too
+    edges = [("a", "c", 2), ("b", "c", 1), ("a", "b", 1), ("d", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    driver = {
+        (r["node"]): (r["hub"], r["auth"])
+        for r in graph.hits_int(df, iters=3, scale=10**6).collect()
+    }
+    dist = {
+        (r["node"]): (r["hub"], r["auth"])
+        for r in graph.hits_int(
+            df, iters=3, scale=10**6, driver_threshold_edges=0
+        ).collect()
+    }
+    assert driver == dist  # bit-identical coarse-to-fine contract
+    # c is the authority (all in-links), a the best hub (most out-weight)
+    assert driver["c"][1] == max(v[1] for v in driver.values())
+    assert driver["a"][0] == max(v[0] for v in driver.values())
+    # L1 normalization: ranks sum to ~scale (floor losses < n units)
+    assert abs(sum(v[0] for v in driver.values()) - 10**6) < 10
+    assert abs(sum(v[1] for v in driver.values()) - 10**6) < 10
+    # source-only d has zero authority; sink c has zero hub
+    assert driver["d"][1] == 0 and driver["c"][0] == 0
+
+
+def test_hits_int_empty_and_zero_sum(spark):
+    from week5_datingnlp_big_data_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    assert graph.hits_int(empty).count() == 0
+
+
+def test_label_propagation_two_cliques_and_both_paths(spark):
+    from week5_datingnlp_big_data_spark.operators import graph
+
+    # two triangles joined by one weak bridge: communities = the cliques
+    edges = [
+        ("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+        ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+        ("c", "x", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    driver = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df, iters=4).collect()
+    }
+    dist = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(
+            df, iters=4, driver_threshold_edges=0
+        ).collect()
+    }
+    assert driver == dist
+    assert driver["a"] == driver["b"] == driver["c"]
+    assert driver["x"] == driver["y"] == driver["z"]
+    assert driver["a"] != driver["x"]
+
+
+def test_label_propagation_tiebreak_is_min_label(spark):
+    from week5_datingnlp_big_data_spark.operators import graph
+
+    # single edge: the self-preference term makes round 1 a tie at each
+    # node ({self: 1, neighbor: 1}), and the min-label tiebreak collapses
+    # both to 'a' — the bare-edge case pure synchronous LPA oscillates on
+    df = spark.createDataFrame([("b", "a", 1)], "src string, dst string, w long")
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(df, iters=2).collect()}
+    assert got == {"a": "a", "b": "a"}
+    # and the verdict is stable: one more round changes nothing
+    got3 = {r["node"]: r["community"]
+            for r in graph.label_propagation(df, iters=3).collect()}
+    assert got3 == got

@@ -481,3 +481,25 @@ def test_kn_bigram_mass_bounded_per_context(spark, sf_dir):
     rows = mass.collect()
     assert rows and all(r["mass"] <= 1.0 + 1e-9 for r in rows)
     assert all(r["pmin"] > 0 for r in rows)
+
+
+def test_readability_scores_hand_case(spark):
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! Did it?"), (2, "xyz qqq"),
+         (3, "reading comprehension evaluation")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.readability_scores(df).collect()}
+    r = got[1]
+    # 8 words, 3 sentence runs; syllables: the=1 cat=1 sat=1 the=1 dog=1
+    # ran=1 did=1 it=1 -> 8
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (8, 3, 8)
+    fre = round(206.835 - 1.015 * (8 / 3) - 84.6 * (8 / 8), 6)
+    assert abs(r["flesch_ease"] - fre) < 1e-9
+    # vowel-less words still count one syllable each
+    assert got[2]["n_syllables"] == 2 and got[2]["n_sentences"] == 1
+    # long-word doc: rea-ding=2? spec counts vowel RUNS: r(ea)d(i)ng=2,
+    # c(o)mpr(e)h(e)ns(io)n=4, (e)v(a)l(ua)t(io)n=4 -> 10
+    assert got[3]["n_syllables"] == 10

@@ -499,3 +499,290 @@ def core_numbers(
     for d in done[1:]:
         out = out.unionAll(d)
     return out
+
+
+def _hits_py(edge_rows, iters: int, scale: int) -> dict:
+    """Driver-side execution of :func:`hits_int` — the identical
+    L1-normalized integer recurrence on a collected edge list."""
+    nodes = set()
+    adj = []
+    for s, d, w in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        adj.append((s, d, int(w)))
+    nodes = sorted(nodes)
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        araw = dict.fromkeys(nodes, 0)
+        for s, d, w in adj:
+            araw[d] += w * hub[s]
+        asum = sum(araw.values())
+        auth = {
+            v: ((araw[v] * scale) // asum if asum > 0 else 0) for v in nodes
+        }
+        hraw = dict.fromkeys(nodes, 0)
+        for s, d, w in adj:
+            hraw[s] += w * auth[d]
+        hsum = sum(hraw.values())
+        hub = {
+            v: ((hraw[v] * scale) // hsum if hsum > 0 else 0) for v in nodes
+        }
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def hits_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 2,
+    driver_threshold_edges: int = 100_000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in integer arithmetic —
+    the link-analysis companion of :func:`pagerank_int`, normalized L1
+    (sum-to-scale) instead of the classic L2 so every step is exact
+    div-floor int64 and any oracle can unroll the identical recurrence:
+
+        hub_0(v)  = scale div n          over nodes = src ∪ dst
+        a_raw(v)  = Σ_{u→v} w·hub(u);  a(v) = (a_raw·scale) div Σ a_raw
+        h_raw(v)  = Σ_{v→u} w·a(u);    hub(v) = (h_raw·scale) div Σ h_raw
+
+    (authorities update from current hubs FIRST, then hubs from the new
+    authorities — the classic ordering). Zero-sum guards return 0 ranks.
+    Returns ``(node, hub, auth)`` in 1/scale units.
+
+    Overflow bound: ranks ≤ scale, so a node's raw ≤ (its weighted
+    in-degree)·scale ≤ W·scale where W = total edge weight, and the
+    normalization's ``raw·scale`` intermediate needs W·scale² < 2⁶³ —
+    i.e. W < 9.2e18/scale². The PageRank default scale=1e9 only allows
+    W < ~9, so HITS callers pass a scale sized to their graph
+    (scale=1e6 allows W < 9.2e6 — ample for host graphs, and 1e-6-unit
+    ranks carry more than enough hash precision).
+
+    Same coarse-to-fine discipline as :func:`pagerank_int`: collected
+    driver execution under ``driver_threshold_edges``, else distributed
+    join-agg rounds with periodic localCheckpoint lineage truncation;
+    the integer math is bit-identical on either path."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("hub"),
+            F.lit(0).cast("bigint").alias("auth"),
+        )
+    m = e.count()
+    if m <= driver_threshold_edges:
+        rows = e.collect()
+        spark = edges.sparkSession
+        out = _hits_py(
+            [(r["src"], r["dst"], r["w"]) for r in rows], iters, scale
+        )
+        node_type = e.schema["src"].dataType.simpleString()
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame(
+            sorted((k, h, a) for k, (h, a) in out.items()),
+            f"node {node_type}, hub bigint, auth bigint",
+        )
+    hub = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))
+    last_ckpt = None
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("t") > 0,
+                    F.expr("(coalesce(raw, 0) * %d) div t" % scale),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+
+    auth = None
+    for i in range(iters):
+        araw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(F.col("dst").alias("node"), F.expr("w * r").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        auth = _norm(araw)
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "_an"), e["dst"] == F.col("_an"))
+            .select(F.col("src").alias("node"), F.expr("w * r").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        hub = _norm(hraw)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+            if last_ckpt is not None:
+                for df in last_ckpt:
+                    _release_local_checkpoint(df)
+            last_ckpt = (hub, auth)
+    out = (
+        hub.withColumnRenamed("r", "hub")
+        .join(auth.select("node", F.col("r").alias("auth")), "node")
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    if last_ckpt is not None:
+        for df in last_ckpt:
+            if df is not out:
+                _release_local_checkpoint(df)
+    return out
+
+
+def _label_prop_py(edge_rows, iters: int) -> dict:
+    """Driver-side execution of :func:`label_propagation` — identical
+    synchronous max-weight/min-label updates (with the self-preference
+    term) on a collected edge list."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(dict)
+    for s, d, w in edge_rows:
+        if s == d:
+            continue
+        w = int(w)
+        nbrs[s][d] = nbrs[s].get(d, 0) + w
+        nbrs[d][s] = nbrs[d].get(s, 0) + w
+    nodes = sorted(nbrs)
+    # self-preference: own current label weighted at the node's max
+    # incident edge weight (see label_propagation docstring)
+    for v in nodes:
+        nbrs[v][v] = max(nbrs[v].values())
+    label = {v: v for v in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            scores = defaultdict(int)
+            for u, w in nbrs[v].items():
+                scores[label[u]] += w
+            mx = max(scores.values())  # every node has >=1 neighbor
+            nxt[v] = min(lab for lab, s in scores.items() if s == mx)
+        label = nxt
+    return label
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    checkpoint_every: int = 2,
+    driver_threshold_edges: int = 100_000,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007, made deterministic): every node starts as its
+    own label; each round, simultaneously, a node adopts the label with
+    the maximum total incident edge weight among its neighbors PLUS a
+    self-preference term — its own current label counted at the node's
+    maximum incident edge weight — with ties broken by the
+    lexicographically SMALLEST label. The self term is what kills the
+    classic synchronous failure mode: on a bare edge a—b, pure
+    synchronous updates swap labels forever, while the self term turns
+    round one into a tie that the total-order tiebreak collapses to
+    min(a, b) — converged. Fixed ``iters`` rounds (synchronous +
+    total-order tiebreak = reproducible and oracle-able — the textbook
+    async random-order variant is neither). Input edges are treated as
+    undirected (symmetrized, parallel weights summed, input self-loops
+    dropped before the self term is added). Returns ``(node,
+    community)``.
+
+    Scale shape per round: one join labels→edges (shuffle on node), one
+    (node, label) partial-aggregated groupBy, one max-per-node groupBy,
+    and one min-label join back — groupBys all the way down (no window
+    ever buffers a node's neighborhood in one task); AQE handles skewed
+    hubs. Same coarse-to-fine discipline as :func:`pagerank_int`; the
+    update rule is bit-identical on either path."""
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    sym_pairs = (
+        e0.filter(F.col("a") != F.col("b"))
+        .unionByName(
+            e0.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    selfw = sym_pairs.groupBy("a").agg(F.max("w").alias("w")).select(
+        "a", F.col("a").alias("b"), "w"
+    )
+    sym = sym_pairs.unionByName(selfw).persist()
+    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+    m = sym.count()
+    spark = edges.sparkSession
+    if m == 0:
+        sym.unpersist()
+        return nodes.select(
+            "node", F.col("node").alias("community")
+        )
+    if m <= driver_threshold_edges:
+        rows = sym.collect()
+        out = _label_prop_py([(r["a"], r["b"], r["w"]) for r in rows], iters)
+        node_type = sym.schema["a"].dataType.simpleString()
+        sym.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame(
+            sorted(out.items()), f"node {node_type}, community {node_type}"
+        )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    last_ckpt = None
+    for i in range(iters):
+        scores = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("lab").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), F.col("nl").alias("lab"))
+            .agg(F.sum("w").alias("s"))
+        )
+        mx = scores.groupBy("node").agg(F.max("s").alias("mxs"))
+        labels = (
+            scores.join(mx, "node")
+            .filter(F.col("s") == F.col("mxs"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+            if last_ckpt is not None:
+                _release_local_checkpoint(last_ckpt)
+            last_ckpt = labels
+    out = labels.select("node", F.col("lab").alias("community"))
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    nodes.unpersist()
+    if last_ckpt is not None and last_ckpt is not out:
+        _release_local_checkpoint(last_ckpt)
+    return out

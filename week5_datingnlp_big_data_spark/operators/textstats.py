@@ -970,3 +970,54 @@ def script_stats(docs: DataFrame, text_col: str = "text",
         ],
         (counts["cjk"] > counts["latin"]).alias("cjk_dominant"),
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level (Kincaid et al.
+    1975), the classic readability prior in quality-filter stacks.
+
+    Engine spec (owned, deterministic — syllabification proper needs a
+    dictionary, and every public implementation approximates):
+      * words: whitespace split of the trimmed lowercased text
+      * sentences: max(1, number of ``[.!?]+`` runs in the raw text)
+      * syllables: per word, max(1, number of ``[aeiouy]+`` vowel runs)
+      * FRE  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+      * FKGL = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+    both rounded to 6 decimals (the repo's float discipline).
+
+    Pure HOF/regex scan algebra — no shuffle, no UDF; at 100 TB this is
+    one more predicate inside the quality-scan's codegen span."""
+    raw = F.coalesce(_col(text_col), F.lit(""))
+    words = F.split(F.trim(F.lower(raw)), "\\s+")
+    n_words = F.size(words).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(raw, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sentences
+    spw = n_syllables.cast("double") / n_words
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+        .alias("fk_grade"),
+    )

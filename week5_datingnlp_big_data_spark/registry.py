@@ -9057,6 +9057,231 @@ def host_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hits_chain(iters: int, scale: int) -> str:
+    """Unrolled integer-HITS iterations as CTEs — the EXACT L1-normalized
+    recurrence of operators/graph.py:hits_int (authorities from current
+    hubs first, then hubs from the new authorities; div-floor throughout),
+    so Spark and DuckDB agree bit-for-bit."""
+    ctes = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        # AS MATERIALIZED: each level references the previous one through
+        # MULTIPLE CTEs (raw + its sum + the normalize), and DuckDB
+        # re-inlines plain CTEs at every reference — ~4x subtree
+        # duplication per iteration, 4^5 by h5, which planning never
+        # survives. Materializing pins each level to one evaluation.
+        ctes.append(f"""araw{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(e.w * h.r) AS raw
+      FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+    ), asum{i} AS (SELECT sum(raw) AS t FROM araw{i}),
+    a{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(CASE WHEN s.t > 0
+                  THEN (coalesce(r.raw, 0) * {scale}) // s.t
+                  ELSE 0 END AS BIGINT) AS r
+      FROM nodes CROSS JOIN asum{i} s
+      LEFT JOIN araw{i} r ON r.node = nodes.node
+    ), hraw{i} AS MATERIALIZED (
+      SELECT e.src AS node, sum(e.w * a.r) AS raw
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+    ), hsum{i} AS (SELECT sum(raw) AS t FROM hraw{i}),
+    h{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(CASE WHEN s.t > 0
+                  THEN (coalesce(r.raw, 0) * {scale}) // s.t
+                  ELSE 0 END AS BIGINT) AS r
+      FROM nodes CROSS JOIN hsum{i} s
+      LEFT JOIN hraw{i} r ON r.node = nodes.node
+    )""")
+        prev_h = f"h{i}"
+    return ", ".join(ctes)
+
+
+@query(
+    "host_link_hits",
+    f"""
+    WITH ks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))
+               ::BIGINT % 150 AS k,
+             md5('link:' || CAST(doc_id AS VARCHAR)) AS lh
+      FROM documents
+    ), l AS (
+      SELECT k % 25 AS s,
+             ('0x' || substr(lh, 4, 1))::INT % 3 + 1 AS nl, lh
+      FROM ks
+    ), tgt AS (
+      SELECT s, ('0x' || substr(lh, (6 + j)::INT, 1))::INT % 25 AS t
+      FROM l, unnest(range(nl)) u(j)
+    ), e AS (
+      SELECT 'site' || CAST(s AS VARCHAR) || '.example.com' AS src,
+             'site' || CAST(t AS VARCHAR) || '.example.com' AS dst,
+             count(*) AS w
+      FROM tgt WHERE s <> t GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ), c AS (SELECT count(*) AS n FROM nodes),
+    h0 AS (
+      SELECT node, CAST(1000000 // c.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN c
+    ), {_sql_hits_chain(5, 10**6)}
+    SELECT h.node AS host, h.r AS hub_scaled, a.r AS auth_scaled
+    FROM h5 h JOIN a5 a USING (node)
+    """,
+)
+def host_link_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph (Kleinberg 1999
+    — the query-independent companion of host_link_pagerank): 5
+    L1-normalized integer iterations at scale 1e6 (the overflow-safe
+    scale for this graph's total edge weight, see hits_int's bound).
+    The oracle derives the edge list closed-form from the md5 keys and
+    unrolls the identical div-floor recurrence, so extraction, the
+    src∪dst node set, the hubs-then-authorities update order, and both
+    normalizations all ride the hash. See operators/graph.py:hits_int."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _synth_anchor_pages(_synth_urls(docs))
+    edges = web.extract_links(pages, text_col="text", url_col="url")
+    out = graph.hits_int(
+        edges, src="src_host", dst="dst_host", iters=5, scale=10**6
+    )
+    return out.select(
+        F.col("node").alias("host"),
+        F.col("hub").alias("hub_scaled"),
+        F.col("auth").alias("auth_scaled"),
+    )
+
+
+@query(
+    "doc_readability_scores",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')
+               AS ws,
+             coalesce(text, '') AS text
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(ws,
+                    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                                  1))) AS BIGINT) AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 6) AS fk_grade
+    FROM feat
+    """,
+)
+def doc_readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per doc (Kincaid et
+    al. 1975) — the classic readability prior quality filters consume.
+    Engine syllable spec (owned, deterministic): per word,
+    max(1, count of [aeiouy]+ vowel groups); sentences = max(1, count
+    of [.!?]+ runs). Pure HOF/regex scan algebra — the formulas are one
+    more scan predicate at 100 TB. See operators/textstats.py:
+    readability_scores."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select("doc_id", "text")
+    return textstats.readability_scores(docs)
+
+
+def _sql_labelprop_chain(iters: int) -> str:
+    """Unrolled synchronous label-propagation rounds as CTEs — the EXACT
+    max-weight/min-label update of operators/graph.py:label_propagation,
+    so Spark and DuckDB agree bit-for-bit."""
+    ctes = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        # sc{i} is referenced twice (mx + the min-label join) and l{i}
+        # feeds the next round — materialize both (same DuckDB
+        # re-inlining hazard as the HITS chain).
+        ctes.append(f"""sc{i} AS MATERIALIZED (
+      SELECT s.a AS node, l.lab AS lab, sum(s.w) AS sw
+      FROM sym s JOIN {prev} l ON l.node = s.b
+      GROUP BY 1, 2
+    ), mx{i} AS (
+      SELECT node, max(sw) AS mxs FROM sc{i} GROUP BY 1
+    ), l{i} AS MATERIALIZED (
+      SELECT s.node, min(s.lab) AS lab
+      FROM sc{i} s JOIN mx{i} m ON m.node = s.node AND s.sw = m.mxs
+      GROUP BY 1
+    )""")
+        prev = f"l{i}"
+    return ", ".join(ctes)
+
+
+@query(
+    "host_link_communities",
+    f"""
+    WITH ks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))
+               ::BIGINT % 150 AS k,
+             md5('link:' || CAST(doc_id AS VARCHAR)) AS lh
+      FROM documents
+    ), l AS (
+      SELECT k % 25 AS s,
+             ('0x' || substr(lh, 4, 1))::INT % 3 + 1 AS nl, lh
+      FROM ks
+    ), tgt AS (
+      SELECT s, ('0x' || substr(lh, (6 + j)::INT, 1))::INT % 25 AS t
+      FROM l, unnest(range(nl)) u(j)
+    ), e AS (
+      SELECT 'site' || CAST(s AS VARCHAR) || '.example.com' AS src,
+             'site' || CAST(t AS VARCHAR) || '.example.com' AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM tgt WHERE s <> t GROUP BY 1, 2
+    ), sym_pairs AS (
+      SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM e WHERE src <> dst
+      ) GROUP BY 1, 2
+    ), sym AS (
+      -- self-preference rows: own label at the node's max incident
+      -- weight (mirrors label_propagation's synchronous-oscillation fix)
+      SELECT a, b, w FROM sym_pairs
+      UNION ALL
+      SELECT a, a AS b, max(w) AS w FROM sym_pairs GROUP BY a
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS lab FROM sym
+    ), {_sql_labelprop_chain(4)}
+    SELECT node AS host, lab AS community FROM l4
+    """,
+)
+def host_link_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host communities by deterministic synchronous label propagation
+    (Raghavan et al. 2007 with a total-order tiebreak — the site-family
+    / mirror-cluster signal a crawl curator thresholds): 4 rounds of
+    max-weight/min-label updates over the symmetrized host link graph.
+    The oracle derives the edges closed-form and unrolls the identical
+    rounds as groupBy CTEs, so symmetrization, the synchronous update,
+    and the lexical tiebreak all ride the hash. See
+    operators/graph.py:label_propagation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _synth_anchor_pages(_synth_urls(docs))
+    edges = web.extract_links(pages, text_col="text", url_col="url")
+    out = graph.label_propagation(
+        edges, src="src_host", dst="dst_host", iters=4
+    )
+    return out.select(
+        F.col("node").alias("host"), F.col("community")
+    )
+
+
 # ---------------------------------------------------------------------------
 # robots.txt politeness (operators/web.py:parse_robots/robots_filter).
 # Each host gets a deterministic md5-synthesized robots.txt: a `*` group
