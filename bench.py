@@ -176,6 +176,8 @@ HEADLINE = [
     "host_link_hits",
     "doc_readability_scores",
     "host_link_communities",
+    "sitemap_entries_parsed",
+    "sitemap_new_urls",
 ]
 
 

@@ -187,6 +187,9 @@ QUERIES = [
     "host_link_hits",
     "doc_readability_scores",
     "host_link_communities",
+    # round-8: sitemap parse (host-dim XML split) + discovery anti-join
+    "sitemap_entries_parsed",
+    "sitemap_new_urls",
 ]
 
 

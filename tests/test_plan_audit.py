@@ -93,7 +93,13 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # are 1-row/handful-row broadcast attaches)
                  "nb_lang_predictions", "url_frontier_schedule",
                  "phrase_search_counts", "hashed_features_dfm",
-                 "main_content_extract"):
+                 "main_content_extract",
+                 # round-8: charset scans, the anchor-edge builds feeding
+                 # PageRank/HITS/communities, and the robots host join
+                 # must all stay cartesian-free
+                 "charset_mismatch_stats", "mojibake_repair_rewrite",
+                 "host_link_pagerank", "robots_rules_parsed",
+                 "frontier_robots_filter", "doc_readability_scores"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

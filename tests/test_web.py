@@ -263,3 +263,51 @@ def test_robots_filter_longest_match_and_defaults(spark):
     # the agent filter keeps botzilla-style groups out of '*' verdicts
     blocked = web.robots_filter(frontier, rules, agent="specialbot").collect()
     assert all(not r["is_allowed"] for r in blocked if r["host"] == "a.io")
+
+
+def test_parse_sitemap_locs_lastmod_and_index(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        '<url><loc>http://A.io/x/</loc><lastmod>2024-01-15</lastmod></url>'
+        '<url><loc>http://a.io/y?b=2&amp;a=1</loc></url>'
+        '<url><priority>0.5</priority></url>'  # no loc -> dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.io/sitemap1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.io", xml), ("a.io", idx), ("b.io", None)],
+        "host string, sitemap_xml string",
+    )
+    rows = web.parse_sitemap(df).collect()
+    urlset = sorted(
+        [r for r in rows if not r["is_index"]], key=lambda r: r["entry_idx"]
+    )
+    assert len(urlset) == 2
+    assert urlset[0]["loc"] == "http://A.io/x/"
+    assert urlset[0]["canonical_url"] == "http://a.io/x"  # canonicalized
+    assert urlset[0]["lastmod"] == "2024-01-15"
+    assert urlset[1]["lastmod"] is None  # missing lastmod -> NULL
+    index = [r for r in rows if r["is_index"]]
+    assert len(index) == 1 and index[0]["loc"].endswith("sitemap1.xml")
+
+
+def test_sitemap_discovery_anti_join_and_keep_first(spark):
+    entries = spark.createDataFrame(
+        [
+            ("a.io", 0, "u1", "2024-01-01"),
+            ("a.io", 1, "u2", None),
+            ("a.io", 2, "u2", "2024-02-02"),  # dup canonical: keep entry 1
+            ("b.io", 0, "u3", "2024-03-03"),
+        ],
+        "host string, entry_idx int, canonical_url string, lastmod string",
+    )
+    crawled = spark.createDataFrame([("u1",)], "canonical_url string")
+    got = {
+        (r["host"], r["canonical_url"], r["lastmod"])
+        for r in web.sitemap_discovery(entries, crawled).collect()
+    }
+    assert got == {("a.io", "u2", None), ("b.io", "u3", "2024-03-03")}

@@ -478,3 +478,78 @@ def robots_filter(
         ),
         F.col("_best.pattern").alias("matched_pattern"),
     )
+
+
+def parse_sitemap(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol — the discovery feed
+    robots.txt points crawlers at) into flat entries ``(host, entry_idx,
+    loc, lastmod, canonical_url, is_index)``.
+
+    Engine spec: entries are split on ``</url>`` (``</sitemap>`` for
+    index files), ``<loc>``/``<lastmod>`` extracted per block with
+    ``[^<]*`` bodies (portable across Java regex and RE2 — no non-greedy
+    scans), blocks without a ``<loc>`` dropped, missing ``<lastmod>`` →
+    NULL. ``canonical_url`` applies the frontier's canonicalizer so
+    sitemap-discovered URLs join the crawl state on the same key.
+    Scan-speed split + regex algebra, one posexplode — no shuffle."""
+    xml = F.coalesce(_col(xml_col), F.lit(""))
+    is_index = xml.contains("<sitemapindex")
+    blocks = F.when(
+        is_index, F.split(xml, "</sitemap>")
+    ).otherwise(F.split(xml, "</url>"))
+    exploded = df.select(
+        F.col(host_col).alias("host"),
+        is_index.alias("is_index"),
+        F.posexplode(blocks).alias("entry_idx", "_blk"),
+    )
+    loc = F.regexp_extract("_blk", "<loc>([^<]*)</loc>", 1)
+    lastmod = F.regexp_extract("_blk", "<lastmod>([^<]*)</lastmod>", 1)
+    return (
+        exploded.withColumn("loc", loc)
+        .filter(F.col("loc") != F.lit(""))
+        .select(
+            "host",
+            "entry_idx",
+            "loc",
+            F.when(lastmod == F.lit(""), F.lit(None).cast("string"))
+            .otherwise(lastmod)
+            .alias("lastmod"),
+            canonical_url(F.col("loc")).alias("canonical_url"),
+            "is_index",
+        )
+    )
+
+
+def sitemap_discovery(
+    sitemap_entries: DataFrame,
+    crawled: DataFrame,
+    crawled_url_col: str = "canonical_url",
+) -> DataFrame:
+    """URLs a sitemap advertises that the crawl state has never seen —
+    the frontier's discovery feed: anti-join sitemap canonical URLs
+    against the crawled set on the shared canonical key. Returns
+    ``(host, canonical_url, lastmod)``, deduped keep-first by entry
+    order within a sitemap.
+
+    One anti-join on the canonical key (AQE sizes the crawled side);
+    per-host sitemap cardinality is protocol-capped (50k entries), so
+    the left side is dimension-like."""
+    seen = crawled.select(
+        F.col(crawled_url_col).alias("canonical_url")
+    ).distinct()
+    # keep-first election rides the groupBy-min + equi-join-back shape
+    # (renamed keys dodge Spark's ambiguous-self-join trap)
+    firsts = sitemap_entries.groupBy(
+        F.col("host").alias("_fh"), F.col("canonical_url").alias("_fc")
+    ).agg(F.min("entry_idx").alias("_e"))
+    ordered = sitemap_entries.join(
+        firsts,
+        (F.col("host") == F.col("_fh"))
+        & (F.col("canonical_url") == F.col("_fc"))
+        & (F.col("entry_idx") == F.col("_e")),
+    ).select("host", "canonical_url", "lastmod")
+    return ordered.join(seen, "canonical_url", "left_anti")
