@@ -178,6 +178,11 @@ HEADLINE = [
     "host_link_communities",
     "sitemap_entries_parsed",
     "sitemap_new_urls",
+    "redirect_chain_resolution",
+    "anchor_term_topk",
+    "host_doc_cap_sample",
+    "warc_record_stats",
+    "url_surt_keys",
 ]
 
 

@@ -190,6 +190,13 @@ QUERIES = [
     # round-8: sitemap parse (host-dim XML split) + discovery anti-join
     "sitemap_entries_parsed",
     "sitemap_new_urls",
+    # round-8 continuation: pointer-doubling redirects, anchor profiles,
+    # salted per-host top-k caps
+    "redirect_chain_resolution",
+    "anchor_term_topk",
+    "host_doc_cap_sample",
+    "warc_record_stats",
+    "url_surt_keys",
 ]
 
 

@@ -99,7 +99,11 @@ def test_driver_window_holds_flagships():
         # — the 2nd domain of the same Gravano/prefix machinery;
         # textrank_keywords to host_link_pagerank — the identical integer
         # PageRank recurrence with a closed-form edge oracle)
-        "session_concurrency", "copurchase_triangles",
+        # (copurchase_triangles ceded late round 8 to
+        # redirect_chain_resolution — the graph family keeps
+        # copurchase_core_numbers' oriented-edge machinery + the
+        # host_link_pagerank/hits rows; green r6+r7 rows recorded)
+        "session_concurrency",
         # round-10 flagships (coverage sampling, batch planning, PSI
         # drift; source_quality_report ceded in round 6 —
         # source_quality_drift is the same report + the drift dimension;
@@ -122,12 +126,19 @@ def test_driver_window_holds_flagships():
         # round-6 flagships: the round-5 families' first driver rows
         # (doc_script_stats ceded in round 8 to charset_mismatch_stats —
         # the same byte/script scan classification + declared-vs-actual)
-        "purchase_attribution",
+        # (purchase_attribution ceded late round 8 to
+        # host_doc_cap_sample — ordered-event credit carried by
+        # session_concurrency's sessionize + user_state_cdc_merge's
+        # argmax election; green r6+r7 rows recorded)
         "events_daily_anomalies", "streaming_kmv_distinct_parity",
         "shuffle_skew_profile",
         # round-7 flagships: the round-6 families' first driver rows
+        # (quality_aes_sample ceded late round 8 to anchor_term_topk —
+        # md5-priority weighted sampling carried by dsir_target_sample's
+        # identical TakeOrdered cut; green r7 row recorded,
+        # perf-exonerated r8)
         "doc_kn_bigram_logprob", "copurchase_core_numbers",
-        "quality_aes_sample", "embedding_sign_hamming_topk",
+        "embedding_sign_hamming_topk",
         "user_state_cdc_merge", "behavior_signature_pairs",
         "media_png_decode_stats",
         # round-7 new surface: URL/host crawl hygiene (url_canonical_dedup
@@ -145,5 +156,10 @@ def test_driver_window_holds_flagships():
         "hashed_features_dfm", "phrase_search_counts",
         "charset_mismatch_stats", "mojibake_repair_rewrite",
         "host_link_pagerank",
+        # late round 8: the crawl-loop closers (slots freed by
+        # copurchase_triangles / quality_aes_sample /
+        # purchase_attribution above)
+        "redirect_chain_resolution", "anchor_term_topk",
+        "host_doc_cap_sample",
     ):
         assert flagship in window, f"{flagship} fell out of the driver window"

@@ -99,7 +99,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # must all stay cartesian-free
                  "charset_mismatch_stats", "mojibake_repair_rewrite",
                  "host_link_pagerank", "robots_rules_parsed",
-                 "frontier_robots_filter", "doc_readability_scores"):
+                 "frontier_robots_filter", "doc_readability_scores",
+                 # late round-8: pointer-doubling joins, anchor explode +
+                 # top-k window, salted two-stage host cap
+                 "redirect_chain_resolution", "anchor_term_topk",
+                 "host_doc_cap_sample", "warc_record_stats",
+                 "url_surt_keys"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

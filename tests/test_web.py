@@ -311,3 +311,124 @@ def test_sitemap_discovery_anti_join_and_keep_first(spark):
         for r in web.sitemap_discovery(entries, crawled).collect()
     }
     assert got == {("a.io", "u2", None), ("b.io", "u3", "2024-03-03")}
+
+
+def test_resolve_redirects_chains_cycles_and_recrawl_min(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a0", "a1"), ("a1", "a2"), ("a2", "afin"),  # 3-hop chain
+            ("b0", "b1"), ("b1", "b0"),                  # 2-cycle
+            ("c0", "c0"),                                # self-loop
+            ("d0", "dX"), ("d0", "dA"),                  # recrawl: min dst
+        ],
+        "src_url string, dst_url string",
+    )
+    rows = {r["url"]: r for r in web.resolve_redirects(edges).collect()}
+    assert len(rows) == 7
+    a0 = rows["a0"]
+    assert (a0["final_url"], a0["hops"], a0["resolved"]) == ("afin", 3, True)
+    assert rows["a1"]["hops"] == 2 and rows["a2"]["hops"] == 1
+    for u in ("b0", "b1", "c0"):
+        r = rows[u]
+        assert not r["resolved"]
+        assert r["final_url"] is None and r["hops"] is None
+    assert rows["d0"]["final_url"] == "dA" and rows["d0"]["hops"] == 1
+
+
+def test_resolve_redirects_max_hops_cap(spark):
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}") for i in range(5)],
+        "src_url string, dst_url string",
+    )
+    rows = {
+        r["url"]: r
+        for r in web.resolve_redirects(edges, max_hops=4).collect()
+    }
+    assert not rows["u0"]["resolved"]  # 5 hops > cap
+    assert rows["u1"]["resolved"] and rows["u1"]["hops"] == 4
+
+
+def test_anchor_term_profile_topk_and_same_host_drop(spark):
+    page = (
+        '<a href="http://b.io/x">Great Tool</a> '
+        '<a href="http://b.io/y">great</a> '
+        '<a href="http://a.io/self">nav</a> '  # same-host: dropped
+        '<a href="http://c.io/z">solo42</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://a.io/p", page)], "url string, text string"
+    )
+    got = {
+        (r["host"], r["term"], r["n_mentions"], r["term_rank"])
+        for r in web.anchor_term_profile(df, k=2).collect()
+    }
+    assert got == {
+        ("b.io", "great", 2, 1),
+        ("b.io", "tool", 1, 2),
+        ("c.io", "solo42", 1, 1),
+    }
+
+
+def test_host_cap_sample_cap_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            ("h1", 1, 10.0),
+            ("h1", 2, 30.0),
+            ("h1", 3, 30.0),  # tie with doc 2: id asc wins
+            ("h1", 4, 20.0),
+            ("h2", 5, 1.0),
+        ],
+        "host string, doc_id long, score double",
+    )
+    got = {
+        (r["host"], r["doc_id"], r["host_rank"])
+        for r in web.host_cap_sample(df, cap=2).collect()
+    }
+    assert got == {("h1", 2, 1), ("h1", 3, 2), ("h2", 5, 1)}
+
+
+def test_surt_key_reverses_host_and_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://WWW.News.Example.COM:80/a//b/?z=2&a=1&utm_source=x#f",),
+            ("relative/path",),  # schemeless: raw fallback
+            (None,),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(web.surt_key("url")).collect()]
+    assert got[0] == "com,example,news)/a/b?a=1&z=2"
+    assert got[1] == "relative/path"
+    assert got[2] is None
+
+
+def _warc_rec(wtype, uri, date, declared, payload):
+    return (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {declared}\r\n"
+        "\r\n" + payload + "\r\n\r\n"
+    )
+
+
+def test_parse_warc_records_headers_and_length_check(spark):
+    txt = (
+        _warc_rec("response", "http://a.io/x", "2024-01-01T00:00:00Z", 5, "hello")
+        + _warc_rec("request", "http://a.io/x", "2024-01-01T00:00:00Z", 9, "short")
+        + "WARC/1.0\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n"  # no URI, empty payload
+    )
+    df = spark.createDataFrame([(7, txt)], "file_id long, warc_text string")
+    rows = sorted(
+        web.parse_warc(df).collect(), key=lambda r: r["record_idx"]
+    )
+    assert [r["record_idx"] for r in rows] == [0, 1, 2]
+    r0, r1, r2 = rows
+    assert (r0["warc_type"], r0["payload"], r0["length_ok"]) == (
+        "response", "hello", True
+    )
+    assert r1["length_ok"] is False  # declared 9, actual 5
+    assert r1["content_length"] == 9 and r1["payload"] == "short"
+    assert r2["target_uri"] is None and r2["payload"] == ""
+    assert r2["length_ok"] is False  # no Content-Length header

@@ -553,3 +553,264 @@ def sitemap_discovery(
         & (F.col("entry_idx") == F.col("_e")),
     ).select("host", "canonical_url", "lastmod")
     return ordered.join(seen, "canonical_url", "left_anti")
+
+
+# full anchor element with a non-markup body — group 1 = href target,
+# group 2 = the anchor text (the relevance signal web search has used
+# since Brin & Page 1998 §2.2 / Craswell et al. 2001)
+ANCHOR_ELEM_PAT = '<[aA][^>]*\\shref="([^"]*)"[^>]*>([^<]*)</[aA]>'
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Resolve HTTP-redirect chains (301/302/canonical-link hops) to
+    their final destination by pointer doubling: ``log2(max_hops)``
+    self-joins instead of ``max_hops`` sequential ones — the standard
+    parallel list-ranking recurrence (Wyllie 1979; cf. the large-star/
+    small-star trick in operators/dedup.py's connected components).
+
+    Input: one row per redirect edge ``(src_col, dst_col)``. A URL with
+    several recorded targets (re-crawls disagreeing) deterministically
+    keeps ``min(dst)``. Output: one row per redirecting URL —
+    ``(url, final_url, hops, resolved)`` where ``final_url`` is the
+    first non-redirecting target, ``hops`` counts edges walked, and
+    ``resolved`` is false for cycles and for chains longer than
+    ``max_hops`` (the "too many redirects" verdict every HTTP client
+    enforces; both leave ``final_url``/``hops`` NULL).
+
+    Scale shape: state is one row per redirecting URL; each round is a
+    single equi-join shuffle on the reach key (AQE-splittable — no
+    window, no collect) and a node already at a terminal passes through
+    the left join untouched. ``localCheckpoint`` per round truncates the
+    doubled lineage exactly as the connected-components loop does."""
+    import math
+
+    ptr = (
+        edges.groupBy(F.col(src_col).alias("url"))
+        .agg(F.min(dst_col).alias("reach"))
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    srcs = ptr.select(F.col("url").alias("_s"))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        nxt = ptr.select(
+            F.col("url").alias("_ju"),
+            F.col("reach").alias("_jr"),
+            F.col("hops").alias("_jh"),
+        )
+        ptr = (
+            ptr.join(nxt, ptr["reach"] == nxt["_ju"], "left")
+            .select(
+                "url",
+                F.coalesce("_jr", "reach").alias("reach"),
+                (
+                    F.col("hops") + F.coalesce("_jh", F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    done = ptr.join(srcs, ptr["reach"] == srcs["_s"], "left")
+    ok = F.col("_s").isNull() & (F.col("hops") <= F.lit(max_hops))
+    return done.select(
+        "url",
+        F.when(ok, F.col("reach")).alias("final_url"),
+        F.when(ok, F.col("hops")).otherwise(
+            F.lit(None).cast("long")
+        ).alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
+def anchor_term_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    k: int = 5,
+) -> DataFrame:
+    """Per-target-host anchor-text term profile: what OTHER hosts' links
+    call this host — the classic off-page relevance/quality signal
+    (Brin & Page 1998 §2.2; Craswell et al. 2001 showed anchor text
+    beats page content for site finding). Extracts every
+    ``<a href=..>text</a>``, keeps cross-host links only (endorsement,
+    not navigation), tokenizes the anchor text (lowercase,
+    ``[^a-z0-9]+`` splits), and returns the top-``k`` terms per target
+    host: ``(host, term, n_mentions, term_rank)``, ranked by
+    ``n_mentions`` desc then term asc. Counts are MENTIONS — a term
+    repeated inside one anchor counts each occurrence.
+
+    Scale shape: extraction is scan-speed ``regexp_extract_all`` +
+    explode; the groupBy keys on (host, term) — anchor vocabulary per
+    host, orders of magnitude below mention count, with map-side partials
+    absorbing hot terms. The final window partitions on host over at
+    most |host vocab| rows. No UDF, no collect."""
+    src = canonical_host(url_col)
+    elems = F.regexp_extract_all(
+        F.coalesce(_col(text_col), F.lit("")),
+        F.lit(ANCHOR_ELEM_PAT),
+        F.lit(0),
+    )
+    pairs = (
+        df.select(src.alias("src_host"), F.explode(elems).alias("_a"))
+        .select(
+            "src_host",
+            canonical_host(
+                F.regexp_extract("_a", ANCHOR_ELEM_PAT, 1)
+            ).alias("host"),
+            F.lower(
+                F.regexp_extract("_a", ANCHOR_ELEM_PAT, 2)
+            ).alias("_txt"),
+        )
+        .filter(
+            (F.col("host") != F.lit(""))
+            & (F.col("src_host") != F.lit(""))
+            & (F.col("host") != F.col("src_host"))
+        )
+    )
+    terms = pairs.select(
+        "host",
+        F.explode(
+            F.filter(
+                F.split("_txt", "[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_mentions").desc(), F.col("term").asc()
+    )
+    return (
+        terms.groupBy("host", "term")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= F.lit(k))
+    )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    cap: int = 3,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-host document cap: keep the top-``cap`` docs per host by
+    ``(score desc, id asc)`` — the domain-cap sampling step pretraining
+    pipelines apply so no single site dominates the corpus (cf. Gopher's
+    per-domain limits, Rae et al. 2021 §A.2, and RefinedWeb's host-level
+    curation, Penedo et al. 2023 §3.1). Adds ``host_rank`` (1-based).
+
+    Exact two-stage top-k so a pathological host never serializes into
+    one window task: stage 1 ranks within ``(host, salt)`` — salt =
+    md5(id) mod ``n_salts`` — and keeps ``cap`` per salt (the global
+    per-host top-``cap`` is necessarily inside the union of per-salt
+    top-``cap``s); stage 2 re-ranks the ≤ ``cap·n_salts`` survivors per
+    host. Both windows are bounded: stage 1 by the salt fan-out, stage 2
+    by ``cap·n_salts`` rows per host."""
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    salt = (
+        F.conv(F.substring(F.md5(idc.cast("string")), 1, 4), 16, 10)
+        .cast("long") % F.lit(n_salts)
+    )
+    order = [F.col(score_col).desc(), idc.asc()]
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+    pre = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.lit(cap))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= F.lit(cap))
+    )
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the sort/
+    lookup key of the Internet Archive wayback index and Common Crawl's
+    cc-index): reversed comma-joined host labels, then ``)``, then the
+    canonical path and query, e.g. ``com,example)/cat1/item2?page=0``.
+    Rows from one registrable domain become one contiguous key range —
+    the property that lets a 100 TB URL index range-partition by site.
+
+    Owned subset of the classic spec: host is :func:`canonical_host`
+    (lowercased, one ``www.`` stripped, port dropped — a host-level
+    key), path/query are the canonicalizer's forms (tracking params out,
+    survivors byte-sorted), fragment dropped. Schemeless/NULL input
+    falls back to the raw string exactly like :func:`canonical_url`.
+    Pure Catalyst string algebra — scan-speed, no UDF."""
+    rev = F.array_join(
+        F.reverse(F.split(canonical_host(url), "\\.")), ","
+    )
+    return F.when(url_scheme(url) == F.lit(""), _col(url)).otherwise(
+        F.concat(rev, F.lit(")"), _canonical_path(url), _canonical_query(url))
+    )
+
+
+# WARC text-record subset (ISO 28500 / WARC 1.0 — the container Common
+# Crawl ships): every record is
+#   WARC/1.0\r\n  <headers: "Name: value\r\n" lines>  \r\n
+#   <payload bytes>  \r\n\r\n
+# Engine subset contract (documented; the synthesis fixtures honor it):
+# text records only, each record INCLUDING the last ends with the 4-char
+# separator, and payloads never contain the version line. Real
+# Content-Length-delimited binary WARC needs a byte-offset reader at the
+# source layer; this operator is the record/header algebra on top.
+WARC_VERSION_PAT = "WARC/1\\.0\r\n"
+
+
+def parse_warc(
+    df: DataFrame,
+    file_col: str = "file_id",
+    text_col: str = "warc_text",
+) -> DataFrame:
+    """Parse concatenated WARC text records (subset spec above) into
+    ``(file_id, record_idx, warc_type, target_uri, warc_date,
+    content_length, payload, length_ok)``.
+
+    ``length_ok`` cross-checks the declared ``Content-Length`` against
+    the actual payload length — the integrity signal a crawl-ingest
+    pipeline uses to quarantine truncated records. Split + header
+    regexes + substring arithmetic: scan-speed, one posexplode, the only
+    shuffle the bounded per-file record-index window. No UDF."""
+    from pyspark.sql import Window
+
+    blocks = F.split(
+        F.coalesce(_col(text_col), F.lit("")), WARC_VERSION_PAT, -1
+    )
+    ex = df.select(
+        F.col(file_col).alias("file_id"),
+        F.posexplode(blocks).alias("_i", "_blk"),
+    ).filter(F.col("_blk") != F.lit(""))
+    w = Window.partitionBy("file_id").orderBy("_i")
+    hdr_end = F.instr(F.col("_blk"), "\r\n\r\n")
+    headers = F.col("_blk").substr(F.lit(1), hdr_end - 1)
+    body = F.col("_blk").substr(
+        hdr_end + 4, F.length("_blk") - hdr_end - 3
+    )
+    payload = body.substr(F.lit(1), F.length(body) - 4)
+
+    def hval(name):
+        raw = F.regexp_extract(headers, name + ": ([^\r\n]*)", 1)
+        return F.when(raw == F.lit(""), F.lit(None).cast("string")).otherwise(raw)
+
+    clen = hval("Content-Length").cast("long")
+    return ex.select(
+        "file_id",
+        (F.row_number().over(w) - 1).alias("record_idx"),
+        hval("WARC-Type").alias("warc_type"),
+        hval("WARC-Target-URI").alias("target_uri"),
+        hval("WARC-Date").alias("warc_date"),
+        clen.alias("content_length"),
+        payload.alias("payload"),
+        F.coalesce(F.length(payload) == clen, F.lit(False)).alias(
+            "length_ok"
+        ),
+    )

@@ -9697,6 +9697,350 @@ def sitemap_new_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Redirect chains (operators/web.py:resolve_redirects). Each doc spawns
+# one chain ch<doc_id>.example.com/r0 -> r1 -> ... of md5-chosen length
+# L in 2..11; ~1/5 of chains are cyclic (the tail points back to r0),
+# the rest land on an un-redirecting /rfinal terminal. The oracle is
+# fully CLOSED-FORM from (doc_id, L, cyc) -- it never walks the chain --
+# so the pointer-doubling recurrence, hop counting, terminal detection,
+# and the cycle verdict all ride the hash.
+# ---------------------------------------------------------------------------
+
+
+def _synth_redirects(docs: DataFrame) -> DataFrame:
+    """Deterministic redirect edges per doc (spec above)."""
+    h = F.md5(F.concat(F.lit("redir:"), F.col("doc_id").cast("string")))
+    L = (
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 10 + 2
+    ).cast("int")
+    cyc = F.conv(F.substring(h, 3, 1), 16, 10).cast("long") % 5 == 0
+    base = F.concat(
+        F.lit("http://ch"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example.com/r"),
+    )
+    edges = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda p: F.struct(
+            F.concat(base, p.cast("string")).alias("src_url"),
+            F.when(p < L - 1, F.concat(base, (p + 1).cast("string")))
+            .otherwise(
+                F.when(cyc, F.concat(base, F.lit("0"))).otherwise(
+                    F.concat(base, F.lit("final"))
+                )
+            )
+            .alias("dst_url"),
+        ),
+    )
+    return docs.select(F.explode(edges).alias("_e")).select(
+        "_e.src_url", "_e.dst_url"
+    )
+
+
+@query(
+    "redirect_chain_resolution",
+    """
+    WITH ks AS (
+      SELECT doc_id, md5('redir:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), spec AS (
+      SELECT doc_id,
+             ('0x' || substr(h, 1, 1))::INT % 10 + 2 AS L,
+             ('0x' || substr(h, 3, 1))::INT % 5 = 0 AS cyc
+      FROM ks
+    ), pos AS (
+      SELECT doc_id, L, cyc, CAST(u.p AS INT) AS p
+      FROM spec, unnest(range(L)) u(p)
+    )
+    SELECT 'http://ch' || CAST(doc_id AS VARCHAR) || '.example.com/r'
+             || CAST(p AS VARCHAR) AS url,
+           CASE WHEN NOT cyc THEN 'http://ch' || CAST(doc_id AS VARCHAR)
+                || '.example.com/rfinal' END AS final_url,
+           CASE WHEN NOT cyc THEN CAST(L - p AS BIGINT) END AS hops,
+           NOT cyc AS resolved
+    FROM pos
+    """,
+)
+def redirect_chain_resolution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTTP-redirect chain resolution by pointer doubling (Wyllie 1979
+    list ranking): log2(max_hops) self-joins resolve every chain to its
+    final URL with exact hop counts; cycles and over-long chains get the
+    unresolved verdict. The oracle knows each chain's length and
+    cyclicity closed-form and never walks an edge, so every hop count
+    and every cycle flag is independent evidence. See
+    operators/web.py:resolve_redirects."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.resolve_redirects(_synth_redirects(docs))
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text term profiles (operators/web.py:anchor_term_profile). The
+# fixture plants 1-3 anchors per doc with md5-chosen target sites and
+# VARIED anchor text: one vocab word, plus a second DIFFERENT word on
+# md5-chosen anchors (w2 = w1 + 1 + nib%7 mod 8 cannot equal w1), so
+# tokenization, the cross-host filter, mention counting, and the
+# (count desc, term asc) top-k all carry hash signal. The oracle unrolls
+# the same identities -- it never parses HTML.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_VOCAB = (
+    "alpha", "bravo", "carbon", "delta",
+    "ember", "falcon", "garnet", "helix",
+)
+
+
+def _synth_anchor_text_pages(docs_with_url: DataFrame) -> DataFrame:
+    """Deterministic cross-host anchors with varied text (spec above)."""
+    ah = F.md5(F.concat(F.lit("atext:"), F.col("doc_id").cast("string")))
+    vocab = F.array(*[F.lit(w) for w in _ANCHOR_VOCAB])
+    nl = (
+        F.conv(F.substring(ah, 1, 1), 16, 10).cast("long") % 3 + 1
+    ).cast("int")
+
+    def nib(j, base):
+        return F.conv(
+            ah.substr(j + F.lit(base), F.lit(1)), 16, 10
+        ).cast("long")
+
+    def anchor(j):
+        t = (nib(j, 3) % 25).cast("string")
+        w1 = nib(j, 7) % 8
+        two = nib(j, 11) % 2 == 0
+        w2 = (w1 + 1 + nib(j, 15) % 7) % 8
+        txt = F.concat(
+            F.element_at(vocab, (w1 + 1).cast("int")),
+            F.when(
+                two,
+                F.concat(
+                    F.lit(" "), F.element_at(vocab, (w2 + 1).cast("int"))
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return F.concat(
+            F.lit('<a href="http://site'), t,
+            F.lit('.example.com/p">'), txt, F.lit("</a>"),
+        )
+
+    anchors = F.transform(F.sequence(F.lit(0), nl - 1), anchor)
+    return docs_with_url.withColumn("text", F.array_join(anchors, " "))
+
+
+@query(
+    "anchor_term_topk",
+    """
+    WITH ks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 3))
+               ::BIGINT % 150 AS k,
+             md5('atext:' || CAST(doc_id AS VARCHAR)) AS ah
+      FROM documents
+    ), l AS (
+      SELECT k % 25 AS s,
+             ('0x' || substr(ah, 1, 1))::INT % 3 + 1 AS nl, ah
+      FROM ks
+    ), a AS (
+      SELECT s,
+             ('0x' || substr(ah, (3 + j)::INT, 1))::INT % 25 AS t,
+             ('0x' || substr(ah, (7 + j)::INT, 1))::INT % 8 AS w1,
+             ('0x' || substr(ah, (11 + j)::INT, 1))::INT % 2 = 0 AS two,
+             (('0x' || substr(ah, (7 + j)::INT, 1))::INT % 8 + 1
+              + ('0x' || substr(ah, (15 + j)::INT, 1))::INT % 7) % 8 AS w2
+      FROM l, unnest(range(nl)) u(j)
+    ), filt AS (
+      SELECT * FROM a WHERE t <> s
+    ), words AS (
+      SELECT t, w1 AS w FROM filt
+      UNION ALL
+      SELECT t, w2 AS w FROM filt WHERE two
+    ), cnt AS (
+      SELECT 'site' || CAST(t AS VARCHAR) || '.example.com' AS host,
+             (['alpha','bravo','carbon','delta',
+               'ember','falcon','garnet','helix'])[w + 1] AS term,
+             count(*) AS n_mentions
+      FROM words GROUP BY 1, 2
+    ), rk AS (
+      SELECT host, term, n_mentions,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_mentions DESC, term) AS term_rank
+      FROM cnt
+    )
+    SELECT host, term, n_mentions, term_rank FROM rk WHERE term_rank <= 5
+    """,
+)
+def anchor_term_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor-text profiles (Brin & Page 1998 SS2.2;
+    Craswell et al. 2001): extract anchors, keep cross-host links,
+    tokenize the anchor text, top-5 terms per host by mentions. The
+    oracle unrolls the planted identities word-for-word without parsing
+    HTML, so extraction, the same-host drop, tokenization, and the
+    tie-broken ranking all ride the hash. See
+    operators/web.py:anchor_term_profile."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _synth_anchor_text_pages(_synth_urls(docs))
+    return web.anchor_term_profile(pages, k=5)
+
+
+@query(
+    "host_doc_cap_sample",
+    f"""
+    WITH ks AS ({_SQL_URL_CANON}),
+    d AS (
+      SELECT doc_id, n_words,
+             'site' || CAST(k % 25 AS VARCHAR) || '.example.com' AS host
+      FROM ks
+    ), rk AS (
+      SELECT host, doc_id, n_words,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_words DESC, doc_id) AS host_rank
+      FROM d
+    )
+    SELECT host, doc_id, n_words, host_rank FROM rk WHERE host_rank <= 3
+    """,
+)
+def host_doc_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (Gopher SSA.2 / RefinedWeb SS3.1 domain
+    caps): keep the top-3 docs per host by word count, ties to the
+    lower doc_id. The engine runs the exact two-stage salted top-k (a
+    hot host never serializes into one window task); the oracle is the
+    straight one-window form -- identical results prove the salted
+    decomposition exact. See operators/web.py:host_cap_sample."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    n_words = F.when(t == F.lit(""), F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+    scored = _synth_urls(docs).select(
+        web.canonical_host("url").alias("host"),
+        "doc_id",
+        n_words.alias("n_words"),
+    )
+    return web.host_cap_sample(
+        scored, host_col="host", score_col="n_words",
+        id_col="doc_id", cap=3,
+    ).select("host", "doc_id", "n_words", "host_rank")
+
+
+@query(
+    "url_surt_keys",
+    f"""
+    WITH ks AS ({_SQL_URL_CANON})
+    SELECT doc_id,
+           'com,example,site' || CAST(k % 25 AS VARCHAR)
+             || ')/cat' || CAST(k % 4 AS VARCHAR)
+             || '/item' || CAST(k % 6 AS VARCHAR)
+             || '?page=' || CAST(k % 3 AS VARCHAR)
+             || '&q=term' || CAST(k % 5 AS VARCHAR) AS surt
+    FROM ks
+    """,
+)
+def url_surt_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys (the Internet Archive / Common Crawl cc-index key:
+    reversed host labels + canonical path/query) over the decorated URL
+    fixture — every decoration (host case, www., ports, doubled/trailing
+    slashes, param order, utm params, fragments) must be undone AND the
+    labels reversed to land on the closed-form key the oracle derives
+    from k. See operators/web.py:surt_key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return _synth_urls(docs).select(
+        "doc_id", web.surt_key("url").alias("surt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC files (operators/web.py:parse_warc). Each doc synthesizes one
+# WARC file of 1-3 records; md5 nibbles choose the record type, target
+# site, payload length, and — on ~1/5 of records — a deliberately WRONG
+# declared Content-Length, so the length_ok integrity verdict carries
+# hash signal in both directions. The oracle derives every header and
+# the payload closed-form from the nibbles — it never splits the file.
+# ---------------------------------------------------------------------------
+
+_WARC_TYPES = ("response", "request", "metadata")
+
+
+def _synth_warc(docs: DataFrame) -> DataFrame:
+    """Deterministic concatenated WARC text records per doc."""
+    h = F.md5(F.concat(F.lit("warc:"), F.col("doc_id").cast("string")))
+    nr = (
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 3 + 1
+    ).cast("int")
+    types = F.array(*[F.lit(t) for t in _WARC_TYPES])
+
+    def nib(j, base):
+        return F.conv(
+            h.substr(j + F.lit(base), F.lit(1)), 16, 10
+        ).cast("long")
+
+    def rec(j):
+        wtype = F.element_at(types, (nib(j, 3) % 3 + 1).cast("int"))
+        t = (nib(j, 6) % 25).cast("string")
+        plen = nib(j, 9) % 20 + 5
+        bad = nib(j, 12) % 5 == 0
+        declared = plen + F.when(bad, F.lit(1)).otherwise(F.lit(0))
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), wtype,
+            F.lit("\r\nWARC-Target-URI: http://site"), t,
+            F.lit(".example.com/w"), j.cast("string"),
+            F.lit("\r\nWARC-Date: 2024-0"),
+            (nib(j, 15) % 9 + 1).cast("string"),
+            F.lit("-01T00:00:00Z\r\nContent-Length: "),
+            declared.cast("string"),
+            F.lit("\r\n\r\n"),
+            F.repeat(F.lit("x"), plen.cast("int")),
+            F.lit("\r\n\r\n"),
+        )
+
+    xml = F.array_join(F.transform(F.sequence(F.lit(0), nr - 1), rec), "")
+    return docs.select(
+        F.col("doc_id").alias("file_id"), xml.alias("warc_text")
+    )
+
+
+@query(
+    "warc_record_stats",
+    """
+    WITH ks AS (
+      SELECT doc_id, md5('warc:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), spec AS (
+      SELECT doc_id, h,
+             ('0x' || substr(h, 1, 1))::INT % 3 + 1 AS nr
+      FROM ks
+    ), recs AS (
+      SELECT doc_id, CAST(j AS INT) AS record_idx,
+             ('0x' || substr(h, (3 + j)::INT, 1))::INT % 3 AS ty,
+             ('0x' || substr(h, (6 + j)::INT, 1))::INT % 25 AS t,
+             ('0x' || substr(h, (9 + j)::INT, 1))::INT % 20 + 5 AS plen,
+             ('0x' || substr(h, (12 + j)::INT, 1))::INT % 5 = 0 AS bad,
+             ('0x' || substr(h, (15 + j)::INT, 1))::INT % 9 + 1 AS dm
+      FROM spec, unnest(range(nr)) u(j)
+    )
+    SELECT doc_id AS file_id, record_idx,
+           (['response','request','metadata'])[ty + 1] AS warc_type,
+           'http://site' || CAST(t AS VARCHAR) || '.example.com/w'
+             || CAST(record_idx AS VARCHAR) AS target_uri,
+           '2024-0' || CAST(dm AS VARCHAR) || '-01T00:00:00Z' AS warc_date,
+           CAST(plen + (CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS content_length,
+           repeat('x', plen) AS payload,
+           NOT bad AS length_ok
+    FROM recs
+    """,
+)
+def warc_record_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parsing (ISO 28500 text subset — the Common Crawl
+    container): version-line record split, header extraction, payload
+    recovery, and the Content-Length integrity verdict. ~1/5 of planted
+    records declare a WRONG length, so length_ok carries signal both
+    ways; the oracle derives headers AND payload closed-form from the
+    nibbles and never splits the file. See operators/web.py:parse_warc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.parse_warc(_synth_warc(docs))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation. The per-round driver records at most 50
 # correctness rows, in queries() iteration order — round 1 capped at
 # exactly 50 and left every flagship LLM-pipeline query (minhash/winnow/
@@ -9841,6 +10185,14 @@ DEMOTED: tuple[str, ...] = (
     "url_canonical_dedup",        # canonicalizer + keep-first election ⊂ host_quality_rollup (in-window — embeds the same election end to end) + url_frontier_schedule (incoming — same canonicalizer feeding the frontier)
     "boilerplate_line_stats",     # per-line jusText classification ⊂ main_content_extract (incoming — recomputes the same features + context rule; the destructive rewrite's full text rides the hash)
     "embedding_coverage_sample",  # hyperplane sign-cell signature ⊂ embedding_sign_hamming_topk (in-window — the same sign quantization, packed to words) + dsir_target_sample (md5-cut sampling, in-window)
+    # round-8 continuation: three slots freed for the closed-form-oracle
+    # crawl additions (pointer-doubling redirect resolution, anchor-text
+    # term profiles, per-host doc caps); each demoted query holds
+    # driver-green rows from earlier rounds (r6+r7) and its shape is
+    # carried by an in-window sibling, parity+fuzz gated as always
+    "copurchase_triangles",       # degree-ordered triangle/wedge joins ⊂ copurchase_core_numbers (same oriented-edge machinery + the peel, in-window) + host_link_pagerank/host_link_hits (graph family); green r6+r7
+    "quality_aes_sample",         # A-ES weighted sampling ⊂ dsir_target_sample (same md5-priority TakeOrderedAndProject cut, in-window); green r7, perf-exonerated r8
+    "purchase_attribution",       # ordered-event credit ⊂ session_concurrency (same sessionize core, in-window) + user_state_cdc_merge (per-key argmax election, in-window); green r6+r7
 )
 
 # Late-registered flagship queries that must sit INSIDE the driver's
@@ -9942,6 +10294,14 @@ PROMOTED: tuple[str, ...] = (
     "charset_mismatch_stats",
     "mojibake_repair_rewrite",
     "host_link_pagerank",
+    # round-8 continuation: the crawl-loop closers take the slots freed
+    # by the matching demotions above — pointer-doubling redirect
+    # resolution (closed-form chain oracle), anchor-text term profiles
+    # (closed-form planted identities), and the per-host doc cap whose
+    # straight-window oracle proves the salted two-stage top-k exact
+    "redirect_chain_resolution",
+    "anchor_term_topk",
+    "host_doc_cap_sample",
 )
 
 
