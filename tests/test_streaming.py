@@ -1026,3 +1026,73 @@ def test_streaming_boilerplate_matches_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert revised > 0
+
+
+def test_streaming_host_cap_matches_batch(spark, sf_dir, tmp_path):
+    """11th stream-batch parity gate: per-host top-k document caps under
+    streaming. Batches split by md5 parity of doc_id, so hosts receive
+    docs across BOTH batches and batch-1 provisional keeps are evicted
+    when better-scoring batch-2 docs arrive — the gate witnesses real
+    evictions AND requires the drained latest kept set per host to equal
+    the batch operator's verdicts row for row (rank included)."""
+    from week5_datingnlp_big_data_spark import registry
+    from week5_datingnlp_big_data_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    parity = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 3, 8),
+               16, 10).cast("long") % 2
+    )
+    _drop_file(docs.filter(parity == 0), tmp_path, "hcap", "b1.parquet")
+    _drop_file(docs.filter(parity == 1), tmp_path, "hcap", "b2.parquet")
+
+    def scored(df):
+        t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+        n_words = F.when(t == F.lit(""), F.lit(0)).otherwise(
+            F.size(F.split(t, "\\s+"))
+        )
+        return registry._synth_urls(df.select("doc_id", "text")).select(
+            web.canonical_host("url").alias("host"),
+            "doc_id",
+            n_words.cast("double").alias("score"),
+        )
+
+    stream = scored(
+        sc.stream_documents(spark, str(tmp_path / "hcap"))
+    )
+    q = sc.run_stream_to_memory(
+        sc.streaming_host_cap(stream), "hcap_state", output_mode="update"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    sink = spark.table("hcap_state")
+    ranked = sink.withColumn(
+        "_mx", F.max("upd").over(Window.partitionBy("host"))
+    )
+    latest = ranked.filter(F.col("upd") == F.col("_mx"))
+    streamed = {
+        (r["host"], r["doc_id"], r["score"], r["host_rank"])
+        for r in latest.collect()
+    }
+    batch = {
+        (r["host"], r["doc_id"], r["score"], r["host_rank"])
+        for r in web.host_cap_sample(
+            scored(docs), host_col="host", score_col="score",
+            id_col="doc_id", cap=3,
+        ).select("host", "doc_id", "score", "host_rank").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # witness 1: at least one host updated state across both batches
+    assert latest.filter(F.col("upd") >= 2).count() > 0
+    # witness 2: real EVICTION — a doc kept by an earlier emission is
+    # absent from its host's latest kept set
+    early = {
+        (r["host"], r["doc_id"])
+        for r in ranked.filter(F.col("upd") < F.col("_mx")).collect()
+    }
+    latest_keys = {(h, d) for h, d, _, _ in streamed}
+    assert any(k not in latest_keys for k in early)

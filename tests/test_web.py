@@ -335,6 +335,19 @@ def test_resolve_redirects_chains_cycles_and_recrawl_min(spark):
     assert rows["d0"]["final_url"] == "dA" and rows["d0"]["hops"] == 1
 
 
+def test_resolve_redirects_ignores_malformed_edges(spark):
+    edges = spark.createDataFrame(
+        [("a0", "a1"), ("a1", None), (None, "x1"), ("b0", "bfin")],
+        "src_url string, dst_url string",
+    )
+    rows = {r["url"]: r for r in web.resolve_redirects(edges).collect()}
+    # a1's only edge is malformed -> a1 never redirects, so a0 resolves
+    # to it as a terminal; the NULL-src edge contributes nothing
+    assert set(rows) == {"a0", "b0"}
+    assert rows["a0"]["final_url"] == "a1" and rows["a0"]["resolved"]
+    assert rows["b0"]["final_url"] == "bfin" and rows["b0"]["hops"] == 1
+
+
 def test_resolve_redirects_max_hops_cap(spark):
     edges = spark.createDataFrame(
         [(f"u{i}", f"u{i + 1}") for i in range(5)],

@@ -589,8 +589,14 @@ def resolve_redirects(
     doubled lineage exactly as the connected-components loop does."""
     import math
 
+    # malformed edges (NULL src or dst — a redirect with no Location
+    # target) are ignored up front: a NULL dst would otherwise win the
+    # min() election and read as a "resolved to NULL" verdict
     ptr = (
-        edges.groupBy(F.col(src_col).alias("url"))
+        edges.filter(
+            _col(src_col).isNotNull() & _col(dst_col).isNotNull()
+        )
+        .groupBy(F.col(src_col).alias("url"))
         .agg(F.min(dst_col).alias("reach"))
         .withColumn("hops", F.lit(1).cast("long"))
     )

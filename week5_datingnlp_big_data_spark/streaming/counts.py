@@ -1047,3 +1047,72 @@ def streaming_boilerplate_stats(
     return scored.groupBy(id_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_host_cap(
+    docs_stream: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    cap: int = 3,
+) -> DataFrame:
+    """Streaming per-host document cap — the stream half of
+    operators/web.py:host_cap_sample (Gopher/RefinedWeb domain caps):
+    per host, arbitrary state holds the current top-``cap`` docs under
+    the total order (score desc, id asc); each micro-batch merges
+    arrivals, re-elects, and emits the WHOLE kept set as
+    ``(host, doc_id, score, host_rank, upd)`` — so an update-mode
+    consumer keeping each host's latest emission sees exactly the batch
+    operator's verdicts, including REVISED ones: a doc kept by an early
+    batch is evicted the moment a better-scoring doc arrives (the 11th
+    gate's witness). Top-k under a total order is a pure function of
+    the row SET, so batching/arrival order cannot change the drained
+    result. State is O(cap) per host."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = docs_stream.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(score_col).cast("double").alias("_score"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("host_rank", T.IntegerType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("scores", T.ArrayType(T.DoubleType())),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            ids, scores, upd = state.get
+            cur = [(float(s), int(i)) for s, i in zip(scores, ids)]
+        else:
+            cur, upd = [], 0
+        for pdf in pdfs:
+            for s, i in zip(pdf["_score"], pdf["_id"]):
+                cur.append((float(s), int(i)))
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        kept = cur[:cap]
+        upd += 1
+        state.update((
+            [i for _, i in kept], [s for s, _ in kept], upd,
+        ))
+        yield pd.DataFrame({
+            "host": [key[0]] * len(kept),
+            "doc_id": [i for _, i in kept],
+            "score": [s for s, _ in kept],
+            "host_rank": list(range(1, len(kept) + 1)),
+            "upd": [upd] * len(kept),
+        })
+
+    return rows.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
