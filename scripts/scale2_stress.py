@@ -72,6 +72,12 @@ QUERIES = [
     # exercises the line explode + per-doc window + struct-sorted rebuild
     "host_quality_rollup",
     "main_content_extract",
+    # round-8 continuation: the pointer-doubling iterative shape and the
+    # sitemap keep-first + anti-join discovery get a measured second
+    # decade (both derive solely from documents, which the sf10 replica
+    # carries)
+    "redirect_chain_resolution",
+    "sitemap_new_urls",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
