@@ -1,0 +1,133 @@
+"""Classifier-evaluation metrics (operators/evalx.py): hand-computed
+rank-AUC goldens (including the tie half-weight), PR-sweep cumulative
+arithmetic, calibration-bin edges, and a randomized cross-check of the
+two-level prefix-sum cumulative machinery against a brute-force pairs
+count."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from week5_datingnlp_big_data_spark.operators import evalx
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "score long, is_pos boolean")
+
+
+def _brute_auc2(rows):
+    """2U by enumerating all (pos, neg) pairs: 2 per correctly ordered
+    pair, 1 per tie."""
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    u2 = 0
+    for sp, sn in itertools.product(pos, neg):
+        if sp > sn:
+            u2 += 2
+        elif sp == sn:
+            u2 += 1
+    return len(pos), len(neg), u2
+
+
+def test_auc_hand_case_with_ties(spark):
+    # scores: pos {3, 2, 2}, neg {2, 1}:
+    #   pairs ordered: (3>2)x1 (3>1)x1 (2>1)x2 -> 4 pairs * 2 = 8
+    #   ties: (2==2) x2 -> +2  => 2U = 10, AUC = 10 / (2*3*2) = 0.8333...
+    rows = [(3, True), (2, True), (2, True), (2, False), (1, False)]
+    out = evalx.binary_rank_auc(_df(spark, rows)).collect()[0]
+    assert (out["n_pos"], out["n_neg"], out["u_stat_x2"]) == (3, 2, 10)
+    assert abs(out["auc"] - 10 / 12) < 1e-9
+
+
+def test_auc_perfect_and_reversed(spark):
+    perfect = [(10, True), (9, True), (1, False), (0, False)]
+    out = evalx.binary_rank_auc(_df(spark, perfect)).collect()[0]
+    assert out["auc"] == 1.0
+    reversed_ = [(s, not p) for s, p in perfect]
+    out = evalx.binary_rank_auc(_df(spark, reversed_)).collect()[0]
+    assert out["auc"] == 0.0
+
+
+def test_auc_single_class_is_null(spark):
+    out = evalx.binary_rank_auc(
+        _df(spark, [(1, True), (2, True)])
+    ).collect()[0]
+    assert out["auc"] is None and out["n_neg"] == 0
+
+
+def test_auc_randomized_matches_brute_force(spark):
+    rng = random.Random(8)
+    for trial in range(3):
+        rows = [
+            (rng.randint(-5, 5), rng.random() < 0.4) for _ in range(60)
+        ]
+        if not any(p for _, p in rows) or all(p for _, p in rows):
+            rows += [(0, True), (0, False)]
+        p, n, u2 = _brute_auc2(rows)
+        out = evalx.binary_rank_auc(_df(spark, rows)).collect()[0]
+        assert (out["n_pos"], out["n_neg"], out["u_stat_x2"]) == (p, n, u2)
+
+
+def test_pr_sweep_hand_case(spark):
+    # scores desc: 3(pos) 2(pos,neg) 1(neg)
+    rows = [(3, True), (2, True), (2, False), (1, False)]
+    out = {
+        r["threshold"]: r
+        for r in evalx.pr_threshold_sweep(_df(spark, rows)).collect()
+    }
+    assert (out[3]["tp"], out[3]["fp"]) == (1, 0)
+    assert out[3]["precision"] == 1.0 and out[3]["recall"] == 0.5
+    assert (out[2]["tp"], out[2]["fp"]) == (2, 1)
+    assert abs(out[2]["precision"] - 2 / 3) < 1e-5
+    assert (out[1]["tp"], out[1]["fp"]) == (2, 2)
+    assert out[1]["recall"] == 1.0
+
+
+def test_pr_sweep_one_row_per_distinct_score(spark):
+    rows = [(s % 4, s % 3 == 0) for s in range(40)]
+    out = evalx.pr_threshold_sweep(_df(spark, rows)).collect()
+    assert len(out) == 4
+    # recall is monotone non-increasing in the threshold
+    by_t = sorted(out, key=lambda r: r["threshold"])
+    recalls = [r["recall"] for r in by_t]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_calibration_bins_degenerate_single_score(spark):
+    rows = [(7, True), (7, False), (7, True)]
+    out = evalx.calibration_bins(_df(spark, rows), n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0
+    assert out[0]["n"] == 3 and out[0]["n_pos"] == 2
+    assert abs(out[0]["frac_pos"] - 2 / 3) < 1e-5
+    assert out[0]["avg_score"] == 7.0
+
+
+def test_calibration_bins_edges(spark):
+    # range [0, 99], 10 bins -> width 10; min lands in bin 0, max in 9
+    rows = [(s, s >= 50) for s in range(100)]
+    out = {
+        r["bin"]: r
+        for r in evalx.calibration_bins(_df(spark, rows), n_bins=10).collect()
+    }
+    assert sorted(out) == list(range(10))
+    assert all(out[b]["n"] == 10 for b in out)
+    assert out[0]["frac_pos"] == 0.0 and out[9]["frac_pos"] == 1.0
+    assert out[4]["avg_score"] == 44.5
+
+
+def test_cum_machinery_band_decomposition_is_exact(spark):
+    # many distinct scores spread across bands; cum counts must equal a
+    # global ordered walk regardless of the band split
+    rows = [((s * 37) % 1000 - 500, s % 5 == 0) for s in range(500)]
+    c = evalx._cum_by_score(
+        _df(spark, rows), "score", "is_pos", n_bands=16
+    ).collect()
+    seen_n = 0
+    seen_pos = 0
+    for r in sorted(c, key=lambda r: r["score"]):
+        seen_n += r["n"]
+        seen_pos += r["n_pos"]
+        assert (r["cum_n"], r["cum_pos"]) == (seen_n, seen_pos)

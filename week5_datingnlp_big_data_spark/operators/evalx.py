@@ -1,0 +1,218 @@
+"""Distributed binary-classifier evaluation: exact AUC via the
+Mann–Whitney rank statistic, precision/recall threshold sweeps, and
+reliability (calibration) bins — the model-quality measurements a
+training-data pipeline runs over its quality/language classifiers
+before trusting them to filter a corpus (cf. the classifier-quality
+audits in Brown et al. 2020 Appendix A's quality-filter calibration and
+RefinedWeb, Penedo et al. 2023 §3.1). No analog in the reference
+(`Week5_datingNLP.R` reports only a confusion matrix, R:303); this
+module generalizes its M-series evaluation surface to threshold-free
+and threshold-sweep metrics.
+
+All three metrics reduce to cumulative counts over the DISTINCT-SCORE
+axis:
+
+  * AUC — the U statistic counts (pos, neg) pairs ordered correctly,
+    ties at half weight: ``U = Σ_s n_pos(s)·neg_below(s) +
+    ½·n_pos(s)·n_neg(s)``, with ``AUC = U / (P·N)`` (Mann & Whitney
+    1947; Hand & Till 2001 eq. 3). Kept as the INTEGER ``2U`` so the
+    statistic rides a value hash exactly.
+  * PR sweep — at threshold t (predict positive when score ≥ t),
+    ``tp = P − pos_below(t)``, ``fp = N − neg_below(t)``.
+  * Calibration — equal-width integer bins over [min, max] with
+    per-bin empirical positive rate vs mean score.
+
+Scale shape: scores first collapse with one map-side-partial
+``groupBy(score)`` (distinct-score axis ≤ corpus, usually ≪), then the
+running totals use the two-level prefix-sum decomposition
+(relational.py:interval_concurrency): cumsum WITHIN a coarse score
+band (parallel, one hash exchange), per-band totals cumsum on the tiny
+≤``n_bands``-row band axis, offsets broadcast back. Identical to the
+global ordered walk, executed at full parallelism — the naive
+single-partition ``Window.orderBy(score)`` would serialize the whole
+score axis through one task at 100 TB. All counts are int64; the only
+doubles are final ratios of exact integers (deterministic IEEE
+division, safe to value-hash cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cum_by_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bands: int = 1024,
+) -> DataFrame:
+    """Per-distinct-score cumulative counts (ascending, inclusive):
+    ``(score, n, n_pos, cum_n, cum_pos)`` with ``cum_* = Σ over scores
+    ≤ this one``. Two-level prefix sum over ``n_bands`` equal-width
+    integer bands (module docstring).
+
+    Band arithmetic is exact int64: ``(score − mn) · n_bands`` must not
+    overflow — fine for any score range below ~2⁶³/n_bands ≈ 9·10¹⁵,
+    which covers the engine's 1e-9-quantized log-likelihood scale by
+    two orders of magnitude.
+    """
+    g = df.groupBy(F.col(score_col).cast("long").alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
+    )
+    bounds = g.agg(
+        F.min("score").alias("_mn"), F.max("score").alias("_mx")
+    )
+    g = g.crossJoin(F.broadcast(bounds)).withColumn(
+        "_band",
+        F.expr(f"((score - _mn) * {n_bands}) div (_mx - _mn + 1)"),
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = g.select(
+        "score",
+        "n",
+        "n_pos",
+        "_band",
+        F.sum("n").over(w_in).alias("_in_n"),
+        F.sum("n_pos").over(w_in).alias("_in_pos"),
+    )
+    # strictly-earlier band offsets: the band axis is ≤ n_bands rows, so
+    # the single-partition window here is over a bounded dimension table
+    w_bands = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        g.groupBy("_band")
+        .agg(F.sum("n").alias("_bn"), F.sum("n_pos").alias("_bp"))
+        .select(
+            "_band",
+            F.coalesce(F.sum("_bn").over(w_bands), F.lit(0)).alias("_off_n"),
+            F.coalesce(F.sum("_bp").over(w_bands), F.lit(0)).alias("_off_p"),
+        )
+    )
+    return within.join(F.broadcast(offsets), "_band").select(
+        "score",
+        "n",
+        "n_pos",
+        (F.col("_off_n") + F.col("_in_n")).alias("cum_n"),
+        (F.col("_off_p") + F.col("_in_pos")).alias("cum_pos"),
+    )
+
+
+def binary_rank_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """One-row exact ROC-AUC via the rank/U statistic (module
+    docstring): ``(n_pos, n_neg, u_stat_x2, auc)``. ``u_stat_x2 = 2U``
+    is exact int64 (ties weighted ½ → ×2 stays integral);
+    ``auc = 2U / (2·P·N)``, NULL when either class is empty."""
+    c = _cum_by_score(df, score_col, label_col)
+    per = c.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("_neg"),
+        (
+            F.col("n_pos")
+            * (
+                2 * ((F.col("cum_n") - F.col("n")) - (F.col("cum_pos") - F.col("n_pos")))
+                + (F.col("n") - F.col("n_pos"))
+            )
+        ).alias("_u2"),
+    )
+    t = per.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("_neg").cast("long").alias("n_neg"),
+        F.sum("_u2").cast("long").alias("u_stat_x2"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        "u_stat_x2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u_stat_x2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """Precision/recall at EVERY distinct score threshold (predict
+    positive when score ≥ t): ``(threshold, tp, fp, precision,
+    recall)``. One row per distinct score — the full PR curve, never a
+    sampled approximation; ratios are 6-dp-rounded divisions of exact
+    int64 counts. ``tp + fp ≥ n(t) ≥ 1`` at every emitted threshold, so
+    precision never divides by zero; recall is NULL when there are no
+    positives at all."""
+    c = _cum_by_score(df, score_col, label_col)
+    totals = c.agg(
+        F.sum("n_pos").cast("long").alias("_p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("_nn"),
+    )
+    tp = F.col("_p") - (F.col("cum_pos") - F.col("n_pos"))
+    fp = F.col("_nn") - (
+        (F.col("cum_n") - F.col("n")) - (F.col("cum_pos") - F.col("n_pos"))
+    )
+    return c.crossJoin(F.broadcast(totals)).select(
+        F.col("score").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision"),
+        F.when(
+            F.col("_p") > 0, F.round(tp.cast("double") / F.col("_p"), 6)
+        ).alias("recall"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins (Murphy & Winkler 1977; the data layer
+    of a calibration plot): equal-width integer bins over the observed
+    [min, max] score range, per-bin ``(bin, n, n_pos, frac_pos,
+    avg_score)``. Bin index is exact int64 arithmetic
+    (``(s−mn)·n_bins div (mx−mn+1)``, same overflow bound as
+    ``_cum_by_score``); ``avg_score`` divides the exact int64 sum, so
+    both doubles hash cross-engine. One map-side-partial groupBy after
+    a broadcast bounds attach — scan-speed at any scale."""
+    scored = df.select(
+        F.col(score_col).cast("long").alias("score"),
+        F.col(label_col).alias("_pos"),
+    )
+    bounds = scored.agg(
+        F.min("score").alias("_mn"), F.max("score").alias("_mx")
+    )
+    binned = scored.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.expr(f"((score - _mn) * {n_bins}) div (_mx - _mn + 1)"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.round(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_pos"),
+        F.round(
+            F.sum("score").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_score"),
+    )

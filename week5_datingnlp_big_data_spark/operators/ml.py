@@ -482,23 +482,24 @@ def naive_bayes_model(
     return dense, priors
 
 
-def naive_bayes_predict(
+def naive_bayes_score(
     test: DataFrame,
     model: DataFrame,
     priors: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
 ) -> DataFrame:
-    """Score and classify: ``score(d, c) = prior_c + Σ_t cnt_dt · llr_tc``
-    over the test doc's vocabulary terms (out-of-vocabulary terms are
-    ignored — standard multinomial NB at inference). All int64
-    arithmetic; argmax ties break on the lexically smallest label, so
-    the prediction is a pure function of the row set. A doc with no
-    in-vocabulary term falls back to the prior argmax rather than
+    """The full NB score table: one row per (doc, class) with
+    ``score(d, c) = prior_c + Σ_t cnt_dt · llr_tc`` over the test doc's
+    in-vocabulary terms (OOV terms ignored — standard multinomial NB at
+    inference). All int64 arithmetic in 1e-9 log units. A doc with no
+    in-vocabulary term keeps its priors-only rows rather than
     disappearing (priors ride a docs × classes attach, classes being a
-    broadcastable handful).
+    broadcastable handful). This is the surface the evaluation metrics
+    (operators/evalx.py) consume — margins, AUC, calibration all derive
+    from it; ``naive_bayes_predict`` is its argmax.
 
-    Returns ``(id, predicted, score)`` — score in 1e-9 log units.
+    Returns ``(id, label, score)``.
     """
     counts = (
         test.select(F.col(id_col), F.explode(tokens_col).alias("term"))
@@ -512,11 +513,27 @@ def naive_bayes_predict(
         .agg(F.sum(F.col("cnt") * F.col("llr")).alias("ts"))
     )
     base = test.select(id_col).distinct().crossJoin(F.broadcast(priors))
-    scored = base.join(term_scores, [id_col, "label"], "left").select(
+    return base.join(term_scores, [id_col, "label"], "left").select(
         id_col,
         "label",
         (F.col("prior") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
     )
+
+
+def naive_bayes_predict(
+    test: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Score and classify: argmax over ``naive_bayes_score``'s int64
+    class scores; ties break on the lexically smallest label, so the
+    prediction is a pure function of the row set.
+
+    Returns ``(id, predicted, score)`` — score in 1e-9 log units.
+    """
+    scored = naive_bayes_score(test, model, priors, id_col, tokens_col)
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -820,3 +820,291 @@ def parse_warc(
             "length_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection + DUST rule mining
+# ---------------------------------------------------------------------------
+
+# query-parameter keys that carry per-visitor session state, never content
+SESSION_PARAM_KEYS = (
+    "sessionid", "session_id", "sid", "phpsessid", "jsessionid",
+    "cfid", "cftoken", "zenid", "oscsid",
+)
+
+# a yyyy / yyyy-mm / yyyy-mm-dd path segment (calendar-navigation pages)
+_DATE_SEG_PAT = r"^\d{4}(-\d{2}){0,2}$"
+
+# a long hex blob (session tokens, cache-busting hashes) as a param value
+_HEX_VALUE_PAT = r"^[0-9a-fA-F]{32,}$"
+
+
+def _raw_path_segments(url: Column | str) -> Column:
+    """Path segments of the RAW url (traps are pre-canonicalization
+    signals — collapsing doubled slashes would hide exactly the
+    malformed repetition a trap detector looks for). Empty segments
+    from doubled slashes are dropped. Schemeless input is treated as a
+    relative reference (RFC 3986 §4.2): the whole pre-``?`` part is the
+    path, so trap flags still fire on relative frontier entries; NULL
+    yields an empty array via the coalesce."""
+    u = F.coalesce(_col(url), F.lit(""))
+    absolute = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    relative = F.regexp_extract(u, r"^([^?#]*)", 1)
+    path = F.when(
+        u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), absolute
+    ).otherwise(relative)
+    return F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+
+
+def _raw_query_params(url: Column | str) -> Column:
+    """``key=value`` strings of the RAW query, order preserved, empty
+    params from ``&&`` dropped. NO tracking-param removal: trap
+    detection and DUST mining inspect exactly the params the
+    canonicalizer would later judge."""
+    qs = F.regexp_extract(F.coalesce(_col(url), F.lit("")), r"\?([^#]*)", 1)
+    return F.filter(F.split(qs, "&"), lambda p: p != F.lit(""))
+
+
+def url_trap_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    max_params: int = 8,
+    max_query_len: int = 128,
+) -> DataFrame:
+    """Crawler-trap / spider-trap heuristics (cf. the spam- and
+    trap-avoidance machinery in IRLbot, Lee et al. 2009 §7, and
+    Heritrix's pathological-URI rules): per-URL boolean signals a
+    frontier uses to deprioritize or drop infinite URL spaces BEFORE
+    fetching. No analog in the reference. Adds:
+
+      * ``deep_path``      — more than ``max_depth`` path segments
+      * ``repeated_segments`` — some path segment appears ≥ 3 times
+        (cycle traps: ``/a/b/a/b/a/b`` from relative-link loops)
+      * ``calendar_trap``  — ≥ 2 date-like segments (``yyyy[-mm[-dd]]``,
+        infinite calendar navigation)
+      * ``session_param``  — a session-state param key
+        (:data:`SESSION_PARAM_KEYS`) or a ≥ 32-hex param value
+      * ``long_query``     — query longer than ``max_query_len`` chars
+        or more than ``max_params`` params
+      * ``is_trap``        — any of the above
+
+    Scale shape: pure Catalyst string/HOF algebra — scan-speed, no
+    shuffle, no UDF (one WholeStageCodegen span); the nested HOF in the
+    repeat check is bounded by per-URL segment counts. Schemeless URLs
+    are treated as relative references (path + query still inspected);
+    NULL URLs produce all-false flags, never NULL flags — downstream
+    filters can rely on the booleans.
+    """
+    segs = _raw_path_segments(url_col)
+    params = _raw_query_params(url_col)
+    qs = F.regexp_extract(
+        F.coalesce(_col(url_col), F.lit("")), r"\?([^#]*)", 1
+    )
+    key_of = lambda p: F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+    val_of = lambda p: F.regexp_extract(p, r"^[^=]*=(.*)$", 1)
+    session_keys = F.array(*[F.lit(k) for k in SESSION_PARAM_KEYS])
+    return (
+        df.withColumn("deep_path", F.size(segs) > max_depth)
+        .withColumn(
+            "repeated_segments",
+            F.exists(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)) >= 3,
+            ),
+        )
+        .withColumn(
+            "calendar_trap",
+            F.size(F.filter(segs, lambda s: s.rlike(_DATE_SEG_PAT))) >= 2,
+        )
+        .withColumn(
+            "session_param",
+            F.exists(
+                params,
+                lambda p: F.array_contains(session_keys, key_of(p))
+                | val_of(p).rlike(_HEX_VALUE_PAT),
+            ),
+        )
+        .withColumn(
+            "long_query",
+            (F.length(qs) > max_query_len) | (F.size(params) > max_params),
+        )
+        .withColumn(
+            "is_trap",
+            F.col("deep_path")
+            | F.col("repeated_segments")
+            | F.col("calendar_trap")
+            | F.col("session_param")
+            | F.col("long_query"),
+        )
+    )
+
+
+def host_trap_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host trap pressure: the share of a host's URLs tripping each
+    trap heuristic — the signal a frontier uses to throttle WHOLE hosts
+    whose URL space looks infinite (IRLbot budgets hosts, not URLs).
+    One map-side-partial groupBy on the canonical host over the
+    scan-speed flags of :func:`url_trap_flags`.
+
+    Returns ``(host, n_urls, n_traps, trap_rate, n_deep, n_repeat,
+    n_calendar, n_session, n_long)``; ``trap_rate`` is round-6.
+    """
+    flagged = url_trap_flags(df, url_col=url_col).withColumn(
+        "host", canonical_host(url_col)
+    )
+    b = lambda c: F.sum(F.col(c).cast("long"))
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        b("is_trap").alias("n_traps"),
+        F.round(
+            F.sum(F.col("is_trap").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("trap_rate"),
+        b("deep_path").alias("n_deep"),
+        b("repeated_segments").alias("n_repeat"),
+        b("calendar_trap").alias("n_calendar"),
+        b("session_param").alias("n_session"),
+        b("long_query").alias("n_long"),
+    )
+
+
+def dust_param_rules(
+    df: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_hash",
+    min_support: int = 3,
+    min_precision: float = 0.95,
+) -> DataFrame:
+    """DUST rule mining — "Do Not Crawl in the DUST: Different URLs
+    with Similar Text" (Bar-Yossef et al. 2007, WWW): discover which
+    query-parameter KEYS are content-irrelevant from observed
+    ``(url, content_hash)`` pairs, so the canonicalizer's drop-list can
+    be LEARNED from the crawl instead of hand-curated (the
+    ``utm_*``-style list in :data:`TRACKING_PARAM_PAT` is exactly the
+    output this miner converges to).
+
+    Single-pass parameter-substitution variant of the paper's rule
+    lattice: for every param occurrence, the URL's *residual* is the
+    URL with that one param removed (remaining params byte-sorted, so
+    param order never splits a group). An *evidence group* is a
+    ``(key, residual)`` bucket observing ≥ 2 DISTINCT values for the
+    key; the group is *consistent* when all its URLs share one content
+    hash. Per key:
+
+      * ``n_groups`` / ``n_consistent`` — evidence groups, and those
+        where every value collision agreed on content
+      * ``pairs_supported`` — Σ (distinct values − 1) over consistent
+        groups (independent witnesses that swapping the value preserves
+        content)
+      * ``precision`` — ``n_consistent / n_groups`` (round 6)
+      * ``is_rule`` — ``precision ≥ min_precision`` and
+        ``pairs_supported ≥ min_support``
+
+    Scale shape: explode ×(params per URL) → one groupBy on
+    ``(key, residual)`` (map-side combine; residual keys are
+    near-unique so no hot keys) → one tiny groupBy on ``key`` (the key
+    axis is vocabulary-sized). Keys never observed with 2 distinct
+    values emit no row — absence of evidence, not evidence of absence.
+    NULL/query-less URLs contribute no param occurrences and drop out
+    up front.
+    """
+    base = F.regexp_extract(
+        F.coalesce(_col(url_col), F.lit("")), r"^([^?#]*)", 1
+    )
+    params = _raw_query_params(url_col)
+    ex = df.select(
+        F.col(url_col).alias("_url"),
+        F.col(content_col).alias("_content"),
+        base.alias("_base"),
+        params.alias("_params"),
+        F.explode(params).alias("_p"),
+    )
+    key = F.lower(F.regexp_extract(F.col("_p"), r"^([^=]*)", 1))
+    value = F.regexp_extract(F.col("_p"), r"^[^=]*=(.*)$", 1)
+    residual = F.concat(
+        F.col("_base"),
+        F.lit("?"),
+        F.array_join(F.array_sort(F.array_remove("_params", F.col("_p"))), "&"),
+    )
+    occ = ex.select(
+        key.alias("param_key"),
+        value.alias("_value"),
+        residual.alias("_residual"),
+        "_content",
+    )
+    groups = (
+        occ.groupBy("param_key", "_residual")
+        .agg(
+            F.countDistinct("_value").alias("_n_vals"),
+            F.countDistinct("_content").alias("_n_content"),
+        )
+        .filter(F.col("_n_vals") >= 2)
+    )
+    consistent = F.col("_n_content") == 1
+    per_key = groups.groupBy("param_key").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(consistent.cast("long")).alias("n_consistent"),
+        F.sum(
+            F.when(consistent, F.col("_n_vals") - 1).otherwise(F.lit(0))
+        ).alias("pairs_supported"),
+        F.round(
+            F.sum(consistent.cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+    )
+    return per_key.withColumn(
+        "is_rule",
+        (F.col("precision") >= min_precision)
+        & (F.col("pairs_supported") >= min_support),
+    )
+
+
+def recrawl_change_rates(
+    visits: DataFrame,
+    url_col: str = "url",
+    changed_col: str = "changed",
+    interval: float = 1.0,
+) -> DataFrame:
+    """Page change-rate estimation for recrawl scheduling (Cho &
+    Garcia-Molina 2003, "Estimating frequency of change", ACM TOIT §4):
+    from a per-URL visit log with a boolean change verdict per visit,
+    estimate the Poisson change rate with the paper's bias-corrected
+    estimator
+
+        λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / I
+
+    (n visits at uniform interval I, X of them observed changed — eq.
+    (4.4)'s intuition: the naive X/n underestimates because multiple
+    changes between visits collapse into one observation). Freshness
+    scheduling is the OTHER axis of the frontier besides politeness
+    (frontier_schedule): the crawler revisits high-λ pages first.
+
+    Returns per URL: ``(url, n_visits, n_changes, lambda_x1e9)`` with
+    ``lambda_x1e9 = floor(λ̂ · 1e9)`` as int64 — the quantization
+    discipline the NB/KN scorers use, so the estimate can ride a value
+    hash. Rows with zero visits cannot occur (group keys come from the
+    log); an all-changed log (X = n) stays finite thanks to the +0.5
+    continuity correction.
+
+    Scale shape: one map-side-partial groupBy on the URL — scan-speed
+    over any visit-log volume; the ln is a JVM intrinsic on the
+    aggregated row, never per-visit.
+    """
+    n = F.count(F.lit(1))
+    x = F.sum(F.col(changed_col).cast("long"))
+    lam = -F.log(
+        (n - x + F.lit(0.5)) / (n + F.lit(0.5))
+    ) / F.lit(float(interval))
+    return visits.groupBy(F.col(url_col).alias("url")).agg(
+        n.alias("n_visits"),
+        x.alias("n_changes"),
+        F.floor(lam * 1e9).cast("long").alias("lambda_x1e9"),
+    )

@@ -33,6 +33,7 @@ from week5_datingnlp_big_data_spark.operators import (
     corpus,
     dedup,
     dfm,
+    evalx,
     filters,
     freq,
     fuzzy,
@@ -10038,6 +10039,463 @@ def warc_record_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibbles and never splits the file. See operators/web.py:parse_warc."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return web.parse_warc(_synth_warc(docs))
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (operators/evalx.py) over the hash-equal NB
+# one-vs-rest margin: score = score_en − best other class, positive
+# label = (lang = 'en') on the md5-held-out test split. Margins are
+# int64 (1e-9 log units), so rank statistics, threshold sweeps, and
+# calibration bins are exact integer arithmetic on both engines; the
+# only doubles are final ratios of exact ints.
+# ---------------------------------------------------------------------------
+
+_SQL_NB_MARGINS = (
+    _SQL_NB_COMMON
+    + """
+    , margins AS (
+      SELECT s.doc_id,
+             CAST(max(CASE WHEN s.label = 'en' THEN s.score END)
+                - max(CASE WHEN s.label <> 'en' THEN s.score END)
+               AS BIGINT) AS score,
+             max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) = 1 AS is_pos
+      FROM scored s JOIN testdocs d USING (doc_id)
+      GROUP BY 1
+    ), g AS (
+      SELECT score, count(*) AS n,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM margins GROUP BY 1
+    ), c AS (
+      SELECT *, sum(n) OVER w - n AS below_n, sum(np) OVER w - np AS below_p
+      FROM g
+      WINDOW w AS (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+"""
+)
+
+
+def _nb_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the margins CTE: per-test-doc one-vs-rest NB margin
+    for 'en' plus the boolean truth label."""
+    train, test = _nb_split(_t(spark, sf_dir, "documents"))
+    model, priors = ml.naive_bayes_model(train, label_col="lang")
+    scored = ml.naive_bayes_score(test, model, priors)
+    margins = scored.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("label") == "en", F.col("score")))
+            - F.max(F.when(F.col("label") != "en", F.col("score")))
+        )
+        .cast("long")
+        .alias("score")
+    )
+    truth = test.select("doc_id", (F.col("lang") == "en").alias("is_pos"))
+    return margins.join(truth, "doc_id")
+
+
+@query(
+    "nb_margin_auc",
+    _SQL_NB_MARGINS
+    + """
+    , t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n - np) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * (below_n - below_p) + (n - np)))
+               AS BIGINT) AS u_stat_x2
+      FROM c
+    )
+    SELECT n_pos, n_neg, u_stat_x2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(u_stat_x2 AS DOUBLE)
+                           / (2.0 * n_pos * n_neg), 9)
+           END AS auc
+    FROM t
+    """,
+)
+def nb_margin_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the NB 'en'-vs-rest margin via the Mann–Whitney
+    rank statistic (Hand & Till 2001 eq. 3) — threshold-free classifier
+    quality, the metric a corpus pipeline audits its quality/lang
+    filters with before trusting them (reference reports only the
+    thresholded confusion matrix, Week5_datingNLP.R:303). The integer
+    2U statistic rides the hash, so tie handling (½ weight) and every
+    cumulative count are value-verified. Scale shape: distinct-score
+    groupBy + two-level prefix sum (operators/evalx.py) — no global
+    single-partition rank window."""
+    return evalx.binary_rank_auc(_nb_margins(spark, sf_dir))
+
+
+@query(
+    "nb_pr_sweep",
+    _SQL_NB_MARGINS
+    + """
+    , t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS p,
+             CAST(sum(n - np) AS BIGINT) AS nn
+      FROM g
+    )
+    SELECT score AS threshold,
+           CAST(p - below_p AS BIGINT) AS tp,
+           CAST(nn - (below_n - below_p) AS BIGINT) AS fp,
+           round(CAST(p - below_p AS DOUBLE)
+                 / ((p - below_p) + (nn - (below_n - below_p))), 6)
+             AS "precision",
+           CASE WHEN p > 0
+                THEN round(CAST(p - below_p AS DOUBLE) / p, 6)
+           END AS recall
+    FROM c CROSS JOIN t
+    """,
+)
+def nb_pr_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision/recall curve of the NB margin — one row per
+    distinct threshold (predict 'en' when margin ≥ t), tp/fp as exact
+    int64, ratios as 6-dp divisions of exact ints. The data layer of a
+    PR plot and the operating-point picker for a corpus filter. Same
+    two-level prefix-sum cumulative machinery as the AUC row."""
+    return evalx.pr_threshold_sweep(_nb_margins(spark, sf_dir))
+
+
+@query(
+    "nb_calibration_bins",
+    _SQL_NB_MARGINS
+    + """
+    , mm AS (SELECT min(score) AS mn, max(score) AS mx FROM margins)
+    SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+           count(*) AS n,
+           CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           round(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_pos,
+           round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS avg_score
+    FROM margins CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def nb_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (Murphy & Winkler 1977) of the NB
+    margin: 10 equal-width integer bins over [min, max], per-bin
+    empirical 'en' rate vs mean margin — the calibration audit behind
+    a score-thresholded corpus filter. Exact int64 bin arithmetic on
+    both engines (Spark ``div`` ≡ DuckDB ``//`` on non-negative
+    operands); one map-side-partial groupBy after a broadcast bounds
+    attach."""
+    return evalx.calibration_bins(_nb_margins(spark, sf_dir), n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (operators/web.py:url_trap_flags). Each doc's
+# URL plants an independent md5 bit per trap heuristic — deep path,
+# repeated segment, calendar segments, session param, long query — with
+# the base URL constructed so no decoration can trip another flag (base
+# 2 segments + 7·deep + 3·repeat + 2·calendar never crosses the depth-8
+# threshold without b_deep, etc.). The oracles read the flags STRAIGHT
+# OFF THE BITS — they never parse the URL — so any Spark-side
+# misparse breaks the hash.
+# ---------------------------------------------------------------------------
+
+def _synth_trap_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic trap-decorated URL per doc_id (spec above)."""
+    h = F.md5(F.concat(F.lit("trap:"), F.col("doc_id").cast("string")))
+
+    def hx(pos: int, width: int = 1) -> Column:
+        return F.conv(F.substring(h, pos, width), 16, 10).cast("long")
+
+    k = hx(1, 3) % 120
+    b_deep = hx(4) % 4 == 0
+    b_rep = hx(5) % 4 == 0
+    b_cal = hx(6) % 4 == 0
+    b_sess = hx(7) % 4 == 0
+    b_long = hx(8) % 4 == 0
+    path = F.concat(
+        F.lit("/cat"), (k % 4).cast("string"),
+        F.lit("/item"), (k % 6).cast("string"),
+        F.when(b_deep, F.lit("/d0/d1/d2/d3/d4/d5/d6")).otherwise(F.lit("")),
+        F.when(b_rep, F.lit("/loop/loop/loop")).otherwise(F.lit("")),
+        F.when(b_cal, F.lit("/2023-01/2024-02-03")).otherwise(F.lit("")),
+    )
+    qs = F.concat(
+        F.lit("page="), (k % 3).cast("string"),
+        F.lit("&q=term"), (k % 5).cast("string"),
+        F.when(
+            b_sess, F.concat(F.lit("&sid="), F.substring(h, 1, 32))
+        ).otherwise(F.lit("")),
+        F.when(
+            b_long,
+            F.lit("&x0=0&x1=1&x2=2&x3=3&x4=4&x5=5&x6=6&x7=7&x8=8"),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://site"), (k % 20).cast("string"),
+            F.lit(".example.com"), path, F.lit("?"), qs,
+        ),
+    )
+
+
+_SQL_TRAP_BITS = """
+      SELECT doc_id,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+               % 120 AS k,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 4, 1))::INT
+               % 4 = 0 AS b_deep,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 5, 1))::INT
+               % 4 = 0 AS b_rep,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 6, 1))::INT
+               % 4 = 0 AS b_cal,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 7, 1))::INT
+               % 4 = 0 AS b_sess,
+             ('0x' || substr(md5('trap:' || CAST(doc_id AS VARCHAR)), 8, 1))::INT
+               % 4 = 0 AS b_long
+      FROM documents
+"""
+
+
+@query(
+    "url_trap_flags",
+    f"""
+    WITH bits AS ({_SQL_TRAP_BITS})
+    SELECT doc_id, b_deep AS deep_path, b_rep AS repeated_segments,
+           b_cal AS calendar_trap, b_sess AS session_param,
+           b_long AS long_query,
+           (b_deep OR b_rep OR b_cal OR b_sess OR b_long) AS is_trap
+    FROM bits
+    """,
+)
+def url_trap_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap heuristics (IRLbot §7 / Heritrix pathological-URI
+    rules) over the planted-bit URL fixture: every flag must be
+    recovered by PARSING the decorated URL, while the oracle reads the
+    truth straight off the md5 bits — an independent derivation, not a
+    twin of the parse. Scan-speed HOF string algebra, no shuffle; see
+    operators/web.py:url_trap_flags."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.url_trap_flags(_synth_trap_urls(docs)).select(
+        "doc_id", "deep_path", "repeated_segments", "calendar_trap",
+        "session_param", "long_query", "is_trap",
+    )
+
+
+@query(
+    "host_trap_stats",
+    f"""
+    WITH bits AS ({_SQL_TRAP_BITS})
+    SELECT 'site' || CAST(k % 20 AS VARCHAR) || '.example.com' AS host,
+           count(*) AS n_urls,
+           CAST(sum(CASE WHEN b_deep OR b_rep OR b_cal OR b_sess OR b_long
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_traps,
+           round(CAST(sum(CASE WHEN b_deep OR b_rep OR b_cal OR b_sess
+                                    OR b_long THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS trap_rate,
+           CAST(sum(CASE WHEN b_deep THEN 1 ELSE 0 END) AS BIGINT) AS n_deep,
+           CAST(sum(CASE WHEN b_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+           CAST(sum(CASE WHEN b_cal THEN 1 ELSE 0 END) AS BIGINT) AS n_calendar,
+           CAST(sum(CASE WHEN b_sess THEN 1 ELSE 0 END) AS BIGINT) AS n_session,
+           CAST(sum(CASE WHEN b_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM bits GROUP BY 1
+    """,
+)
+def host_trap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host trap pressure (the host-budget signal IRLbot throttles
+    on): share of each host's URLs tripping each heuristic. One
+    map-side-partial groupBy on the canonical host; oracle rolls the
+    planted bits up closed-form. See operators/web.py:host_trap_rollup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.host_trap_rollup(_synth_trap_urls(docs))
+
+
+# ---------------------------------------------------------------------------
+# DUST rule mining (operators/web.py:dust_param_rules). Each doc's page
+# URL carries three params: ``c`` (constant within its identity group —
+# never shows value variation), ``v`` (content-RELEVANT: the content
+# hash is a function of (k, v)), and — on ~3/4 of docs — ``sid``
+# (content-IRRELEVANT per-visitor state). The miner must discover
+# ``sid`` as a rule and reject ``v``; ``c`` must emit no row. The
+# oracle rebuilds every occurrence's residual closed-form from the
+# md5 parts (never by string surgery on the URL) and re-runs the
+# grouping algebra in SQL.
+# ---------------------------------------------------------------------------
+
+def _synth_dust_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic (url, content_hash) crawl observations (spec
+    above). Param order scrambles on an md5 bit so residual grouping
+    must byte-sort survivors."""
+    h = F.md5(F.concat(F.lit("dust:"), F.col("doc_id").cast("string")))
+
+    def hx(pos: int, width: int = 1) -> Column:
+        return F.conv(F.substring(h, pos, width), 16, 10).cast("long")
+
+    k = hx(1, 3) % 60
+    b_sid = hx(4) % 4 != 0
+    sid_val = (hx(5, 2) % 100).cast("string")
+    v_val = (hx(7) % 3).cast("string")
+    c_val = (k % 7).cast("string")
+    p_c = F.concat(F.lit("c="), c_val)
+    p_v = F.concat(F.lit("v="), v_val)
+    p_sid = F.concat(F.lit("sid="), sid_val)
+    fwd = F.when(
+        b_sid, F.concat(p_c, F.lit("&"), p_v, F.lit("&"), p_sid)
+    ).otherwise(F.concat(p_c, F.lit("&"), p_v))
+    rev = F.when(
+        b_sid, F.concat(p_sid, F.lit("&"), p_v, F.lit("&"), p_c)
+    ).otherwise(F.concat(p_v, F.lit("&"), p_c))
+    qs = F.when(hx(9) % 2 == 0, fwd).otherwise(rev)
+    return docs.select(
+        F.concat(
+            F.lit("http://d"), (k % 10).cast("string"),
+            F.lit(".example.com/p"), k.cast("string"),
+            F.lit("?"), qs,
+        ).alias("url"),
+        F.md5(
+            F.concat(F.lit("content:"), k.cast("string"), F.lit(":"), v_val)
+        ).alias("content_hash"),
+    )
+
+
+@query(
+    "dust_param_rules",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dust:' || CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+               % 60 AS k,
+             ('0x' || substr(md5('dust:' || CAST(doc_id AS VARCHAR)), 4, 1))::INT
+               % 4 <> 0 AS b_sid,
+             CAST(('0x' || substr(md5('dust:' || CAST(doc_id AS VARCHAR)), 5, 2))::INT
+               % 100 AS VARCHAR) AS sid_val,
+             CAST(('0x' || substr(md5('dust:' || CAST(doc_id AS VARCHAR)), 7, 1))::INT
+               % 3 AS VARCHAR) AS v_val
+      FROM documents
+    ), enriched AS (
+      SELECT *,
+             CAST(k % 7 AS VARCHAR) AS c_val,
+             'http://d' || CAST(k % 10 AS VARCHAR) || '.example.com/p'
+               || CAST(k AS VARCHAR) AS base,
+             md5('content:' || CAST(k AS VARCHAR) || ':' || v_val) AS content
+      FROM parts
+    ), occ AS (
+      -- one row per (param occurrence); residuals rebuilt closed-form
+      -- with surviving params byte-sorted ('c=' < 'sid=' < 'v=')
+      SELECT 'c' AS param_key, c_val AS value,
+             base || '?' || (CASE WHEN b_sid
+                THEN 'sid=' || sid_val || '&v=' || v_val
+                ELSE 'v=' || v_val END) AS residual,
+             content
+      FROM enriched
+      UNION ALL
+      SELECT 'v', v_val,
+             base || '?' || (CASE WHEN b_sid
+                THEN 'c=' || c_val || '&sid=' || sid_val
+                ELSE 'c=' || c_val END),
+             content
+      FROM enriched
+      UNION ALL
+      SELECT 'sid', sid_val,
+             base || '?c=' || c_val || '&v=' || v_val,
+             content
+      FROM enriched WHERE b_sid
+    ), groups AS (
+      SELECT param_key, residual,
+             count(DISTINCT value) AS nv,
+             count(DISTINCT content) AS nc
+      FROM occ GROUP BY 1, 2
+      HAVING count(DISTINCT value) >= 2
+    )
+    SELECT param_key,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_consistent,
+           CAST(sum(CASE WHEN nc = 1 THEN nv - 1 ELSE 0 END) AS BIGINT)
+             AS pairs_supported,
+           round(CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS "precision",
+           round(CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) >= 0.95
+             AND CAST(sum(CASE WHEN nc = 1 THEN nv - 1 ELSE 0 END) AS BIGINT)
+                 >= 3 AS is_rule
+    FROM groups GROUP BY 1
+    """,
+)
+def dust_param_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (Bar-Yossef et al. 2007) over planted crawl
+    observations: the per-visitor ``sid`` param must be DISCOVERED as
+    content-irrelevant (is_rule true), the content-selecting ``v``
+    param rejected (consistent share 0), and the group-constant ``c``
+    param must emit no evidence row at all. The oracle rebuilds each
+    occurrence's residual closed-form from the md5 parts — the Spark
+    side must parse, remove, re-sort, and rejoin the real URL string to
+    land on the same groups. See operators/web.py:dust_param_rules."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.dust_param_rules(_synth_dust_pages(docs))
+
+
+# ---------------------------------------------------------------------------
+# Recrawl change-rate estimation (operators/web.py:recrawl_change_rates).
+# Each doc synthesizes 3-7 visits to a SHARED url key (doc_id % 200, so
+# groups merge observations from several docs) with per-visit change
+# verdicts from md5 nibbles; the oracle re-derives every visit's verdict
+# closed-form from the nibbles and mirrors the bias-corrected λ formula.
+# ---------------------------------------------------------------------------
+
+def _synth_visit_log(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc visit observations (spec above)."""
+    h = F.md5(F.concat(F.lit("visit:"), F.col("doc_id").cast("string")))
+    n = (
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 5 + 3
+    ).cast("int")
+    j = F.explode(F.sequence(F.lit(0), n - 1)).alias("j")
+    ex = docs.select("doc_id", h.alias("_h"), j)
+    changed = (
+        F.conv(
+            F.substring(F.col("_h"), F.col("j") + 2, F.lit(1)), 16, 10
+        ).cast("long")
+        % 3
+        == 0
+    )
+    return ex.select(
+        F.concat(
+            F.lit("http://r"), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".example.com/page"),
+        ).alias("url"),
+        changed.alias("changed"),
+    )
+
+
+@query(
+    "recrawl_lambda_estimates",
+    """
+    WITH spec AS (
+      SELECT doc_id, md5('visit:' || CAST(doc_id AS VARCHAR)) AS h,
+             ('0x' || substr(md5('visit:' || CAST(doc_id AS VARCHAR)), 1, 1))::INT
+               % 5 + 3 AS n
+      FROM documents
+    ), visits AS (
+      SELECT 'http://r' || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com/page' AS url,
+             ('0x' || substr(h, (j + 2)::INT, 1))::INT % 3 = 0 AS changed
+      FROM spec, unnest(range(n)) u(j)
+    ), agg AS (
+      SELECT url, count(*) AS n_visits,
+             CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changes
+      FROM visits GROUP BY 1
+    )
+    SELECT url, n_visits, n_changes,
+           CAST(floor(-ln((n_visits - n_changes + 0.5) / (n_visits + 0.5))
+                      * 1000000000) AS BIGINT) AS lambda_x1e9
+    FROM agg
+    """,
+)
+def recrawl_lambda_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation for recrawl scheduling (Cho &
+    Garcia-Molina 2003 §4, bias-corrected estimator
+    λ̂ = −ln((n−X+0.5)/(n+0.5))): the freshness axis of the frontier,
+    complementing frontier_schedule's politeness axis. Visit logs from
+    several docs merge per URL, so the groupBy really aggregates; the
+    int64 1e-9-quantized λ rides the hash. One map-side-partial
+    groupBy; see operators/web.py:recrawl_change_rates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return web.recrawl_change_rates(_synth_visit_log(docs))
 
 
 # ---------------------------------------------------------------------------
