@@ -131,3 +131,79 @@ def test_cum_machinery_band_decomposition_is_exact(spark):
         seen_n += r["n"]
         seen_pos += r["n_pos"]
         assert (r["cum_n"], r["cum_pos"]) == (seen_n, seen_pos)
+
+
+def test_chi2_hand_contingency(spark):
+    # 4 docs: class x = {t in 2 of 2}, class y = {t in 0 of 2}
+    # for (x, "t"): A=2 B=0 C=0 D=2, N=4 -> chi2 = 4*(2*2-0)^2/(2*2*2*2) = 4.0
+    rows = [
+        (1, "x", ["t", "u"]),
+        (2, "x", ["t"]),
+        (3, "y", ["u"]),
+        (4, "y", ["w"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, tokens array<string>"
+    )
+    out = {
+        (r["label"], r["term"]): r
+        for r in evalx.chi2_term_class(df, label_col="label").collect()
+    }
+    t = out[("x", "t")]
+    assert (t["a_docs"], t["term_docs"]) == (2, 2)
+    assert t["chi2_x1e6"] == 4_000_000
+    # "t" is maximally associated with x -> rank 1
+    assert t["rnk"] == 1
+    # a term present in EVERY doc is excluded (zero signal, div-by-zero)
+    rows_all = rows[:2] + [(3, "y", ["u", "t"]), (4, "y", ["w", "t"])]
+    df2 = spark.createDataFrame(
+        rows_all, "doc_id long, label string, tokens array<string>"
+    )
+    out2 = {
+        (r["label"], r["term"])
+        for r in evalx.chi2_term_class(df2, label_col="label").collect()
+    }
+    assert ("x", "t") not in out2 and ("y", "t") not in out2
+
+
+def test_chi2_presence_not_frequency(spark):
+    # repeating a token in one doc must not change A (doc-level presence)
+    base = [(1, "x", ["t"]), (2, "y", ["u"])]
+    rep = [(1, "x", ["t", "t", "t"]), (2, "y", ["u"])]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, label string, tokens array<string>"
+    )
+    a = {(r["label"], r["term"]): r["chi2_x1e6"]
+         for r in evalx.chi2_term_class(mk(base), label_col="label").collect()}
+    b = {(r["label"], r["term"]): r["chi2_x1e6"]
+         for r in evalx.chi2_term_class(mk(rep), label_col="label").collect()}
+    assert a == b
+
+
+def _kappa(spark, pairs):
+    df = spark.createDataFrame(pairs, "rater_a string, rater_b string")
+    return evalx.cohens_kappa(df).collect()[0]
+
+
+def test_kappa_perfect_and_hand_case(spark):
+    assert _kappa(spark, [("a", "a"), ("b", "b")] * 5)["kappa"] == 1.0
+    # classic 2x2: agree 15 of 20, marginals a:(12,11) b:(8,9)
+    pairs = (
+        [("p", "p")] * 10 + [("n", "n")] * 5
+        + [("p", "n")] * 2 + [("n", "p")] * 3
+    )
+    out = _kappa(spark, pairs)
+    # po = 15/20; pe = (12*13 + 8*7)/400 = 212/400; kappa = (300-212)/(400-212)
+    assert (out["n"], out["n_agree"], out["pe_num"]) == (20, 15, 212)
+    assert abs(out["kappa"] - 88 / 188) < 1e-9
+
+
+def test_kappa_degenerate_single_category_is_null(spark):
+    out = _kappa(spark, [("a", "a")] * 4)
+    assert out["kappa"] is None and out["n_agree"] == 4
+
+
+def test_kappa_disjoint_categories_zero_pe(spark):
+    # raters never use the same category names: pe_num = 0, kappa = agree rate
+    out = _kappa(spark, [("a", "x"), ("b", "y")])
+    assert out["pe_num"] == 0 and out["kappa"] == 0.0

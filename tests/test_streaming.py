@@ -1096,3 +1096,68 @@ def test_streaming_host_cap_matches_batch(spark, sf_dir, tmp_path):
     }
     latest_keys = {(h, d) for h, d, _, _ in streamed}
     assert any(k not in latest_keys for k in early)
+
+
+def test_streaming_recrawl_counts_parity(spark, sf_dir, tmp_path):
+    """12th stream-batch parity gate: visit-log accumulation for the
+    Cho & Garcia-Molina change-rate estimator. Visit rows split into
+    two batches by md5 parity of doc_id; several docs feed the SAME url
+    key (doc_id % 200), so one URL's counts really merge across
+    batches. The drained latest counts, projected through the SHARED
+    lambda expression (web.recrawl_lambda_col), must equal the batch
+    operator exactly — including the int64 quantization."""
+    from week5_datingnlp_big_data_spark import registry
+    from week5_datingnlp_big_data_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    parity = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 3, 8),
+               16, 10).cast("long") % 2
+    )
+    _drop_file(docs.filter(parity == 0), tmp_path, "visits", "b1.parquet")
+    _drop_file(docs.filter(parity == 1), tmp_path, "visits", "b2.parquet")
+
+    # visit synthesis is pure Catalyst (md5 nibbles + sequence explode),
+    # so it runs IN-STREAM: the gate covers synth + stateful count merge
+    stream = registry._synth_visit_log(
+        sc.stream_documents(spark, str(tmp_path / "visits")).select("doc_id")
+    )
+    q = sc.run_stream_to_memory(
+        sc.streaming_recrawl_counts(stream), "recrawl_state",
+        output_mode="update",
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    latest = (
+        spark.table("recrawl_state")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["url"], r["n_visits"], r["n_changes"], r["lambda_x1e9"])
+        for r in latest.select(
+            "url", "n_visits", "n_changes",
+            web.recrawl_lambda_col(
+                F.col("n_visits"), F.col("n_changes")
+            ).alias("lambda_x1e9"),
+        ).collect()
+    }
+    batch = {
+        (r["url"], r["n_visits"], r["n_changes"], r["lambda_x1e9"])
+        for r in web.recrawl_change_rates(
+            registry._synth_visit_log(docs)
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # witness: at least one URL merged counts across both batches (its
+    # docs straddle the parity split), so upd >= 2 in the latest state
+    assert latest.filter(F.col("upd") >= 2).count() > 0

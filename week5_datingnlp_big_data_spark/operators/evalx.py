@@ -216,3 +216,139 @@ def calibration_bins(
             F.sum("score").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_score"),
     )
+
+
+def chi2_term_class(
+    train: DataFrame,
+    label_col: str = "label",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+) -> DataFrame:
+    """χ² term–class association for feature selection (Manning,
+    Raghavan & Schütze, IIR §13.5.2): doc-level presence contingency
+    per (term, class) —
+
+        A = docs in c containing t      B = docs not in c containing t
+        C = docs in c without t         D = docs in neither
+
+        χ² = N·(AD − CB)² / ((A+C)(B+D)(A+B)(C+D))
+
+    — ranked top-``top_k`` terms per class (χ² desc, term asc). Returns
+    ``(label, term, a_docs, term_docs, chi2_x1e6, rnk)`` with
+    ``chi2_x1e6 = floor(χ²·1e6)`` int64: A/B/C/D are exact int64, the
+    double intermediates ((AD−CB)² · N) stay below 2⁵³ for corpora up
+    to ~10⁷ docs, so the quantized statistic is engine-stable; beyond
+    that, rank on the raw double (ordering survives ulp error long
+    after the 6th decimal does).
+
+    Terms present in EVERY doc carry no signal and divide by zero —
+    they are excluded (A+B < N). Scale shape: one distinct (doc, term)
+    projection, one (label, term) groupBy, broadcast class/term
+    marginal attaches, and a per-class rank window (partitioned by
+    label; per-partition cardinality is the vocab, Zipf-bounded — never
+    the corpus).
+    """
+    presence = train.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens_col).alias("term"),
+    ).filter(F.length("term") > 0).distinct()
+    a = presence.groupBy("label", "term").agg(
+        F.count(F.lit(1)).alias("a_docs")
+    )
+    term_docs = a.groupBy("term").agg(F.sum("a_docs").alias("term_docs"))
+    class_docs = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("_n_c")
+    )
+    n_tot = class_docs.agg(F.sum("_n_c").alias("_n"))
+    big_a = F.col("a_docs").cast("double")
+    big_b = (F.col("term_docs") - F.col("a_docs")).cast("double")
+    big_c = (F.col("_n_c") - F.col("a_docs")).cast("double")
+    big_d = (
+        F.col("_n") - F.col("_n_c") - F.col("term_docs") + F.col("a_docs")
+    ).cast("double")
+    chi2 = (
+        F.col("_n").cast("double")
+        * (big_a * big_d - big_c * big_b) ** 2
+        / (
+            (big_a + big_c)
+            * (big_b + big_d)
+            * (big_a + big_b)
+            * (big_c + big_d)
+        )
+    )
+    scored = (
+        a.join(F.broadcast(term_docs), "term")
+        .join(F.broadcast(class_docs), "label")
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("term_docs") < F.col("_n"))
+        .select(
+            "label",
+            "term",
+            "a_docs",
+            "term_docs",
+            F.floor(chi2 * 1e6).cast("long").alias("chi2_x1e6"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("chi2_x1e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str = "rater_a",
+    rater_b: str = "rater_b",
+) -> DataFrame:
+    """Cohen's κ chance-corrected agreement (Cohen 1960) between two
+    categorical columns — the label-quality audit behind any
+    classifier-vs-gold or annotator-vs-annotator comparison. With
+    integer marginals the statistic is a ratio of exact int64s:
+
+        κ = (po − pe) / (1 − pe) = (n·agree − Σ_k rowₖ·colₖ)
+                                   / (n² − Σ_k rowₖ·colₖ)
+
+    Returns one row ``(n, n_agree, pe_num, kappa)`` — ``pe_num`` is the
+    integer Σ_k rowₖ·colₖ so the whole derivation rides a value hash;
+    ``kappa`` (round 9) is NULL when pe = 1 (both raters constant on
+    the same single category). Scale shape: one scan for the agreement
+    count, two tiny per-category marginal aggregates joined broadcast —
+    the category axis is a label set, never the corpus."""
+    pairs = df.select(
+        F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b")
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("n_agree"),
+    )
+    ma = pairs.groupBy(F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ra")
+    )
+    mb = pairs.groupBy(F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_rb")
+    )
+    pe = (
+        ma.join(mb, "_k")
+        .agg(F.sum(F.col("_ra") * F.col("_rb")).alias("pe_num"))
+        .select(F.coalesce("pe_num", F.lit(0)).alias("pe_num"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "n_agree",
+        "pe_num",
+        F.when(
+            F.col("n") * F.col("n") != F.col("pe_num"),
+            F.round(
+                (F.col("n") * F.col("n_agree") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("pe_num")),
+                9,
+            ),
+        ).alias("kappa"),
+    )

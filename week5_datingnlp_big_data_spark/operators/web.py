@@ -1100,11 +1100,24 @@ def recrawl_change_rates(
     """
     n = F.count(F.lit(1))
     x = F.sum(F.col(changed_col).cast("long"))
-    lam = -F.log(
-        (n - x + F.lit(0.5)) / (n + F.lit(0.5))
-    ) / F.lit(float(interval))
     return visits.groupBy(F.col(url_col).alias("url")).agg(
         n.alias("n_visits"),
         x.alias("n_changes"),
-        F.floor(lam * 1e9).cast("long").alias("lambda_x1e9"),
+        recrawl_lambda_col(n, x, interval).alias("lambda_x1e9"),
     )
+
+
+def recrawl_lambda_col(
+    n: Column, x: Column, interval: float = 1.0
+) -> Column:
+    """The λ̂ quantization as a reusable column expression:
+    ``floor(−ln((n−x+0.5)/(n+0.5))/I · 1e9)`` as int64. Shared by the
+    batch aggregate above and the streaming twin's projection over
+    drained counts (streaming/counts.py:streaming_recrawl_counts), so
+    both paths quantize through the SAME JVM expression tree — the
+    stream keeps only mergeable (n, x) counts in state and λ is a
+    stateless projection."""
+    lam = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))) / F.lit(
+        float(interval)
+    )
+    return F.floor(lam * 1e9).cast("long")

@@ -10182,6 +10182,99 @@ def nb_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalx.calibration_bins(_nb_margins(spark, sf_dir), n_bins=10)
 
 
+@query(
+    "nb_chi2_terms",
+    _SQL_NB_COMMON
+    + """
+    , presence AS (
+      SELECT DISTINCT lang AS label, doc_id, term
+      FROM t2 WHERE NOT is_test
+    ), a AS (
+      SELECT label, term, count(*) AS a_docs FROM presence GROUP BY 1, 2
+    ), td AS (
+      SELECT term, CAST(sum(a_docs) AS BIGINT) AS term_docs
+      FROM a GROUP BY 1
+    ), nn AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM traindocs),
+    sc AS (
+      SELECT a.label, a.term, a.a_docs, td.term_docs,
+             CAST(floor(
+               CAST(n AS DOUBLE)
+               * pow(CAST(a_docs AS DOUBLE)
+                       * (n - n_c - term_docs + a_docs)
+                     - CAST(n_c - a_docs AS DOUBLE)
+                       * (term_docs - a_docs), 2)
+               / (CAST(n_c AS DOUBLE) * (n - n_c) * term_docs
+                  * (n - term_docs))
+               * 1000000) AS BIGINT) AS chi2_x1e6
+      FROM a
+      JOIN td USING (term)
+      JOIN traindocs t ON t.label = a.label
+      CROSS JOIN nn
+      WHERE td.term_docs < n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY chi2_x1e6 DESC, term) AS rnk
+      FROM sc
+    )
+    SELECT label, term, a_docs, term_docs, chi2_x1e6, rnk
+    FROM ranked WHERE rnk <= 25
+    """,
+)
+def nb_chi2_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection (IIR §13.5.2) on the NB training split: the
+    top-25 most class-associated vocabulary terms per language from the
+    doc-level presence contingency. A/B/C/D ride the hash as exact
+    int64 and the quantized χ² pins the double arithmetic; the rank
+    window partitions by class over the Zipf-bounded vocab. See
+    operators/evalx.py:chi2_term_class."""
+    train, _ = _nb_split(_t(spark, sf_dir, "documents"))
+    return evalx.chi2_term_class(train, label_col="lang", top_k=25)
+
+
+@query(
+    "nb_gold_kappa",
+    _SQL_NB_COMMON
+    + """
+    , pairs AS (
+      SELECT p.predicted AS a, d.lang AS b
+      FROM (SELECT doc_id, predicted FROM pred WHERE rn = 1) p
+      JOIN testdocs d USING (doc_id)
+    ), ktot AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM pairs
+    ), ma AS (SELECT a AS k, count(*) AS ra FROM pairs GROUP BY 1),
+    mb AS (SELECT b AS k, count(*) AS rb FROM pairs GROUP BY 1),
+    pe AS (
+      SELECT CAST(coalesce(sum(ra * rb), 0) AS BIGINT) AS pe_num
+      FROM ma JOIN mb USING (k)
+    )
+    SELECT n, n_agree, pe_num,
+           CASE WHEN n * n <> pe_num
+                THEN round(CAST(n * n_agree - pe_num AS DOUBLE)
+                           / (n * n - pe_num), 9)
+           END AS kappa
+    FROM ktot CROSS JOIN pe
+    """,
+)
+def nb_gold_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ (Cohen 1960) between the NB prediction and the gold
+    language label on the held-out split — chance-corrected agreement,
+    the statistic that exposes a classifier coasting on class skew
+    where raw accuracy cannot. Integer n·agree and Σ row·col marginal
+    products ride the hash; κ is one exact-int ratio. See
+    operators/evalx.py:cohens_kappa."""
+    docs = _t(spark, sf_dir, "documents")
+    train, test = _nb_split(docs)
+    model, priors = ml.naive_bayes_model(train, label_col="lang")
+    pred = ml.naive_bayes_predict(test, model, priors)
+    pairs = pred.join(test.select("doc_id", "lang"), "doc_id").select(
+        F.col("predicted").alias("rater_a"), F.col("lang").alias("rater_b")
+    )
+    return evalx.cohens_kappa(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Crawler-trap detection (operators/web.py:url_trap_flags). Each doc's
 # URL plants an independent md5 bit per trap heuristic — deep path,

@@ -1116,3 +1116,62 @@ def streaming_host_cap(
     return rows.groupBy("host").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_recrawl_counts(
+    visits_stream: DataFrame,
+    url_col: str = "url",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Streaming visit-log accumulation for recrawl scheduling — the
+    stream half of operators/web.py:recrawl_change_rates. Per URL,
+    arbitrary state holds the two MERGEABLE counts the λ estimator
+    needs: visits seen and changes observed. Each micro-batch emits
+    ``(url, n_visits, n_changes, upd)``; an update-mode sink's latest
+    row per URL carries the running counts, and λ̂ is a STATELESS
+    projection over them (web.recrawl_lambda_col — the same JVM
+    expression the batch aggregate uses, so quantization cannot drift
+    between engines). Counts are order-insensitive sums, so batching
+    and arrival order cannot change the drained result — the 12th
+    stream-batch parity gate pins it against the batch operator.
+
+    State is O(1) per URL (two int64s); NULL urls carry no observation
+    identity and are filtered out of the stateful path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = visits_stream.select(
+        F.col(url_col).alias("url"),
+        F.col(changed_col).cast("long").alias("_chg"),
+    ).filter(F.col("url").isNotNull())
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("n_visits", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_visits", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            n, x, upd = state.get
+        else:
+            n, x, upd = 0, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            x += int(pdf["_chg"].sum())
+        upd += 1
+        state.update((n, x, upd))
+        yield pd.DataFrame(
+            {"url": [key[0]], "n_visits": [n], "n_changes": [x],
+             "upd": [upd]}
+        )
+
+    return rows.groupBy("url").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
