@@ -183,6 +183,19 @@ HEADLINE = [
     "host_doc_cap_sample",
     "warc_record_stats",
     "url_surt_keys",
+    # round-8 continuation: classifier evaluation (NB margin AUC / PR /
+    # calibration / chi2 / kappa), crawler-trap + DUST mining, recrawl
+    "nb_margin_auc",
+    "nb_pr_sweep",
+    "nb_calibration_bins",
+    "nb_chi2_terms",
+    "nb_gold_kappa",
+    "url_trap_flags",
+    "host_trap_stats",
+    "dust_param_rules",
+    "recrawl_lambda_estimates",
+    "wordcount_zipf_fit",
+    "nb_hand_till_auc",
 ]
 
 

@@ -78,6 +78,13 @@ QUERIES = [
     # carries)
     "redirect_chain_resolution",
     "sitemap_new_urls",
+    # round-8 continuation: the eval family's distinct-score prefix sums
+    # (NB trains on 10x docs; the score axis grows but stays tiny vs the
+    # corpus) and the DUST residual groupBy chain (param explode grows
+    # with data — near-data-factor expected) get a second decade; both
+    # derive solely from documents
+    "nb_margin_auc",
+    "dust_param_rules",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -197,6 +197,27 @@ QUERIES = [
     "host_doc_cap_sample",
     "warc_record_stats",
     "url_surt_keys",
+    # round-8 continuation: classifier evaluation (distinct-score axis
+    # prefix sums — near-flat expected: the score axis grows ~10x but
+    # stays tiny vs the corpus; chi2 is vocab x class bounded), trap
+    # flags (scan-speed HOF algebra), DUST mining (param-explode +
+    # residual groupBy — groups grow with data, near-data-factor),
+    # recrawl rates (one groupBy)
+    "nb_margin_auc",
+    "nb_pr_sweep",
+    "nb_calibration_bins",
+    "nb_chi2_terms",
+    "nb_gold_kappa",
+    "url_trap_flags",
+    "host_trap_stats",
+    "dust_param_rules",
+    "recrawl_lambda_estimates",
+    # late round-8: stratified Hand-Till pair AUCs (every window
+    # partitioned by (pair, scorer) — near-flat expected like the
+    # binary AUC) and the Zipf fit (top-k-bounded OLS after the
+    # word-count aggregate — tracks wordcount_top100's growth)
+    "nb_hand_till_auc",
+    "wordcount_zipf_fit",
 ]
 
 

@@ -207,3 +207,65 @@ def test_kappa_disjoint_categories_zero_pe(spark):
     # raters never use the same category names: pe_num = 0, kappa = agree rate
     out = _kappa(spark, [("a", "x"), ("b", "y")])
     assert out["pe_num"] == 0 and out["kappa"] == 0.0
+
+
+def test_hand_till_matches_brute_force(spark):
+    """Per-pair direction AUCs must equal brute-force pair counting on
+    a small 3-class score table."""
+    rng = random.Random(42)
+    classes = ["x", "y", "z"]
+    docs = list(range(30))
+    truth_rows = [(d, classes[rng.randrange(3)]) for d in docs]
+    scored_rows = [
+        (d, c, rng.randint(-5, 5)) for d in docs for c in classes
+    ]
+    scored = spark.createDataFrame(
+        scored_rows, "doc_id long, label string, score long"
+    )
+    truth = spark.createDataFrame(truth_rows, "doc_id long, lang string")
+    out = {
+        (r["class_a"], r["class_b"]): r
+        for r in evalx.hand_till_auc(scored, truth).collect()
+    }
+    t = dict(truth_rows)
+    s = {(d, c): v for d, c, v in scored_rows}
+
+    def brute_u2(scorer, pos_c, neg_c):
+        pos = [s[(d, scorer)] for d in docs if t[d] == pos_c]
+        neg = [s[(d, scorer)] for d in docs if t[d] == neg_c]
+        u2 = 0
+        for a in pos:
+            for b in neg:
+                u2 += 2 if a > b else (1 if a == b else 0)
+        return u2, len(pos), len(neg)
+
+    for ca, cb in [("x", "y"), ("x", "z"), ("y", "z")]:
+        u2_ab, p, nn = brute_u2(ca, ca, cb)
+        u2_ba, p2, nn2 = brute_u2(cb, cb, ca)
+        r = out[(ca, cb)]
+        assert r["u2_ab"] == u2_ab and r["u2_ba"] == u2_ba
+        if p and nn:
+            assert abs(r["auc_ab"] - u2_ab / (2 * p * nn)) < 1e-8
+        if p2 and nn2:
+            assert abs(r["auc_ba"] - u2_ba / (2 * p2 * nn2)) < 1e-8
+
+
+def test_hand_till_empty_class_direction_is_null(spark):
+    # class z never appears in truth: every pair with z has no
+    # positives for the z-ranked direction -> NULL aucs
+    scored = spark.createDataFrame(
+        [(d, c, d + (1 if c == "x" else 0)) for d in range(6)
+         for c in ("x", "y", "z")],
+        "doc_id long, label string, score long",
+    )
+    truth = spark.createDataFrame(
+        [(d, "x" if d % 2 else "y") for d in range(6)],
+        "doc_id long, lang string",
+    )
+    out = {
+        (r["class_a"], r["class_b"]): r
+        for r in evalx.hand_till_auc(scored, truth).collect()
+    }
+    assert out[("x", "z")]["auc_ba"] is None
+    assert out[("x", "z")]["auc_pair"] is None
+    assert out[("x", "y")]["auc_pair"] is not None

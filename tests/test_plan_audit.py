@@ -104,7 +104,15 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # top-k window, salted two-stage host cap
                  "redirect_chain_resolution", "anchor_term_topk",
                  "host_doc_cap_sample", "warc_record_stats",
-                 "url_surt_keys"):
+                 "url_surt_keys",
+                 # round-8 continuation: the eval family's prefix-sum
+                 # band joins, the chi2 marginal attaches, the DUST
+                 # residual groupBy chain, and the trap scans must stay
+                 # cartesian-free (cross joins are 1-row stat attaches)
+                 "nb_margin_auc", "nb_pr_sweep", "nb_calibration_bins",
+                 "nb_chi2_terms", "nb_gold_kappa", "url_trap_flags",
+                 "host_trap_stats", "dust_param_rules",
+                 "recrawl_lambda_estimates"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

@@ -503,3 +503,49 @@ def test_readability_scores_hand_case(spark):
     # long-word doc: rea-ding=2? spec counts vowel RUNS: r(ea)d(i)ng=2,
     # c(o)mpr(e)h(e)ns(io)n=4, (e)v(a)l(ua)t(io)n=4 -> 10
     assert got[3]["n_syllables"] == 10
+
+
+def test_zipf_fit_exact_golden(spark):
+    """zipf_fit must equal the same quantized OLS computed in Python."""
+    import math
+
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    counts = [("a", 64), ("b", 32), ("c", 16), ("d", 8), ("e", 8)]
+    df = spark.createDataFrame(counts, "word string, cnt long")
+    out = textstats.zipf_fit(df, top_k=5).collect()[0]
+
+    Q = 1_000_000
+    pts = [
+        (math.floor(math.log(r + 1) * Q), math.floor(math.log(c) * Q))
+        for r, (_, c) in enumerate(sorted(counts, key=lambda t: (-t[1], t[0])))
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert out["n_terms"] == n and out["sum_xy_q"] == sxy
+    assert out["slope"] == round(slope, 6)
+    # counts halve per rank: slope near -1.5 in ln-ln space... exact
+    # perfect-doubling would be -log(2)/log(2)=-1 per rank STEP but the
+    # x axis is ln(rank); just pin the sane range
+    assert -4.0 < out["slope"] < -0.5
+    r2num = float(n * sxy - sx * sy)
+    r2 = (r2num * r2num) / (float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    assert out["r2"] == round(r2, 6)
+    intercept = (sy / Q - slope * (sx / Q)) / n
+    assert out["intercept"] == round(intercept, 6)
+
+
+def test_zipf_fit_zero_y_variance_r2_null(spark):
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "word string, cnt long"
+    )
+    out = textstats.zipf_fit(df, top_k=3).collect()[0]
+    assert out["r2"] is None
+    assert out["slope"] == 0.0  # flat counts -> zero slope exactly

@@ -170,3 +170,12 @@ def test_recrawl_all_changed_is_finite_and_never_changed_near_zero(spark):
     # never-changed: (n - 0 + 0.5)/(n + 0.5) = 1 -> lambda exactly 0
     assert out["cold"]["lambda_x1e9"] == 0
     assert out["hot"]["lambda_x1e9"] > 0
+
+
+def test_recrawl_null_verdict_counts_as_unchanged(spark):
+    rows = [("u", True), ("u", None), ("u", False)]
+    df = spark.createDataFrame(rows, "url string, changed boolean")
+    out = web.recrawl_change_rates(df).collect()[0]
+    # NULL is a visit with unknown verdict: counted, not changed
+    assert (out["n_visits"], out["n_changes"]) == (3, 1)
+    assert out["lambda_x1e9"] is not None

@@ -46,34 +46,52 @@ def _cum_by_score(
     score_col: str,
     label_col: str,
     n_bands: int = 1024,
+    strata: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-distinct-score cumulative counts (ascending, inclusive):
-    ``(score, n, n_pos, cum_n, cum_pos)`` with ``cum_* = Σ over scores
-    ≤ this one``. Two-level prefix sum over ``n_bands`` equal-width
-    integer bands (module docstring).
+    """Per-distinct-score cumulative counts (ascending, inclusive),
+    independently WITHIN each stratum when ``strata`` names grouping
+    columns: ``(*strata, score, n, n_pos, cum_n, cum_pos)`` with
+    ``cum_* = Σ over scores ≤ this one in the same stratum``. Two-level
+    prefix sum over ``n_bands`` equal-width integer bands per stratum
+    (module docstring); with strata the band-offset window partitions
+    BY stratum, so no single-partition exchange exists anywhere — the
+    offset axis is (strata × n_bands) rows, each stratum's slice
+    ≤ n_bands.
 
     Band arithmetic is exact int64: ``(score − mn) · n_bands`` must not
     overflow — fine for any score range below ~2⁶³/n_bands ≈ 9·10¹⁵,
     which covers the engine's 1e-9-quantized log-likelihood scale by
     two orders of magnitude.
     """
-    g = df.groupBy(F.col(score_col).cast("long").alias("score")).agg(
+    ks = list(strata)
+    g = df.groupBy(
+        *ks, F.col(score_col).cast("long").alias("score")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
     )
-    bounds = g.agg(
-        F.min("score").alias("_mn"), F.max("score").alias("_mx")
-    )
-    g = g.crossJoin(F.broadcast(bounds)).withColumn(
+    if ks:
+        bounds = df.groupBy(*ks).agg(
+            F.min(F.col(score_col).cast("long")).alias("_mn"),
+            F.max(F.col(score_col).cast("long")).alias("_mx"),
+        )
+        g = g.join(F.broadcast(bounds), ks)
+    else:
+        bounds = g.agg(
+            F.min("score").alias("_mn"), F.max("score").alias("_mx")
+        )
+        g = g.crossJoin(F.broadcast(bounds))
+    g = g.withColumn(
         "_band",
         F.expr(f"((score - _mn) * {n_bands}) div (_mx - _mn + 1)"),
     )
     w_in = (
-        Window.partitionBy("_band")
+        Window.partitionBy(*ks, "_band")
         .orderBy("score")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within = g.select(
+        *ks,
         "score",
         "n",
         "n_pos",
@@ -81,21 +99,24 @@ def _cum_by_score(
         F.sum("n").over(w_in).alias("_in_n"),
         F.sum("n_pos").over(w_in).alias("_in_pos"),
     )
-    # strictly-earlier band offsets: the band axis is ≤ n_bands rows, so
-    # the single-partition window here is over a bounded dimension table
-    w_bands = Window.orderBy("_band").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # strictly-earlier band offsets: each stratum's band axis is
+    # ≤ n_bands rows, so this window's partitions are bounded dimension
+    # slices (single-partition only in the stratum-free binary case)
+    w_bands = (
+        Window.partitionBy(*ks) if ks else Window.partitionBy()
+    ).orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        g.groupBy("_band")
+        g.groupBy(*ks, "_band")
         .agg(F.sum("n").alias("_bn"), F.sum("n_pos").alias("_bp"))
         .select(
+            *ks,
             "_band",
             F.coalesce(F.sum("_bn").over(w_bands), F.lit(0)).alias("_off_n"),
             F.coalesce(F.sum("_bp").over(w_bands), F.lit(0)).alias("_off_p"),
         )
     )
-    return within.join(F.broadcast(offsets), "_band").select(
+    return within.join(F.broadcast(offsets), [*ks, "_band"]).select(
+        *ks,
         "score",
         "n",
         "n_pos",
@@ -351,4 +372,114 @@ def cohens_kappa(
                 9,
             ),
         ).alias("kappa"),
+    )
+
+
+def hand_till_auc(
+    scored: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    score_col: str = "score",
+    true_col: str = "lang",
+) -> DataFrame:
+    """Multi-class AUC by class-pair decomposition (Hand & Till 2001,
+    "A Simple Generalisation of the Area Under the ROC Curve for
+    Multiple Class Classification Problems", §3): for every unordered
+    class pair {i, j}, Â(i|j) ranks the pair's docs by CLASS i's score
+    (docs truly of class i are the positives), Â(j|i) symmetrically by
+    class j's score, and the pair's separability is their mean. The
+    overall M statistic is the unweighted mean of ``auc_pair`` over
+    rows — left to the caller so the per-pair diagnostic (WHICH
+    languages the classifier confuses) stays visible.
+
+    Inputs: ``scored`` is the full per-(doc, class) score table
+    (ml.naive_bayes_score) and ``truth`` maps each doc to its true
+    class. Output: one row per unordered pair —
+    ``(class_a, class_b, u2_ab, u2_ba, auc_ab, auc_ba, auc_pair)``
+    with the integer 2U statistics riding a value hash and every AUC an
+    exact-int ratio (round 9); a direction with an empty class yields
+    NULL aucs and a NULL pair mean.
+
+    Scale shape: the class axis is collected to the driver (a label
+    set, vocab-bounded — the same bounded-collect discipline as the EM
+    tokenizers); each scored row expands to at most (C−1) strata; then
+    the SAME two-level prefix-sum cumulative machinery as the binary
+    AUC, with every window partitioned by (pair, scorer[, band]) — no
+    single-partition exchange anywhere.
+    """
+    classes = sorted(
+        r[0] for r in scored.select(label_col).distinct().collect()
+    )
+    class_arr = F.array(*[F.lit(c) for c in classes])
+    j = scored.join(truth, id_col).select(
+        F.col(label_col).alias("_scorer"),
+        F.col(score_col).cast("long").alias("_score"),
+        F.col(true_col).alias("_t"),
+    )
+    # positives: docs whose true class IS the scorer, one stratum per
+    # partner class; negatives: one stratum {scorer, true class}
+    pos = j.filter(F.col("_t") == F.col("_scorer")).select(
+        "_scorer",
+        "_score",
+        F.explode(
+            F.filter(class_arr, lambda c: c != F.col("_scorer"))
+        ).alias("_other"),
+    ).select(
+        F.least("_scorer", "_other").alias("ca"),
+        F.greatest("_scorer", "_other").alias("cb"),
+        "_scorer",
+        "_score",
+        F.lit(True).alias("_pos"),
+    )
+    neg = j.filter(F.col("_t") != F.col("_scorer")).select(
+        F.least("_scorer", "_t").alias("ca"),
+        F.greatest("_scorer", "_t").alias("cb"),
+        "_scorer",
+        "_score",
+        F.lit(False).alias("_pos"),
+    )
+    strata = pos.unionByName(neg)
+    c = _cum_by_score(
+        strata, "_score", "_pos", strata=("ca", "cb", "_scorer")
+    )
+    per = c.groupBy("ca", "cb", "_scorer").agg(
+        F.sum("n_pos").cast("long").alias("_p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("_nn"),
+        F.sum(
+            F.col("n_pos")
+            * (
+                2
+                * (
+                    (F.col("cum_n") - F.col("n"))
+                    - (F.col("cum_pos") - F.col("n_pos"))
+                )
+                + (F.col("n") - F.col("n_pos"))
+            )
+        )
+        .cast("long")
+        .alias("_u2"),
+    )
+    auc = F.when(
+        (F.col("_p") > 0) & (F.col("_nn") > 0),
+        F.col("_u2").cast("double") / (2.0 * F.col("_p") * F.col("_nn")),
+    )
+    dirs = per.select(
+        "ca", "cb", "_scorer", "_u2", auc.alias("_auc")
+    )
+    pick = lambda side, col: F.max(
+        F.when(F.col("_scorer") == F.col(side), F.col(col))
+    )
+    return dirs.groupBy("ca", "cb").agg(
+        pick("ca", "_u2").alias("u2_ab"),
+        pick("cb", "_u2").alias("u2_ba"),
+        F.round(pick("ca", "_auc"), 9).alias("auc_ab"),
+        F.round(pick("cb", "_auc"), 9).alias("auc_ba"),
+        F.round(
+            (pick("ca", "_auc") + pick("cb", "_auc")) / 2.0, 9
+        ).alias("auc_pair"),
+    ).select(
+        F.col("ca").alias("class_a"),
+        F.col("cb").alias("class_b"),
+        "u2_ab", "u2_ba", "auc_ab", "auc_ba", "auc_pair",
     )

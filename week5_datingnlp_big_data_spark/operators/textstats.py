@@ -1021,3 +1021,87 @@ def readability_scores(
         F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
         .alias("fk_grade"),
     )
+
+
+def zipf_fit(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+    top_k: int = 100,
+    q: int = 1_000_000,
+) -> DataFrame:
+    """Zipf's-law fit over the word-frequency table (Zipf 1949; the
+    log–log rank–frequency regression of Piantadosi 2014's review):
+    OLS of ln(freq) on ln(rank) for the top-``top_k`` terms. The Zipf
+    exponent is a standard corpus-health diagnostic — natural text sits
+    near slope −1; boilerplate-heavy or template-generated corpora
+    drift flat or steep (cf. the corpus-statistics audits in Gopher,
+    Rae et al. 2021 App. A).
+
+    Determinism discipline: both logs quantize to int64
+    (``floor(ln(·)·q)``), so every OLS power sum (Σx Σy Σxy Σx² Σy²) is
+    EXACT integer arithmetic — immune to partial-aggregation order —
+    and the slope/intercept/R² are fixed expression trees over those
+    exact ints (the same quantize-then-divide discipline as the NB/KN
+    scorers). With ``q = 1e6`` and ``top_k = 100`` the largest sum
+    (n·Σy²) stays under 2⁶³ for per-term counts up to ~10¹² — document
+    counts far beyond any corpus here.
+
+    Returns one row: ``(n_terms, sum_xy_q, slope, intercept, r2)`` —
+    slope/intercept in natural-log units (intercept de-quantized),
+    6-dp; ``r2`` NULL when every top-k count is identical (zero y
+    variance). Scale shape: one TakeOrderedAndProject bounds the input
+    to ``top_k`` rows; the rank window and OLS aggregate run on that
+    bounded set, so corpus size only affects the upstream word count.
+    """
+    from pyspark.sql import Window
+
+    top = word_counts.orderBy(
+        F.desc(cnt_col), F.asc(word_col)
+    ).limit(top_k)
+    # rank window over the already-bounded top-k set (single partition
+    # of <= top_k rows by construction)
+    w = Window.orderBy(F.desc(cnt_col), F.asc(word_col))
+    pts = top.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * q)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col(cnt_col).cast("double")) * q)
+        .cast("long")
+        .alias("yq"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den_x
+    fq = float(q)
+    intercept = (
+        F.col("sy").cast("double") / fq
+        - slope * (F.col("sx").cast("double") / fq)
+    ) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.col("sxy").alias("sum_xy_q"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.when(
+            den_y != 0.0,
+            # num*num, not pow(num, 2): IEEE multiply is correctly
+            # rounded on every engine; libm pow is only ~1 ulp
+            F.round((num * num) / (den_x * den_y), 6),
+        ).alias("r2"),
+    )

@@ -1099,7 +1099,10 @@ def recrawl_change_rates(
     aggregated row, never per-visit.
     """
     n = F.count(F.lit(1))
-    x = F.sum(F.col(changed_col).cast("long"))
+    # NULL verdict = visit happened, change unknown -> count as
+    # unchanged (a bare sum would go NULL and silently poison lambda;
+    # the streaming twin's pandas sum would skip NaN and DIVERGE)
+    x = F.sum(F.coalesce(F.col(changed_col), F.lit(False)).cast("long"))
     return visits.groupBy(F.col(url_col).alias("url")).agg(
         n.alias("n_visits"),
         x.alias("n_changes"),

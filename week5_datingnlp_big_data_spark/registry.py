@@ -146,6 +146,64 @@ def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wordcount_zipf_fit",
+    f"""
+    WITH wc AS (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM (SELECT * FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY 1
+    ), top AS (
+      SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM wc
+    ), pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+      FROM top WHERE rnk <= 100
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(sum(yq * yq) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms, sxy AS sum_xy_q,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) / 1000000.0
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / 1000000.0)) / n, 6)
+             AS intercept,
+           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) <> 0
+                THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def wordcount_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus (Zipf 1949 / Piantadosi 2014;
+    the corpus-health diagnostic Gopher App. A audits): OLS of ln(freq)
+    on ln(rank) over the top-100 de-stopworded terms. Both logs
+    quantize to int64 so every OLS power sum is exact integer
+    arithmetic and slope/intercept/R² are fixed expression trees over
+    exact ints — the integer Σxy rides the hash. See
+    operators/textstats.py:zipf_fit."""
+    toks = _docs_tokenized(spark, sf_dir, stop=True)
+    wc = (
+        corpus.explode_tokens(toks, "tokens", "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return textstats.zipf_fit(wc, top_k=100)
+
+
+@query(
     "wordcount_salted_top100",
     f"""
     SELECT word, cnt FROM (
@@ -10229,6 +10287,71 @@ def nb_chi2_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/evalx.py:chi2_term_class."""
     train, _ = _nb_split(_t(spark, sf_dir, "documents"))
     return evalx.chi2_term_class(train, label_col="lang", top_k=25)
+
+
+@query(
+    "nb_hand_till_auc",
+    _SQL_NB_COMMON
+    + """
+    , sdocs AS (
+      SELECT s.doc_id, s.label AS scorer, s.score, d.lang AS t
+      FROM scored s JOIN testdocs d USING (doc_id)
+    ), cls AS (SELECT DISTINCT label FROM priors),
+    strata AS (
+      SELECT least(scorer, c.label) AS ca, greatest(scorer, c.label) AS cb,
+             scorer, score, TRUE AS is_pos
+      FROM sdocs JOIN cls c ON c.label <> sdocs.scorer
+      WHERE sdocs.t = sdocs.scorer
+      UNION ALL
+      SELECT least(scorer, t), greatest(scorer, t), scorer, score, FALSE
+      FROM sdocs WHERE t <> scorer
+    ), sg AS (
+      SELECT ca, cb, scorer, score, count(*) AS n,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM strata GROUP BY 1, 2, 3, 4
+    ), sc2 AS (
+      SELECT *, sum(n) OVER w - n AS below_n, sum(np) OVER w - np AS below_p
+      FROM sg
+      WINDOW w AS (PARTITION BY ca, cb, scorer ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), u AS (
+      SELECT ca, cb, scorer,
+             CAST(sum(np) AS BIGINT) AS p,
+             CAST(sum(n - np) AS BIGINT) AS nn,
+             CAST(sum(np * (2 * (below_n - below_p) + (n - np)))
+               AS BIGINT) AS u2
+      FROM sc2 GROUP BY 1, 2, 3
+    ), d AS (
+      SELECT ca, cb, scorer, u2,
+             CASE WHEN p > 0 AND nn > 0
+                  THEN CAST(u2 AS DOUBLE) / (2.0 * p * nn)
+             END AS auc
+      FROM u
+    )
+    SELECT ca AS class_a, cb AS class_b,
+           max(CASE WHEN scorer = ca THEN u2 END) AS u2_ab,
+           max(CASE WHEN scorer = cb THEN u2 END) AS u2_ba,
+           round(max(CASE WHEN scorer = ca THEN auc END), 9) AS auc_ab,
+           round(max(CASE WHEN scorer = cb THEN auc END), 9) AS auc_ba,
+           round((max(CASE WHEN scorer = ca THEN auc END)
+                  + max(CASE WHEN scorer = cb THEN auc END)) / 2.0, 9)
+             AS auc_pair
+    FROM d GROUP BY 1, 2
+    """,
+)
+def nb_hand_till_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class AUC by Hand & Till 2001 class-pair decomposition:
+    per unordered language pair, both direction AUCs (rank by each
+    class's own NB score) and their mean — the per-pair separability
+    diagnostic behind the scalar M statistic. Integer 2U per direction
+    rides the hash; every window partitions by (pair, scorer). See
+    operators/evalx.py:hand_till_auc."""
+    docs = _t(spark, sf_dir, "documents")
+    train, test = _nb_split(docs)
+    model, priors = ml.naive_bayes_model(train, label_col="lang")
+    scored = ml.naive_bayes_score(test, model, priors)
+    truth = test.select("doc_id", "lang")
+    return evalx.hand_till_auc(scored, truth)
 
 
 @query(

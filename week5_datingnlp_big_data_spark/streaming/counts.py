@@ -1142,7 +1142,11 @@ def streaming_recrawl_counts(
 
     rows = visits_stream.select(
         F.col(url_col).alias("url"),
-        F.col(changed_col).cast("long").alias("_chg"),
+        # NULL verdict counts as unchanged — same coalesce as the batch
+        # aggregate (a NaN would silently vanish from the pandas sum)
+        F.coalesce(F.col(changed_col), F.lit(False))
+        .cast("long")
+        .alias("_chg"),
     ).filter(F.col("url").isNotNull())
 
     out_schema = T.StructType([
