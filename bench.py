@@ -196,6 +196,8 @@ HEADLINE = [
     "recrawl_lambda_estimates",
     "wordcount_zipf_fit",
     "nb_hand_till_auc",
+    "embedding_label_divergence",
+    "source_diversity_stats",
 ]
 
 

@@ -218,6 +218,11 @@ QUERIES = [
     # word-count aggregate — tracks wordcount_top100's growth)
     "nb_hand_till_auc",
     "wordcount_zipf_fit",
+    # late round-8: LSH-cell histogram divergence (cell-dim aggregate
+    # after one scan — near-flat expected) and per-source diversity
+    # (distinct-count aggregates — tracks token volume)
+    "embedding_label_divergence",
+    "source_diversity_stats",
 ]
 
 

@@ -269,3 +269,69 @@ def test_hand_till_empty_class_direction_is_null(spark):
     assert out[("x", "z")]["auc_ba"] is None
     assert out[("x", "z")]["auc_pair"] is None
     assert out[("x", "y")]["auc_pair"] is not None
+
+
+def test_group_divergence_identical_and_disjoint(spark):
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    dim = 8
+
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 11 - 5) for i in range(dim)]
+
+    # identical populations -> TV = 0
+    rows = [(i, g, vec(i)) for i in range(20) for g in (0, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    out = similarity.group_divergence(df, num_planes=4, dim=dim).collect()[0]
+    assert out["tv_num"] == 0 and out["tv_distance"] == 0.0
+    assert out["n_a"] == 20 and out["n_b"] == 20
+
+    # disjoint cell support -> TV = 1 (group 1 vectors are negated, and
+    # sign cells of v and -v never collide unless some dot product is 0;
+    # the vec() values make all plane sums nonzero for these seeds)
+    rows2 = [(i, 0, vec(i)) for i in range(10)] + [
+        (100 + i, 1, [-x for x in vec(i)]) for i in range(10)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, label long, embedding array<float>"
+    )
+    out2 = similarity.group_divergence(df2, num_planes=4, dim=dim).collect()[0]
+    if out2["cells_a_only"] + out2["cells_b_only"] == out2["n_cells"]:
+        assert out2["tv_distance"] == 1.0
+
+
+def test_group_divergence_single_group_null(spark):
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    rows = [(i, 0, [1.0] * 8) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    out = similarity.group_divergence(df, num_planes=4, dim=8).collect()[0]
+    assert out["n_b"] == 0 and out["tv_distance"] is None
+
+
+def test_lexical_diversity_hand_counts(spark):
+    from week5_datingnlp_big_data_spark.operators import textstats
+
+    rows = [
+        ("a", "the cat the cat"),     # toks 4, types 2; bigrams 3, types 3
+        ("a", "the cat"),             # toks 2, types 2; bigrams 1 (dup of 'the cat')
+        ("b", "x"),                   # 1 token, no bigrams
+        ("c", "   "),                 # empty after trim
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in textstats.lexical_diversity(df).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_tokens"], a["n_types"]) == (2, 6, 2)
+    # bigrams: doc1 = [the cat, cat the, the cat], doc2 = [the cat]
+    assert (a["n_bigrams"], a["n_bigram_types"]) == (4, 2)
+    assert a["ttr"] == round(2 / 6, 6) and a["distinct2"] == 0.5
+    b = out["b"]
+    assert (b["n_tokens"], b["n_bigrams"]) == (1, 0)
+    assert b["ttr"] == 1.0 and b["distinct2"] is None
+    c = out["c"]
+    assert (c["n_docs"], c["n_tokens"]) == (1, 0)
+    assert c["ttr"] is None

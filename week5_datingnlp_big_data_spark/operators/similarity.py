@@ -1258,3 +1258,83 @@ def sign_hamming_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
+
+
+def group_divergence(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    group_a: int = 0,
+    group_b: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Distribution shift between two embedding populations via total
+    variation distance over hyperplane-LSH cells — the cheap
+    monitoring statistic behind "did this source / this crawl snapshot
+    drift?" (the discretized, deterministic cousin of MAUVE's
+    cluster-histogram divergence, Pillutla et al. 2021 §2: quantize the
+    embedding space, compare the two cell histograms). TV = ½ Σ_cells
+    |p_A(c) − p_B(c)| ∈ [0, 1]; 0 = identical occupancy, 1 = disjoint
+    support.
+
+    Determinism: the per-cell deviation cross-multiplies to integers —
+    ``|n_A·N_B − n_B·N_A|`` — so the summed numerator is EXACT int64
+    (immune to partial-agg order) and TV is one final division:
+    ``tv = tv_num / (2·N_A·N_B)``. Overflow bound: n·N ≤ 2⁶³ needs
+    N_A·N_B ≤ 9·10¹⁸ — populations up to ~3·10⁹ vectors each.
+
+    Returns one row: ``(n_cells, cells_a_only, cells_b_only, n_a, n_b,
+    tv_num, tv_distance)``. Scale shape: one scan computes the
+    signature (codegen dot products), one groupBy on (cell) with
+    conditional counts — the cell axis is 2^num_planes, so everything
+    after the first aggregate is dimension-sized.
+    """
+    vecs = embeddings.select(
+        F.col(group_col).alias("_g"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("_g").isin(group_a, group_b))
+    cells = vecs.withColumn(
+        "cell", hyperplane_signature(F.col("v"), num_planes, dim)
+    ).groupBy("cell").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    totals = cells.agg(
+        F.sum("n_a").cast("long").alias("_na"),
+        F.sum("n_b").cast("long").alias("_nb"),
+    )
+    dev = F.abs(F.col("n_a") * F.col("_nb") - F.col("n_b") * F.col("_na"))
+    per = cells.crossJoin(F.broadcast(totals))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(((F.col("n_a") > 0) & (F.col("n_b") == 0)).cast("long"))
+        .cast("long")
+        .alias("cells_a_only"),
+        F.sum(((F.col("n_b") > 0) & (F.col("n_a") == 0)).cast("long"))
+        .cast("long")
+        .alias("cells_b_only"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(dev).cast("long").alias("tv_num"),
+    ).select(
+        "n_cells",
+        "cells_a_only",
+        "cells_b_only",
+        "n_a",
+        "n_b",
+        "tv_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("tv_num").cast("double")
+                / (2.0 * F.col("n_a") * F.col("n_b")),
+                9,
+            ),
+        ).alias("tv_distance"),
+    )

@@ -1105,3 +1105,84 @@ def zipf_fit(
             F.round((num * num) / (den_x * den_y), 6),
         ).alias("r2"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical diversity: type–token ratio and distinct-2
+    (distinct bigram share) — the repetitiveness/diversity audit of
+    generated or scraped text (distinct-n from Li et al. 2016 §4.1,
+    applied corpus-side; a template farm shows high volume with
+    collapsed TTR and distinct-2). Whitespace-lower tokens (the NB
+    tokenization), bigrams joined with a space.
+
+    Returns per group: ``(group, n_docs, n_tokens, n_types, ttr,
+    n_bigrams, n_bigram_types, distinct2)`` — ratios are 6-dp
+    divisions of exact counts; groups whose docs have <2 tokens have 0
+    bigrams and a NULL distinct2.
+
+    Scale shape: one explode per n-gram order feeding
+    count(DISTINCT ...) aggregates — Spark plans these as expand +
+    partial aggregation; the group axis is the source dimension.
+    """
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+            "\\s+",
+        ).alias("toks"),
+    ).withColumn(
+        "toks", F.filter(F.col("toks"), lambda t: F.length(t) > 0)
+    )
+    docs_per = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_docs"))
+    uni = base.select("grp", F.explode("toks").alias("t")).groupBy(
+        "grp"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    bi = base.filter(F.size("toks") >= 2).select(
+        "grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_bigram_types"),
+    )
+    return (
+        docs_per.join(uni, "grp", "left")
+        .join(bi, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_types").cast("double") / F.col("n_tokens"), 6
+                ),
+            ).alias("ttr"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_bigram_types", F.lit(0)).alias("n_bigram_types"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_bigram_types").cast("double")
+                    / F.col("n_bigrams"),
+                    6,
+                ),
+            ).alias("distinct2"),
+        )
+    )

@@ -10398,6 +10398,102 @@ def nb_gold_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalx.cohens_kappa(pairs)
 
 
+@query(
+    "embedding_label_divergence",
+    f"""
+    WITH vecs AS (
+      SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE label IN (0, 1)
+    ), cells AS (
+      SELECT label, {_sql_sig_bits(6, 64)} AS cell FROM vecs
+    ), cc AS (
+      SELECT cell,
+             CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM cells GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS na,
+             CAST(sum(n_b) AS BIGINT) AS nb
+      FROM cc
+    )
+    SELECT count(*) AS n_cells,
+           CAST(sum(CASE WHEN n_a > 0 AND n_b = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS cells_a_only,
+           CAST(sum(CASE WHEN n_b > 0 AND n_a = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS cells_b_only,
+           max(na) AS n_a, max(nb) AS n_b,
+           CAST(sum(abs(n_a * nb - n_b * na)) AS BIGINT) AS tv_num,
+           CASE WHEN max(na) > 0 AND max(nb) > 0
+                THEN round(CAST(sum(abs(n_a * nb - n_b * na)) AS DOUBLE)
+                           / (2.0 * max(na) * max(nb)), 9)
+           END AS tv_distance
+    FROM cc CROSS JOIN t
+    """,
+)
+def embedding_label_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between the two embedding populations via
+    total variation distance over hyperplane-LSH cells (the discretized
+    deterministic cousin of MAUVE's cluster-histogram divergence,
+    Pillutla et al. 2021 §2) — the drift monitor a pipeline runs
+    between crawl snapshots or sources before mixing them. The per-cell
+    deviation cross-multiplies to integers, so tv_num is EXACT int64
+    and TV is one division. See operators/similarity.py:group_divergence."""
+    return similarity.group_divergence(
+        _t(spark, sf_dir, "embeddings"), group_col="label"
+    )
+
+
+@query(
+    "source_diversity_stats",
+    """
+    WITH base AS (
+      SELECT source,
+             list_filter(
+               regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                     '\\s+'),
+               t -> len(t) > 0) AS toks
+      FROM documents
+    ), d AS (SELECT source, count(*) AS n_docs FROM base GROUP BY 1),
+    u AS (
+      SELECT source, count(*) AS n_tokens,
+             CAST(count(DISTINCT t) AS BIGINT) AS n_types
+      FROM base, unnest(toks) AS un(t) GROUP BY 1
+    ), b AS (
+      SELECT source, count(*) AS n_bigrams,
+             CAST(count(DISTINCT bg) AS BIGINT) AS n_bigram_types
+      FROM (SELECT source,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+            FROM base WHERE len(toks) >= 2) x,
+           unnest(bgs) AS un(bg)
+      GROUP BY 1
+    )
+    SELECT d.source, d.n_docs,
+           coalesce(u.n_tokens, 0) AS n_tokens,
+           coalesce(u.n_types, 0) AS n_types,
+           CASE WHEN coalesce(u.n_tokens, 0) > 0
+                THEN round(CAST(u.n_types AS DOUBLE) / u.n_tokens, 6)
+           END AS ttr,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.n_bigram_types, 0) AS n_bigram_types,
+           CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                THEN round(CAST(b.n_bigram_types AS DOUBLE) / b.n_bigrams, 6)
+           END AS distinct2
+    FROM d LEFT JOIN u USING (source) LEFT JOIN b USING (source)
+    """,
+)
+def source_diversity_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (type–token ratio + distinct-2, Li
+    et al. 2016 §4.1 applied corpus-side): the repetitiveness audit
+    that exposes template farms — high volume, collapsed TTR/distinct-2.
+    Exact count arithmetic; ratios are single divisions. See
+    operators/textstats.py:lexical_diversity."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return textstats.lexical_diversity(docs, group_col="source")
+
+
 # ---------------------------------------------------------------------------
 # Crawler-trap detection (operators/web.py:url_trap_flags). Each doc's
 # URL plants an independent md5 bit per trap heuristic — deep path,
