@@ -112,7 +112,12 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  "nb_margin_auc", "nb_pr_sweep", "nb_calibration_bins",
                  "nb_chi2_terms", "nb_gold_kappa", "url_trap_flags",
                  "host_trap_stats", "dust_param_rules",
-                 "recrawl_lambda_estimates"):
+                 "recrawl_lambda_estimates",
+                 # late round-8: stratified pair-AUC windows, bounded
+                 # top-k OLS, LSH-cell histogram compare, distinct-n
+                 # aggregates — all cartesian-free
+                 "nb_hand_till_auc", "wordcount_zipf_fit",
+                 "embedding_label_divergence", "source_diversity_stats"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

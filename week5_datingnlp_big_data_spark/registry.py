@@ -146,64 +146,6 @@ def wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wordcount_zipf_fit",
-    f"""
-    WITH wc AS (
-      SELECT t.word AS word, count(*) AS cnt
-      FROM (SELECT * FROM documents
-            WHERE length(trim(coalesce(text, ''))) > 0) documents,
-           unnest({_sql_tokens('text', stop=True)}) AS t(word)
-      GROUP BY 1
-    ), top AS (
-      SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
-      FROM wc
-    ), pts AS (
-      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
-             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS yq
-      FROM top WHERE rnk <= 100
-    ), s AS (
-      SELECT count(*) AS n,
-             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
-             CAST(sum(xq * yq) AS BIGINT) AS sxy,
-             CAST(sum(xq * xq) AS BIGINT) AS sxx,
-             CAST(sum(yq * yq) AS BIGINT) AS syy
-      FROM pts
-    )
-    SELECT n AS n_terms, sxy AS sum_xy_q,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-           round((CAST(sy AS DOUBLE) / 1000000.0
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE))
-                    * (CAST(sx AS DOUBLE) / 1000000.0)) / n, 6)
-             AS intercept,
-           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) <> 0
-                THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
-                            * CAST(n * sxy - sx * sy AS DOUBLE))
-                           / (CAST(n * sxx - sx * sx AS DOUBLE)
-                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-           END AS r2
-    FROM s
-    """,
-)
-def wordcount_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf's-law exponent of the corpus (Zipf 1949 / Piantadosi 2014;
-    the corpus-health diagnostic Gopher App. A audits): OLS of ln(freq)
-    on ln(rank) over the top-100 de-stopworded terms. Both logs
-    quantize to int64 so every OLS power sum is exact integer
-    arithmetic and slope/intercept/R² are fixed expression trees over
-    exact ints — the integer Σxy rides the hash. See
-    operators/textstats.py:zipf_fit."""
-    toks = _docs_tokenized(spark, sf_dir, stop=True)
-    wc = (
-        corpus.explode_tokens(toks, "tokens", "word")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return textstats.zipf_fit(wc, top_k=100)
-
-
-@query(
     "wordcount_salted_top100",
     f"""
     SELECT word, cnt FROM (
@@ -10492,6 +10434,64 @@ def source_diversity_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/textstats.py:lexical_diversity."""
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     return textstats.lexical_diversity(docs, group_col="source")
+
+
+@query(
+    "wordcount_zipf_fit",
+    f"""
+    WITH wc AS (
+      SELECT t.word AS word, count(*) AS cnt
+      FROM (SELECT * FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(word)
+      GROUP BY 1
+    ), top AS (
+      SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM wc
+    ), pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+      FROM top WHERE rnk <= 100
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(sum(yq * yq) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms, sxy AS sum_xy_q,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) / 1000000.0
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / 1000000.0)) / n, 6)
+             AS intercept,
+           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) <> 0
+                THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def wordcount_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus (Zipf 1949 / Piantadosi 2014;
+    the corpus-health diagnostic Gopher App. A audits): OLS of ln(freq)
+    on ln(rank) over the top-100 de-stopworded terms. Both logs
+    quantize to int64 so every OLS power sum is exact integer
+    arithmetic and slope/intercept/R² are fixed expression trees over
+    exact ints — the integer Σxy rides the hash. See
+    operators/textstats.py:zipf_fit."""
+    toks = _docs_tokenized(spark, sf_dir, stop=True)
+    wc = (
+        corpus.explode_tokens(toks, "tokens", "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return textstats.zipf_fit(wc, top_k=100)
 
 
 # ---------------------------------------------------------------------------
