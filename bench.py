@@ -198,6 +198,7 @@ HEADLINE = [
     "nb_hand_till_auc",
     "embedding_label_divergence",
     "source_diversity_stats",
+    "bm25_retrieval_metrics",
 ]
 
 

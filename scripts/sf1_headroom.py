@@ -223,6 +223,9 @@ QUERIES = [
     # (distinct-count aggregates — tracks token volume)
     "embedding_label_divergence",
     "source_diversity_stats",
+    # late round-8: retrieval-quality metrics (rank-filtered equi-join +
+    # per-query aggregates over the eval axis — near-flat expected)
+    "bm25_retrieval_metrics",
 ]
 
 

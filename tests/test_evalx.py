@@ -335,3 +335,48 @@ def test_lexical_diversity_hand_counts(spark):
     c = out["c"]
     assert (c["n_docs"], c["n_tokens"]) == (1, 0)
     assert c["ttr"] is None
+
+
+def test_retrieval_metrics_hand_case(spark):
+    # query q1: ranked docs 1..4, relevant {2, 3, 99}: hits at ranks 2,3
+    ranked = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate([1, 2, 3, 4], 1)]
+        + [("q2", 7, 1), ("q2", 8, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    relevant = spark.createDataFrame(
+        [("q1", 2), ("q1", 3), ("q1", 99), ("q2", 9)],
+        "query_id string, doc_id long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in evalx.ranked_retrieval_metrics(
+            ranked, relevant, k=4
+        ).collect()
+    }
+    g = evalx._dcg_gain_table(4)
+    q1 = out["q1"]
+    assert q1["n_relevant"] == 3 and q1["hits_at_k"] == 2
+    assert q1["rr"] == 0.5
+    assert q1["precision_at_k"] == 0.5
+    assert q1["recall_at_k"] == round(2 / 3, 6)
+    assert q1["dcg_q"] == g[1] + g[2]          # hits at ranks 2 and 3
+    assert q1["idcg_q"] == g[0] + g[1] + g[2]  # min(3, 4) ideal hits
+    assert q1["ndcg"] == round((g[1] + g[2]) / (g[0] + g[1] + g[2]), 9)
+    # q2: relevant doc never retrieved -> zero hits, NULL rr, dcg 0
+    q2 = out["q2"]
+    assert q2["hits_at_k"] == 0 and q2["rr"] is None
+    assert q2["dcg_q"] == 0 and q2["ndcg"] == 0.0
+
+
+def test_retrieval_metrics_perfect_ranking_ndcg_one(spark):
+    ranked = spark.createDataFrame(
+        [("q", d, d) for d in range(1, 6)],
+        "query_id string, doc_id long, rank long",
+    )
+    relevant = spark.createDataFrame(
+        [("q", 1), ("q", 2)], "query_id string, doc_id long"
+    )
+    out = evalx.ranked_retrieval_metrics(ranked, relevant, k=5).collect()[0]
+    assert out["rr"] == 1.0 and out["ndcg"] == 1.0
+    assert out["recall_at_k"] == 1.0

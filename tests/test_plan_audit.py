@@ -117,7 +117,8 @@ def test_audit_registered_flagships_are_clean(spark, sf_dir):
                  # top-k OLS, LSH-cell histogram compare, distinct-n
                  # aggregates — all cartesian-free
                  "nb_hand_till_auc", "wordcount_zipf_fit",
-                 "embedding_label_divergence", "source_diversity_stats"):
+                 "embedding_label_divergence", "source_diversity_stats",
+                 "bm25_retrieval_metrics"):
         out = audit_plan(QUERIES[name](spark, sf_dir))
         assert not out["cartesian"], name
         hard = [w for w in out["warnings"] if "Cartesian" in w]

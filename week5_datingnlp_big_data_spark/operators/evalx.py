@@ -483,3 +483,110 @@ def hand_till_auc(
         F.col("cb").alias("class_b"),
         "u2_ab", "u2_ba", "auc_ab", "auc_ba", "auc_pair",
     )
+
+
+def _dcg_gain_table(k: int, q: int = 1_000_000_000) -> list[int]:
+    """``floor(q / log2(rank+1))`` for ranks 1..k, computed ONCE in
+    Python and inlined as literals into both the Spark plan and the
+    oracle SQL (the hyperplane-weight discipline): per-hit DCG gains
+    become integer TABLE LOOKUPS at query time, so no engine ever runs
+    libm log2 on the hot path and the summed DCG is exact int64 on any
+    engine/run/partitioning."""
+    import math
+
+    return [math.floor(q / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranked_retrieval_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 20,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranked-retrieval quality per query — the IR-evaluation trinity
+    (Manning, Raghavan & Schütze, IIR §8.4): reciprocal rank,
+    precision/recall at k, and nDCG@k with binary relevance
+    (Järvelin & Kekäläinen 2002). Evaluates the engine's OWN retrieval
+    arms (BM25 / RRF / ANN) against a relevance table.
+
+    Inputs: ``ranked`` — ``(query_id, doc_id, rank)`` with rank 1-based
+    per query; ``relevant`` — ``(query_id, doc_id)`` binary ground
+    truth. Returns per query: ``(query_id, n_relevant, hits_at_k, rr,
+    precision_at_k, recall_at_k, dcg_q, idcg_q, ndcg)``.
+
+    Determinism: DCG per-hit gains and the IDCG prefix sums are
+    INTEGER literals from :func:`_dcg_gain_table` (no runtime libm), so
+    ``dcg_q``/``idcg_q`` ride a value hash exactly; rr/precision/
+    recall/ndcg are single divisions of exact ints. A query with no
+    relevant docs yields NULL recall/ndcg; no relevant doc in the top-k
+    yields NULL rr and dcg 0. Scale shape: one rank-filtered equi-join
+    plus two per-query aggregates — the query axis is the evaluation
+    set, never the corpus; the join's build side (relevance table) is
+    AQE-broadcastable.
+    """
+    gains = _dcg_gain_table(k)
+    idcg_cum = []
+    run = 0
+    for g in gains:
+        run += g
+        idcg_cum.append(run)
+    gain_arr = F.array(*[F.lit(g) for g in gains])
+    idcg_arr = F.array(*[F.lit(c) for c in idcg_cum])
+
+    topk = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+    rel = relevant.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    hits = topk.join(rel, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rank").alias("_first"),
+        F.sum(F.element_at(gain_arr, F.col("rank").cast("int")))
+        .cast("long")
+        .alias("dcg_q"),
+    )
+    out = n_rel.join(hits, "query_id", "left")
+    idcg = F.element_at(
+        idcg_arr, F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    )
+    return out.select(
+        "query_id",
+        "n_relevant",
+        F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+        F.when(
+            F.col("_first").isNotNull(),
+            F.round(F.lit(1.0) / F.col("_first"), 9),
+        ).alias("rr"),
+        F.round(
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double") / k, 6
+        ).alias("precision_at_k"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(
+                F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+                / F.col("n_relevant"),
+                6,
+            ),
+        ).alias("recall_at_k"),
+        F.coalesce("dcg_q", F.lit(0)).cast("long").alias("dcg_q"),
+        F.when(F.col("n_relevant") > 0, idcg)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("idcg_q"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(
+                F.coalesce(F.col("dcg_q"), F.lit(0)).cast("double") / idcg,
+                9,
+            ),
+        ).alias("ndcg"),
+    )

@@ -10494,6 +10494,134 @@ def wordcount_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zipf_fit(wc, top_k=100)
 
 
+def _sql_dcg_list(k: int = 20) -> str:
+    return "[" + ", ".join(str(g) for g in evalx._dcg_gain_table(k)) + "]"
+
+
+def _sql_idcg_list(k: int = 20) -> str:
+    run, out = 0, []
+    for g in evalx._dcg_gain_table(k):
+        run += g
+        out.append(run)
+    return "[" + ", ".join(str(c) for c in out) + "]"
+
+
+@query(
+    "bm25_retrieval_metrics",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, t.term AS term, count(*) AS "count"
+      FROM (SELECT * FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0) documents,
+           unnest({_sql_tokens('text', stop=True)}) AS t(term)
+      GROUP BY doc_id, t.term
+    ), stats AS (
+      SELECT count(DISTINCT doc_id) AS n_docs,
+             sum("count") * 1.0 / count(DISTINCT doc_id) AS avgdl
+      FROM counts
+    ), dl AS (
+      SELECT doc_id, sum("count") AS dl FROM counts GROUP BY doc_id
+    ), matched AS (
+      SELECT * FROM counts
+      WHERE term IN ({", ".join(f"'{t}'" for t in sorted(_BM25_QUERY_TERMS))})
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM matched GROUP BY term
+    ), scored AS (
+      SELECT m.term AS query_id, m.doc_id,
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (m."count" * (1.2 + 1.0))
+               / (m."count" + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl))
+               AS score
+      FROM matched m
+      JOIN dl d USING (doc_id)
+      JOIN dfq f USING (term)
+      CROSS JOIN stats s
+    ), ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ), topk AS (SELECT * FROM ranked WHERE rnk <= 20),
+    rel AS (
+      SELECT term AS query_id, doc_id FROM matched WHERE "count" >= 2
+    ), nr AS (
+      SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1
+    ), h AS (
+      SELECT t.query_id, count(*) AS hits_at_k, min(t.rnk) AS first_rnk,
+             CAST(sum(({_sql_dcg_list(20)})[t.rnk]) AS BIGINT) AS dcg_q
+      FROM topk t
+      JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+      GROUP BY 1
+    )
+    SELECT nr.query_id, nr.n_relevant,
+           coalesce(h.hits_at_k, 0) AS hits_at_k,
+           CASE WHEN h.first_rnk IS NOT NULL
+                THEN round(1.0 / h.first_rnk, 9) END AS rr,
+           round(CAST(coalesce(h.hits_at_k, 0) AS DOUBLE) / 20, 6)
+             AS precision_at_k,
+           CASE WHEN nr.n_relevant > 0
+                THEN round(CAST(coalesce(h.hits_at_k, 0) AS DOUBLE)
+                           / nr.n_relevant, 6) END AS recall_at_k,
+           CAST(coalesce(h.dcg_q, 0) AS BIGINT) AS dcg_q,
+           CAST(({_sql_idcg_list(20)})[least(nr.n_relevant, 20)]
+             AS BIGINT) AS idcg_q,
+           round(CAST(coalesce(h.dcg_q, 0) AS DOUBLE)
+                 / ({_sql_idcg_list(20)})[least(nr.n_relevant, 20)], 9)
+             AS ndcg
+    FROM nr LEFT JOIN h USING (query_id)
+    """,
+)
+def bm25_retrieval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the engine's own BM25 arm (IIR
+    §8.4 / Järvelin & Kekäläinen 2002): each query term is a
+    single-term query ranked by the BM25 scorer; binary relevance =
+    docs containing the term at least twice. MRR / P@20 / R@20 /
+    nDCG@20 per query, with DCG gains and IDCG prefix sums inlined as
+    INTEGER literals (no runtime libm) so dcg_q/idcg_q ride the hash
+    exactly. See operators/evalx.py:ranked_retrieval_metrics."""
+    counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir))
+    terms = sorted(_BM25_QUERY_TERMS)
+    matched = counts.filter(F.col("term").isin(terms))
+    stats = counts.agg(
+        F.countDistinct("doc_id").alias("_n_docs"),
+        (F.sum("count") * 1.0 / F.countDistinct("doc_id")).alias("_avgdl"),
+    )
+    dlt = counts.groupBy("doc_id").agg(F.sum("count").alias("_dl"))
+    dfq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    score = (
+        F.log(
+            (F.col("_n_docs") - F.col("_df") + 0.5)
+            / (F.col("_df") + 0.5)
+            + 1.0
+        )
+        * (F.col("count") * (1.2 + 1.0))
+        / (
+            F.col("count")
+            + 1.2 * ((1.0 - 0.75) + 0.75 * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        matched.join(dlt, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("term").alias("query_id"),
+            "doc_id",
+            score.alias("_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("rank")
+    )
+    relevant = matched.filter(F.col("count") >= 2).select(
+        F.col("term").alias("query_id"), "doc_id"
+    )
+    return evalx.ranked_retrieval_metrics(ranked, relevant, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Crawler-trap detection (operators/web.py:url_trap_flags). Each doc's
 # URL plants an independent md5 bit per trap heuristic — deep path,
