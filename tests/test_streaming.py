@@ -1161,3 +1161,77 @@ def test_streaming_recrawl_counts_parity(spark, sf_dir, tmp_path):
     # witness: at least one URL merged counts across both batches (its
     # docs straddle the parity split), so upd >= 2 in the latest state
     assert latest.filter(F.col("upd") >= 2).count() > 0
+
+
+def test_streaming_cell_histogram_divergence_parity(spark, sf_dir, tmp_path):
+    """13th stream-batch parity gate: hyperplane-LSH cell histograms for
+    the population-divergence monitor. Embedding rows split into two
+    batches by md5 parity of vec_id, so most cells accumulate counts
+    across BOTH micro-batches; the drained latest histogram must equal
+    the batch per-cell counts row-for-row, and the exact-integer TV
+    projection over the drained rows must equal the batch scalar."""
+    from week5_datingnlp_big_data_spark.operators import similarity
+    from week5_datingnlp_big_data_spark.sources.schemas import SCHEMAS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parity = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 3, 8),
+               16, 10).cast("long") % 2
+    )
+    _drop_file(emb.filter(parity == 0), tmp_path, "emb", "b1.parquet")
+    _drop_file(emb.filter(parity == 1), tmp_path, "emb", "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "emb"))
+    )
+    q = sc.run_stream_to_memory(
+        sc.streaming_cell_counts(stream), "cell_state", output_mode="update"
+    )
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    latest = (
+        spark.table("cell_state")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(F.desc("upd"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["cell"], r["n_a"], r["n_b"]) for r in latest.collect()
+    }
+    # batch per-cell histogram through the same signature expression
+    batch_cells = {
+        (r["cell"], r["n_a"], r["n_b"])
+        for r in emb.filter(F.col("label").isin(0, 1))
+        .select(
+            similarity.hyperplane_signature(
+                F.col("embedding").cast("array<double>"), 6, 64
+            ).alias("cell"),
+            F.col("label"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum((F.col("label") == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("label") == 1).cast("long")).alias("n_b"),
+        )
+        .collect()
+    }
+    assert streamed == batch_cells and len(batch_cells) > 0
+    # scalar parity: exact-integer TV over drained counts == batch row
+    rows = sorted(streamed)
+    na = sum(a for _, a, _ in rows)
+    nb = sum(b for _, _, b in rows)
+    tv_num = sum(abs(a * nb - b * na) for _, a, b in rows)
+    batch = similarity.group_divergence(emb).collect()[0]
+    assert (batch["n_a"], batch["n_b"], batch["tv_num"]) == (na, nb, tv_num)
+    # witness: cells really merged counts across both micro-batches
+    assert latest.filter(F.col("upd") >= 2).count() > 0

@@ -1179,3 +1179,70 @@ def streaming_recrawl_counts(
     return rows.groupBy("url").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cell_counts(
+    vec_stream: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    group_a: int = 0,
+    group_b: int = 1,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Streaming hyperplane-LSH cell histograms — the stream half of
+    operators/similarity.py:group_divergence. The signature is pure
+    Catalyst HOF algebra (inlined ±1 weight literals), so it runs
+    IN-STREAM; per cell, arbitrary state holds the two MERGEABLE
+    population counts. Each micro-batch emits ``(cell, n_a, n_b,
+    upd)``; an update-mode sink's latest row per cell is the running
+    histogram, and the TV-distance scalar is a STATELESS exact-integer
+    projection over the drained rows (|n_a·N_b − n_b·N_a| summed, one
+    division) — identical arithmetic to the batch operator, so the 13th
+    stream-batch parity gate pins histogram AND scalar. State is O(1)
+    per cell (two int64s over a 2^num_planes axis)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from week5_datingnlp_big_data_spark.operators import similarity
+
+    rows = vec_stream.select(
+        F.col(group_col).alias("_g"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).filter(F.col("_g").isin(group_a, group_b)).select(
+        similarity.hyperplane_signature(
+            F.col("_v"), num_planes, dim
+        ).alias("cell"),
+        (F.col("_g") == group_a).cast("long").alias("_is_a"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("cell", T.StringType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            na, nb, upd = state.get
+        else:
+            na, nb, upd = 0, 0, 0
+        for pdf in pdfs:
+            a = int(pdf["_is_a"].sum())
+            na += a
+            nb += len(pdf) - a
+        upd += 1
+        state.update((na, nb, upd))
+        yield pd.DataFrame(
+            {"cell": [key[0]], "n_a": [na], "n_b": [nb], "upd": [upd]}
+        )
+
+    return rows.groupBy("cell").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
