@@ -334,11 +334,23 @@ def main() -> None:
     # runs, load < 2 on 32 CPUs — VM/JIT/GC noise, not query work). The
     # minimum of repeated passes is the standard low-noise estimator of
     # steady-state cost and is what cross-round comparisons need.
+    #
+    # MEASUREMENT FIX (optimization round 8, documented in
+    # OPTIMIZATION_r08.md): the SQL cache is cleared before every timed
+    # pass. Queries that persist() intermediates left those cache
+    # entries behind, and Spark's CacheManager substitutes a
+    # structurally identical plan in the NEXT pass — so min-of-3 was
+    # partially timing cached reads of the warm-up pass's intermediates
+    # instead of computation from the parquet inputs (the driver's
+    # no-caching-across-runs rule). The warm-up pass itself still runs
+    # first (JIT/codegen/footers/page cache — legitimate steady-state
+    # warmth); only materialized query INTERMEDIATES are dropped.
     timings: dict[str, float] = {}
     details: dict[str, dict[str, float]] = {}
     for n in names:
         samples: list[float] = []
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(queries[n](spark, sf_dir))
             samples.append(time.perf_counter() - t0)

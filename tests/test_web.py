@@ -163,7 +163,7 @@ def test_host_rollup_null_text_counts_zero_words(spark):
 
 def test_frontier_host_idx_dense_alphabetical_many_hosts(spark):
     # the dense host index must equal the global alphabetical rank even
-    # when the host dim spans many range partitions
+    # when the host dim spans many prefix buckets
     rows = [
         (i, f"http://host{i:03d}.io/p", 1) for i in range(40)
     ]
@@ -178,25 +178,26 @@ def test_frontier_host_idx_dense_alphabetical_many_hosts(spark):
 def test_frontier_schedule_plan_has_no_hostdim_broadcast_hint_or_global_sort(spark):
     # VERDICT r7: the host-dim branch must not force a broadcast of an
     # unbounded dim nor sort all hosts in one task. The only allowed
-    # single-partition window/broadcast is over the per-partition count
-    # table (one row per shuffle partition).
+    # single-partition window/broadcast is over the per-bucket count
+    # table (one row per 3-byte host prefix, alphabet-bounded).
     rows = [(i, f"http://h{i}.io/p", 1) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, url string, priority long")
     import re
 
     out = web.frontier_schedule(df)
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
-    # exactly one broadcast hint: the offsets join (keyed by _pid, one
-    # row per shuffle partition); the host dim itself is never hinted
+    # exactly one broadcast hint: the offsets join (keyed by the _b
+    # prefix bucket, one row per bucket); the host dim itself is never
+    # hinted
     hinted = [
         ln for ln in optimized.splitlines() if "strategy=broadcast" in ln
     ]
-    assert len(hinted) == 1 and "_pid" in hinted[0], optimized
+    assert len(hinted) == 1 and "_b" in hinted[0], optimized
     # no UNPARTITIONED window ordered by host (the old single-task
     # global sort): in plan text that shape reads
     # windowspecdefinition(host#N ASC ... — host as the FIRST arg with a
     # sort direction means empty partition spec. Partitioned windows
-    # (host#N, ...) and the _pid-ordered count-table window are allowed.
+    # (host#N, ...) and the _b-ordered count-table window are allowed.
     assert not re.search(r"windowspecdefinition\(host#\d+ ASC", optimized), (
         optimized
     )

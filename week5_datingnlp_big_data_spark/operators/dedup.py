@@ -862,11 +862,43 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _components_py(edge_rows) -> dict:
+    """Union-find (path-halving) over a collected edge list — the
+    small-graph execution of both connected-components operators.
+    Components are a graph invariant and the label contract is "min
+    reachable id", so any correct algorithm returns the identical
+    (node, component) set."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for v in parent:
+        r = find(v)
+        m = roots.get(r)
+        if m is None or v < m:
+            roots[r] = v
+    return {v: roots[find(v)] for v in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    driver_threshold_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with itself; each
@@ -888,6 +920,17 @@ def connected_components(
     ``connected_components_star`` (same signature); for near-dup graphs
     the plain propagation is the right cost.
 
+    Coarse-to-fine (optimization r8, same discipline as
+    graph.pagerank_int): the symmetrized edge table is already
+    materialized by its eager checkpoint, so when the graph is at or
+    under ``driver_threshold_edges`` the fixpoint runs driver-side as
+    union-find on the collected edge list — identical (node, component)
+    output (components are a graph invariant, the label contract is the
+    min reachable id) without paying a checkpoint + convergence-probe
+    cluster round trip per propagation round. Driver footprint is
+    bounded by the threshold (~2 ids/edge); set it to 0 to force the
+    distributed path.
+
     Output: (node, component) — component = min doc id reachable."""
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -897,6 +940,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    m = sym.count()
+    if m <= driver_threshold_edges:
+        spark = edges.sparkSession
+        node_type = sym.schema["src"].dataType.simpleString()
+        comp = _components_py(
+            [(r["src"], r["dst"]) for r in sym.collect()]
+        )
+        _release_local_checkpoint(sym)
+        return spark.createDataFrame(
+            sorted(comp.items()), f"node {node_type}, component {node_type}"
+        )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -943,6 +997,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    driver_threshold_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
@@ -964,14 +1019,33 @@ def connected_components_star(
     e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    nodes = (
-        e0.select(F.col("a").alias("node"))
-        .union(e0.select(F.col("b").alias("node")))
+    cur = (
+        e0.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cur = (
-        e0.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    # coarse-to-fine: same driver union-find escape as
+    # connected_components (optimization r8) — the canonical edge table
+    # is already materialized, components are a graph invariant, and
+    # the star contraction's cluster round trips dominate under the
+    # threshold. Every node (self-loops were dropped above) appears as
+    # an endpoint of cur, so the collected fixpoint covers the full
+    # node set.
+    m = cur.count()
+    if m <= driver_threshold_edges:
+        spark = edges.sparkSession
+        node_type = cur.schema["u"].dataType.simpleString()
+        comp = _components_py([(r["u"], r["v"]) for r in cur.collect()])
+        _release_local_checkpoint(cur)
+        return spark.createDataFrame(
+            sorted(comp.items()), f"node {node_type}, component {node_type}"
+        )
+    # node axis derived from the materialized canonical edges — the r8
+    # build derived it from e0, which re-ran the (possibly expensive)
+    # upstream pair-mining plan a second time for the eager checkpoint
+    nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

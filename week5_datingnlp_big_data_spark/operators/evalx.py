@@ -70,10 +70,13 @@ def _cum_by_score(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
     )
+    # bounds derive from g, not df: per (strata,) min/max over the
+    # distinct-score axis equals min/max over the raw rows (every score
+    # appears in g), and it removes the second full-upstream reference.
     if ks:
-        bounds = df.groupBy(*ks).agg(
-            F.min(F.col(score_col).cast("long")).alias("_mn"),
-            F.max(F.col(score_col).cast("long")).alias("_mx"),
+        bounds = g.groupBy(*ks).agg(
+            F.min("score").alias("_mn"),
+            F.max("score").alias("_mx"),
         )
         g = g.join(F.broadcast(bounds), ks)
     else:
@@ -382,6 +385,7 @@ def hand_till_auc(
     label_col: str = "label",
     score_col: str = "score",
     true_col: str = "lang",
+    classes: list | None = None,
 ) -> DataFrame:
     """Multi-class AUC by class-pair decomposition (Hand & Till 2001,
     "A Simple Generalisation of the Area Under the ROC Curve for
@@ -403,14 +407,21 @@ def hand_till_auc(
 
     Scale shape: the class axis is collected to the driver (a label
     set, vocab-bounded — the same bounded-collect discipline as the EM
-    tokenizers); each scored row expands to at most (C−1) strata; then
+    tokenizers). Callers that already know the class axis pass it via
+    ``classes`` (it MUST equal the distinct ``label_col`` values of
+    ``scored``) so construction does not run the scorer pipeline once
+    just to enumerate labels — e.g. an NB caller derives it from the
+    training labels, a one-column scan instead of the full
+    train→score chain (optimization r8). Each scored row expands to at
+    most (C−1) strata; then
     the SAME two-level prefix-sum cumulative machinery as the binary
     AUC, with every window partitioned by (pair, scorer[, band]) — no
     single-partition exchange anywhere.
     """
-    classes = sorted(
-        r[0] for r in scored.select(label_col).distinct().collect()
-    )
+    if classes is None:
+        classes = sorted(
+            r[0] for r in scored.select(label_col).distinct().collect()
+        )
     class_arr = F.array(*[F.lit(c) for c in classes])
     j = scored.join(truth, id_col).select(
         F.col(label_col).alias("_scorer"),

@@ -112,25 +112,32 @@ def pagerank_int(
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = e.join(out_w, "src").persist()
-    nodes = ew.select(F.col("src").alias("node")).distinct().persist()
-    n = nodes.count()
+    # ONE stats pass decides n, m, and the execution path — the r8
+    # build materialized a separate distinct node table and ran two
+    # counts before the branch; for the driver path that node table is
+    # never needed at all (optimization r8)
+    spark = edges.sparkSession
+    node_type = ew.schema["src"].dataType.simpleString()
+    stats = ew.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.countDistinct("src").alias("n"),
+    ).first()
+    n, m = stats["n"], stats["m"]
     if n == 0:
-        return nodes.select("node", F.lit(0).cast("bigint").alias("rank"))
-    m = ew.count()
+        ew.unpersist()
+        return spark.createDataFrame([], f"node {node_type}, rank bigint")
     if m <= driver_threshold_edges:
         rows = ew.collect()
-        spark = edges.sparkSession
         ranks_py = _pagerank_py(
             [(r["src"], r["dst"], r["w"], r["out_w"]) for r in rows],
             iters=iters,
             scale=scale,
         )
         ew.unpersist()
-        nodes.unpersist()
-        node_type = ew.schema["src"].dataType.simpleString()
         return spark.createDataFrame(
             sorted(ranks_py.items()), f"node {node_type}, rank bigint"
         )
+    nodes = ew.select(F.col("src").alias("node")).distinct().persist()
     seed = scale // n
     base = ((15 * scale) // 100) // n
     ranks = nodes.select("node", F.lit(seed).cast("bigint").alias("rank"))
@@ -571,6 +578,27 @@ def hits_int(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("long").alias("w"),
     ).persist()
+    # one count decides the path (n == 0 ⟺ m == 0 — nodes are edge
+    # endpoints); the node table is only built for the distributed
+    # path (optimization r8)
+    spark = edges.sparkSession
+    node_type = e.schema["src"].dataType.simpleString()
+    m = e.count()
+    if m == 0:
+        e.unpersist()
+        return spark.createDataFrame(
+            [], f"node {node_type}, hub bigint, auth bigint"
+        )
+    if m <= driver_threshold_edges:
+        rows = e.collect()
+        out = _hits_py(
+            [(r["src"], r["dst"], r["w"]) for r in rows], iters, scale
+        )
+        e.unpersist()
+        return spark.createDataFrame(
+            sorted((k, h, a) for k, (h, a) in out.items()),
+            f"node {node_type}, hub bigint, auth bigint",
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -578,27 +606,6 @@ def hits_int(
         .persist()
     )
     n = nodes.count()
-    if n == 0:
-        e.unpersist()
-        return nodes.select(
-            "node",
-            F.lit(0).cast("bigint").alias("hub"),
-            F.lit(0).cast("bigint").alias("auth"),
-        )
-    m = e.count()
-    if m <= driver_threshold_edges:
-        rows = e.collect()
-        spark = edges.sparkSession
-        out = _hits_py(
-            [(r["src"], r["dst"], r["w"]) for r in rows], iters, scale
-        )
-        node_type = e.schema["src"].dataType.simpleString()
-        e.unpersist()
-        nodes.unpersist()
-        return spark.createDataFrame(
-            sorted((k, h, a) for k, (h, a) in out.items()),
-            f"node {node_type}, hub bigint, auth bigint",
-        )
     hub = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))
     last_ckpt = None
 
@@ -737,23 +744,24 @@ def label_propagation(
         "a", F.col("a").alias("b"), "w"
     )
     sym = sym_pairs.unionByName(selfw).persist()
-    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
-    m = sym.count()
+    # one count decides the path; the node table is only built for the
+    # distributed path (optimization r8)
     spark = edges.sparkSession
+    node_type = sym.schema["a"].dataType.simpleString()
+    m = sym.count()
     if m == 0:
         sym.unpersist()
-        return nodes.select(
-            "node", F.col("node").alias("community")
+        return spark.createDataFrame(
+            [], f"node {node_type}, community {node_type}"
         )
     if m <= driver_threshold_edges:
         rows = sym.collect()
         out = _label_prop_py([(r["a"], r["b"], r["w"]) for r in rows], iters)
-        node_type = sym.schema["a"].dataType.simpleString()
         sym.unpersist()
-        nodes.unpersist()
         return spark.createDataFrame(
             sorted(out.items()), f"node {node_type}, community {node_type}"
         )
+    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
     labels = nodes.select("node", F.col("node").alias("lab"))
     last_ckpt = None
     for i in range(iters):

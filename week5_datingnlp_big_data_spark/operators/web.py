@@ -208,12 +208,13 @@ def frontier_schedule(
     global window over URLs — ``host_idx`` is the host's dense
     alphabetical rank over the host DIMENSION, computed WITHOUT a
     single-partition sort (a 100 TB crawl has ~10⁸ hosts, so even the
-    dim must never funnel through one task): range-partition the
-    distinct hosts, rank within each range partition, and add the
-    exclusive prefix sum of per-partition counts — the distributed
-    zipWithIndex pattern in pure DataFrame algebra. Only the
-    per-partition count table (one row per shuffle partition, bounded
-    by cluster config, never by data) rides a single-partition window
+    dim must never funnel through one task): rank the distinct hosts
+    within their deterministic 3-byte-prefix bucket, and add the
+    exclusive prefix sum of per-bucket counts — the distributed
+    zipWithIndex pattern in pure DataFrame algebra, with no sampling
+    pass (a range partitioner would need one per run). Only the
+    per-bucket count table (one row per prefix bucket, bounded by the
+    key alphabet, never by data) rides a single-partition window
     and a broadcast; the host dim itself is joined back with NO
     broadcast hint — AQE picks the strategy from its measured size.
     Exact duplicates should be removed first
@@ -234,39 +235,49 @@ def frontier_schedule(
     if max_per_host is not None:
         ranked = ranked.filter(F.col("tick") < max_per_host)
     # Dense alphabetical host index, scale-safe: local rank within a
-    # RANGE partition + exclusive prefix-sum of partition counts equals
+    # PREFIX bucket + exclusive prefix-sum of per-bucket counts equals
     # the global row_number ORDER BY host, with no host-cardinality
-    # data ever in one task.
+    # data ever in one task. The bucket is the host's first 3 bytes —
+    # byte-wise prefix order is consistent with the full string order,
+    # so ranks compose exactly. Deterministic buckets replace the
+    # r7 ``repartitionByRange`` shape (optimization r8): a range
+    # partitioner needs a SAMPLING job over the distinct hosts per run,
+    # while the prefix bucket is a scan-speed expression; the bucket
+    # axis is alphabet-bounded (≤ charset³ values — a dimension of the
+    # key space, never of the data), so the offsets table stays a
+    # broadcastable sliver at any corpus size.
     local = (
         canon.select("host")
         .distinct()
-        .repartitionByRange("host")
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_b", F.substring("host", 1, 3))
         .withColumn(
             "_local",
             F.row_number()
-            .over(Window.partitionBy("_pid").orderBy("host"))
+            .over(Window.partitionBy("_b").orderBy("host"))
             .cast("long"),
         )
     )
-    # one row per shuffle partition — bounded by config, not data; the
-    # single-partition window and the broadcast below are over THIS
-    # table only, never the host dim
-    part_counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_prev = Window.orderBy("_pid").rowsBetween(
+    # the host dim feeds BOTH the bucket-count rollup and the index
+    # join-back: one lazy truncation, one distinct+rank execution
+    local = local.localCheckpoint(eager=False)
+    # one row per prefix bucket — bounded by the key alphabet, not by
+    # data; the single-partition window and the broadcast below are
+    # over THIS table only, never the host dim
+    part_counts = local.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prev = Window.orderBy("_b").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.orderBy("_pid").rowsBetween(
+    w_all = Window.orderBy("_b").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = part_counts.select(
-        "_pid",
+        "_b",
         F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
         .cast("long")
         .alias("_off"),
         F.sum("_cnt").over(w_all).cast("long").alias("n_hosts"),
     )
-    host_dim = local.join(F.broadcast(offsets), "_pid").select(
+    host_dim = local.join(F.broadcast(offsets), "_b").select(
         "host",
         (F.col("_off") + F.col("_local") - 1).alias("host_idx"),
         "n_hosts",
@@ -541,17 +552,15 @@ def sitemap_discovery(
     seen = crawled.select(
         F.col(crawled_url_col).alias("canonical_url")
     ).distinct()
-    # keep-first election rides the groupBy-min + equi-join-back shape
-    # (renamed keys dodge Spark's ambiguous-self-join trap)
-    firsts = sitemap_entries.groupBy(
-        F.col("host").alias("_fh"), F.col("canonical_url").alias("_fc")
-    ).agg(F.min("entry_idx").alias("_e"))
-    ordered = sitemap_entries.join(
-        firsts,
-        (F.col("host") == F.col("_fh"))
-        & (F.col("canonical_url") == F.col("_fc"))
-        & (F.col("entry_idx") == F.col("_e")),
-    ).select("host", "canonical_url", "lastmod")
+    # keep-first election as ONE map-side-partial groupBy: entry_idx is
+    # unique within a host's sitemap, so the struct-min picks exactly
+    # the min-entry_idx row and carries its lastmod along — same result
+    # as the r8-build groupBy-min + equi-join-back, with the entries
+    # subtree referenced (planned, executed) once instead of twice
+    # (optimization r8)
+    ordered = sitemap_entries.groupBy("host", "canonical_url").agg(
+        F.min(F.struct("entry_idx", "lastmod"))["lastmod"].alias("lastmod")
+    )
     return ordered.join(seen, "canonical_url", "left_anti")
 
 

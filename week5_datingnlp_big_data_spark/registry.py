@@ -8281,7 +8281,16 @@ def url_frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(t, "\\s+"))
         ),
     )
-    kept = web.url_dedup_keep_first(raw, url_col="url").filter("is_kept")
+    # kept is consumed twice inside frontier_schedule (the per-host
+    # rank and the host-dimension branch), and each reference would
+    # re-inline the synth + canonicalizer + keep-first-election subtree
+    # (the 243 KB r7 plan); one lazy truncation of the deduped frontier
+    # runs that chain once per pass (optimization r8, guide §3.3)
+    kept = (
+        web.url_dedup_keep_first(raw, url_col="url")
+        .filter("is_kept")
+        .localCheckpoint(eager=False)
+    )
     return web.frontier_schedule(kept, url_col="url").select(
         "doc_id", "host", "tick", "crawl_order"
     )
@@ -9504,7 +9513,18 @@ def frontier_robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry hash signal. One host equi-join + scan-side regex + struct-max
     verdict; see operators/web.py:robots_filter."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    kept = web.url_dedup_keep_first(_synth_urls(docs)).filter("is_kept")
+    # kept feeds BOTH the rules synthesis (via its host axis) and the
+    # frontier side of the filter; without truncation the synth+canon
+    # expression tree (dozens of regex nodes) is re-inlined ~6× through
+    # the dedup → hosts → rules → filter chain (365 KB physical plan,
+    # ~1.3 s of per-pass planning measured at sf0.1). One lazy
+    # truncation of the deduped frontier — a post-dedup slice, already
+    # the smallest table in the chain (optimization r8, guide §3.3).
+    kept = (
+        web.url_dedup_keep_first(_synth_urls(docs))
+        .filter("is_kept")
+        .localCheckpoint(eager=False)
+    )
     hosts = kept.select(
         web.canonical_host("canonical_url").alias("host")
     ).distinct()
@@ -10293,7 +10313,14 @@ def nb_hand_till_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, priors = ml.naive_bayes_model(train, label_col="lang")
     scored = ml.naive_bayes_score(test, model, priors)
     truth = test.select("doc_id", "lang")
-    return evalx.hand_till_auc(scored, truth)
+    # class axis = the training labels (scored's label set is exactly
+    # priors' label set): a one-column scan+distinct instead of running
+    # the whole train→score pipeline once at construction just to
+    # enumerate labels (optimization r8)
+    classes = sorted(
+        r[0] for r in train.select("lang").distinct().collect()
+    )
+    return evalx.hand_till_auc(scored, truth, classes=classes)
 
 
 @query(
