@@ -610,10 +610,18 @@ def lm_quality_buckets(
     cum = dist.withColumn(
         "cum", F.sum("c").over(Window.orderBy("mean_neg_logprob"))
     )
-    n_total = scores.count()
-    thresholds = cum.agg(
-        F.min(F.when(F.col("cum") * 3 >= n_total, F.col("mean_neg_logprob"))).alias("t1"),
-        F.min(F.when(F.col("cum") * 3 >= 2 * n_total, F.col("mean_neg_logprob"))).alias("t2"),
+    # corpus size as a broadcast scalar derived from the histogram
+    # itself (Σ c ≡ count of scored docs) — the old eager ``count()``
+    # executed the whole scoring pipeline once at CONSTRUCTION time
+    # just to inline N as a Python literal (optimization r8)
+    n_total = dist.agg(F.sum("c").alias("_n"))
+    thresholds = cum.crossJoin(F.broadcast(n_total)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("_n"), F.col("mean_neg_logprob"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("_n"), F.col("mean_neg_logprob"))
+        ).alias("t2"),
     )
     return scores.crossJoin(F.broadcast(thresholds)).select(
         id_col,
@@ -683,16 +691,25 @@ def quality_ensemble(
         )
     )
     joined = q.join(sig, id_col).persist()
-    n = joined.count()
-    doc_terms.unpersist()  # joined is materialized; drop the token table
+    # corpus size as a broadcast scalar per signal histogram (Σ _c over
+    # the distinct-value table ≡ row count of joined) — the old eager
+    # ``count()`` executed the whole three-signal pipeline once at
+    # CONSTRUCTION time just to inline N as a Python literal; with the
+    # scalar attached in-plan, one action materializes the persisted
+    # join exactly once per run (optimization r8). n == 1 keeps the
+    # old 0.0 rank via the when() guard (identical values: same double
+    # division of the same exact integers).
 
     def pr_table(col: str, out: str) -> DataFrame:
         dist = joined.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        tot = dist.agg(F.sum("_c").alias("_n"))
         less = F.sum("_c").over(Window.orderBy(col)) - F.col("_c")
-        pr = (
-            (less / F.lit(float(n - 1))) if n > 1 else F.lit(0.0)
+        pr = F.when(
+            F.col("_n") > 1, less / (F.col("_n") - 1).cast("double")
+        ).otherwise(F.lit(0.0))
+        return dist.crossJoin(F.broadcast(tot)).select(
+            F.col(col), pr.alias(out)
         )
-        return dist.select(F.col(col), pr.alias(out))
 
     ranked = (
         joined.join(pr_table("quality", "_q_pr"), "quality")

@@ -33,13 +33,26 @@ def inverse_doc_frequency(counts: DataFrame, n_docs: int | None = None) -> DataF
 
     ``n_docs`` defaults to the number of distinct docs in ``counts``
     (matches the reference, where N = corpus size and every doc has ≥1
-    term)."""
+    term) — attached as a broadcast 1-row scalar rather than collected
+    to the driver (optimization r8): the old eager ``count()`` executed
+    the whole upstream tokenize pipeline once at CONSTRUCTION time just
+    to inline N as a literal. ``log10(N/df)`` is the same IEEE division
+    of the same exact integers either way."""
+    df_ = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if n_docs is None:
-        n_docs = counts.select("doc_id").distinct().count()
-    return (
-        counts.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
+        # no broadcast hint: the side is one row and the planner
+        # broadcasts it from its own estimate (this operator's plan is
+        # pinned hint-free by test_idf_join_adaptive_broadcast_no_forced_hint)
+        nd = counts.agg(
+            F.countDistinct("doc_id").cast("double").alias("_n")
+        )
+        return (
+            df_.crossJoin(nd)
+            .withColumn("idf", F.log10(F.col("_n") / F.col("df")))
+            .drop("_n")
+        )
+    return df_.withColumn(
+        "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
     )
 
 
