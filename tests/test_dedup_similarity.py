@@ -750,3 +750,26 @@ def test_sign_hamming_packing_matches_numpy(spark):
             if r["query_id"] == q
         )
         assert rows == expect, (q, rows, expect)
+
+
+def test_connected_components_driver_matches_forced_distributed(spark):
+    # Optimization r8 added the driver union-find escape under
+    # driver_threshold_edges; both execution paths of BOTH variants must
+    # return the identical (node, component) set — components are a
+    # graph invariant and the oracle hash rides on it.
+    import random
+
+    rng = random.Random(1234)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    for fn in (dedup.connected_components, dedup.connected_components_star):
+        drv = {
+            r["node"]: r["component"] for r in fn(df).collect()
+        }  # default threshold -> driver union-find
+        dist = {
+            r["node"]: r["component"]
+            for r in fn(df, driver_threshold_edges=0).collect()
+        }  # forced distributed fixpoint
+        assert drv == dist, fn.__name__

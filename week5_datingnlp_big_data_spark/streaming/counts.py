@@ -469,11 +469,19 @@ def streaming_minhash_near_dups(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        # every batch-scoped persist is released in the finally below:
+        # a long-running stream otherwise leaks five cache entries per
+        # micro-batch — unbounded executor-storage growth (found in the
+        # r8 optimization audit; the batch operators' persists are
+        # per-action and do not have this lifetime problem)
+        scoped = []
         try:
             sigs = dedup.minhash_signatures(
                 batch, text_col, id_col, num_hashes, shingle_n
             ).persist()
+            scoped.append(sigs)
             bands_new = dedup.band_table(sigs, id_col, num_hashes, num_bands).persist()
+            scoped.append(bands_new)
             sh_new = (
                 batch.filter(
                     F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
@@ -484,6 +492,7 @@ def streaming_minhash_near_dups(
                 )
                 .persist()
             )
+            scoped.append(sh_new)
 
             root = Path(state_dir)
             have_state = (root / "bands").exists()
@@ -514,6 +523,7 @@ def streaming_minhash_near_dups(
                 .distinct()
             )
             cands = within.unionByName(cross).distinct().persist()
+            scoped.append(cands)
             sh_all = sh_new.unionByName(sh_old)
             cand_ids = (
                 cands.select(F.col("id_a").alias(id_col))
@@ -521,6 +531,7 @@ def streaming_minhash_near_dups(
                 .distinct()
             )
             sh = sh_all.join(cand_ids, id_col, "left_semi").persist()
+            scoped.append(sh)
             pairs = (
                 cands.join(
                     sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
@@ -546,6 +557,8 @@ def streaming_minhash_near_dups(
             bands_new.write.mode("append").parquet(str(root / "bands"))
             sh_new.write.mode("append").parquet(str(root / "shingles"))
         finally:
+            for df in scoped:
+                df.unpersist()
             batch.unpersist()
 
     return (
