@@ -17,13 +17,26 @@ def test_naive_bayes_hand_example(spark):
         "label string, tokens array<string>",
     )
     model, priors = naive_bayes_model(train)
-    m = {(r["label"], r["term"]): r["llr"] for r in model.collect()}
+    # sparse model: observed pairs + per-class default reconstruct the
+    # dense (label, term, llr) view exactly (unobserved llr == default)
+    obs = {(r["label"], r["term"]): r["llr"] for r in model.observed.collect()}
+    defaults = {r["label"]: r["default"] for r in model.defaults.collect()}
+    vocab = {r["term"] for r in model.vocab.collect()}
+    m = {
+        (lab, t): obs.get((lab, t), defaults[lab])
+        for lab in defaults
+        for t in vocab
+    }
     # vocab = {buy, cheap, pills, meeting, tomorrow, lunch} -> V=6
     # spam totals 5, ham totals 5
     assert m[("spam", "buy")] == math.floor(math.log(3 / 11) * NB_SCALE)
     assert m[("spam", "meeting")] == math.floor(math.log(1 / 11) * NB_SCALE)
     assert m[("ham", "tomorrow")] == math.floor(math.log(3 / 11) * NB_SCALE)
-    # dense: every class has every vocab term
+    # "meeting" is unobserved for spam: it must ride the default, not an
+    # observed row, and the default IS the dense smoothing constant
+    assert ("spam", "meeting") not in obs
+    assert defaults["spam"] == math.floor(math.log(1 / 11) * NB_SCALE)
+    # dense reconstruction: every class has every vocab term
     assert len(m) == 12
     p = {r["label"]: r["prior"] for r in priors.collect()}
     assert p["spam"] == math.floor(math.log(0.5) * NB_SCALE) == p["ham"]
@@ -59,7 +72,14 @@ def test_naive_bayes_scores_are_integer_sums(spark):
         [(1, ["x", "x", "z"])], "doc_id long, tokens array<string>"
     )
     row = naive_bayes_predict(test, model, priors).collect()[0]
-    m = {(r["label"], r["term"]): r["llr"] for r in model.collect()}
+    obs = {(r["label"], r["term"]): r["llr"] for r in model.observed.collect()}
+    defaults = {r["label"]: r["default"] for r in model.defaults.collect()}
+    vocab = {r["term"] for r in model.vocab.collect()}
+    m = {
+        (lab, t): obs.get((lab, t), defaults[lab])
+        for lab in defaults
+        for t in vocab
+    }
     p = {r["label"]: r["prior"] for r in priors.collect()}
     exp_a = p["a"] + 2 * m[("a", "x")] + m[("a", "z")]
     exp_b = p["b"] + 2 * m[("b", "x")] + m[("b", "z")]

@@ -940,8 +940,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # ``driver_threshold_edges`` is in CANONICAL undirected edges in both
+    # CC variants (ADVICE r8): sym holds 2 rows per undirected edge (plus
+    # 1 per self-loop), so compare against twice the threshold — the same
+    # threshold value now engages the escape at the same graph size as
+    # connected_components_star. Driver footprint ≤ ~4 ids/threshold-edge.
     m = sym.count()
-    if m <= driver_threshold_edges:
+    if m <= 2 * driver_threshold_edges:
         spark = edges.sparkSession
         node_type = sym.schema["src"].dataType.simpleString()
         comp = _components_py(

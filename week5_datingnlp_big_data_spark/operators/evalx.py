@@ -422,12 +422,23 @@ def hand_till_auc(
         classes = sorted(
             r[0] for r in scored.select(label_col).distinct().collect()
         )
+    # defensive (ADVICE r8): a duplicated or unsorted caller-supplied
+    # axis would silently skew the pair decomposition — normalizing is
+    # free and a no-op for a correct axis
+    classes = sorted(set(classes))
     class_arr = F.array(*[F.lit(c) for c in classes])
     j = scored.join(truth, id_col).select(
         F.col(label_col).alias("_scorer"),
         F.col(score_col).cast("long").alias("_score"),
         F.col(true_col).alias("_t"),
     )
+    # one lazy truncation at the scores⋈truth seam (optimization r9):
+    # the pos/neg strata reference j twice and the banded prefix sum
+    # references its input three more times — without the barrier every
+    # static copy re-inlines the caller's whole scoring pipeline (the NB
+    # caller planned 144 parquet scans in one query). j is one narrow
+    # row per scored (doc, class); the upstream plans and runs once.
+    j = j.localCheckpoint(eager=False)
     # positives: docs whose true class IS the scorer, one stratum per
     # partner class; negatives: one stratum {scorer, true class}
     pos = j.filter(F.col("_t") == F.col("_scorer")).select(

@@ -91,6 +91,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     persist: bool = True,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query: ``(doc_id, n_matched,
     score)``, score rounded to 6 decimals (cross-engine float discipline),
@@ -103,12 +104,20 @@ def bm25_topk(
     one-row rollup of the doc-length table (avgdl = Σdl / N ≡
     Σcount / countDistinct(doc_id), integer sums, bit-identical), so the
     postings table is scanned once for lengths instead of twice
-    (lengths + a separate distinct-count pass)."""
+    (lengths + a separate distinct-count pass).
+
+    ``dl`` — a precomputed ``(doc_id, dl)`` doc-length table. A caller
+    running SEVERAL retrieval arms over the same postings (hybrid RRF:
+    BM25 ⊕ TF-IDF) builds it once and passes it to every arm, so the
+    build is shared structurally — one plan subtree, one cache entry —
+    rather than relying on the cache layer to unify per-arm rebuilds of
+    an identical plan (optimization r9)."""
     if persist:
         counts = counts.persist()
     q = sorted({t.lower() for t in query_terms})
     matched = counts.filter(F.col("term").isin(q))
-    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
+    if dl is None:
+        dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
@@ -134,6 +143,7 @@ def tfidf_topk(
     query_terms: list[str],
     k: int = 20,
     persist: bool = True,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by summed TF-IDF weight over the query terms:
     ``(doc_id, n_matched, score)``, score rounded to 6 decimals, ordered
@@ -142,12 +152,14 @@ def tfidf_topk(
     query terms first, per-doc totals from a doc-level aggregate, |Q|- and
     1-row sides broadcast, TakeOrderedAndProject top-k). TF-IDF semantics
     are the engine's own (reference EP-2): tf = count/doc_total,
-    idf = log10(N/df)."""
+    idf = log10(N/df). ``dl`` as in :func:`bm25_topk` — pass a shared
+    doc-length table when fusing several arms over the same postings."""
     if persist:
         counts = counts.persist()
     q = sorted({t.lower() for t in query_terms})
     matched = counts.filter(F.col("term").isin(q))
-    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
+    if dl is None:
+        dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
     df_ = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N from the doc-length table (one pass over postings, not a second
     # distinct-count scan — same trick as bm25_topk)

@@ -19,6 +19,8 @@ reference's 6.17 GB dense-matrix blowup (W2) has no analog here.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import DecisionTreeClassifier
 from pyspark.ml.clustering import KMeans, KMeansModel
@@ -425,20 +427,49 @@ def cluster_plot_data(
 NB_SCALE = 10**9
 
 
+class NBModel(NamedTuple):
+    """Sparse multinomial-NB model (optimization r9). The dense
+    ``(label, term, llr)`` table of earlier rounds carried V·C rows —
+    every (class, vocab-term) pair, almost all of them holding the same
+    per-class smoothing constant ``floor(ln(1/(total_c+V))·1e9)``. The
+    sparse form stores only what varies:
+
+    * ``observed``: ``(label, term, llr, delta)`` for the OBSERVED
+      (class, term) training pairs only — ``llr`` is the identical
+      int64 ``floor(ln((cnt+1)/(total_c+V))·1e9)`` and
+      ``delta = llr − default_c`` its excess over the class default.
+    * ``defaults``: ``(label, default)`` — C rows, the exact llr of any
+      vocab term unobserved in that class.
+    * ``vocab``: ``(term)`` — the training vocabulary. Every vocab term
+      has ≥1 observed pair, so ``observed``'s term axis equals it — the
+      scorer restricts to in-vocabulary postings through its inner join
+      against the observed pairs; vocab stays exported for callers that
+      need the bare term axis.
+
+    Scoring reconstructs the dense sum exactly (int64, order-free):
+    ``Σ_{t∈d∩V} cnt·llr_tc = default_c·T_d + Σ_observed cnt·delta`` with
+    ``T_d = Σ_{t∈d∩V} cnt`` — so model-side rows shrink from V·C to the
+    observed pairs while every score stays bit-identical.
+    """
+
+    observed: DataFrame
+    defaults: DataFrame
+    vocab: DataFrame
+
+
 def naive_bayes_model(
     train: DataFrame,
     label_col: str = "label",
     tokens_col: str = "tokens",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[NBModel, DataFrame]:
     """Train multinomial NB with add-one smoothing over the training
     vocabulary. Returns ``(model, priors)``:
 
-    * ``model``: DENSE ``(label, term, llr)`` — every (class, vocab-term)
-      pair, ``llr = floor(ln((cnt+1)/(total_c+V)) · 1e9)`` as int64, so
-      a vocab term absent from a class still contributes its smoothed
-      penalty (exact NB, not an inner-join approximation). V·C rows:
-      model-sized (Zipf-bounded vocab × handful of classes), never
-      corpus-sized.
+    * ``model``: sparse :class:`NBModel` — observed (class, term) pairs
+      with int64 ``llr = floor(ln((cnt+1)/(total_c+V)) · 1e9)`` plus the
+      per-class default for unobserved vocab terms (exact NB, not an
+      inner-join approximation; the dense V·C reconstruction is
+      ``observed ∪ {default_c for every other vocab term}``).
     * ``priors``: ``(label, prior)`` with ``prior = floor(ln(n_c/n)·1e9)``.
     """
     tt = train.select(
@@ -449,26 +480,40 @@ def naive_bayes_model(
         F.count(F.lit(1)).alias("cnt")
     )
     vocab = counts.select("term").distinct()
-    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    # V as a one-row countDistinct over counts — same value as
+    # vocab.agg(count), one subtree level less in every dependent plan
+    v_size = counts.agg(F.countDistinct("term").alias("v"))
     class_tot = counts.groupBy("label").agg(F.sum("cnt").alias("total"))
-    dense = (
-        class_tot.crossJoin(F.broadcast(vocab))
-        .join(counts, ["label", "term"], "left")
-        .crossJoin(F.broadcast(v_size))
+    # (label, total, v, default): C rows — broadcastable at any scale
+    class_stats = class_tot.crossJoin(F.broadcast(v_size)).select(
+        "label",
+        "total",
+        "v",
+        F.floor(F.log(F.lit(1.0) / (F.col("total") + F.col("v"))) * NB_SCALE)
+        .cast("long")
+        .alias("default"),
+    )
+    observed = (
+        counts.join(F.broadcast(class_stats), "label")
         .select(
             "label",
             "term",
             F.floor(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                    / (F.col("total") + F.col("v"))
-                )
+                F.log((F.col("cnt") + 1) / (F.col("total") + F.col("v")))
                 * NB_SCALE
             )
             .cast("long")
             .alias("llr"),
+            "default",
+        )
+        .select(
+            "label",
+            "term",
+            "llr",
+            (F.col("llr") - F.col("default")).alias("delta"),
         )
     )
+    defaults = class_stats.select("label", "default")
     n_docs = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_c")
     )
@@ -479,12 +524,12 @@ def naive_bayes_model(
         .cast("long")
         .alias("prior"),
     )
-    return dense, priors
+    return NBModel(observed, defaults, vocab), priors
 
 
 def naive_bayes_score(
     test: DataFrame,
-    model: DataFrame,
+    model: NBModel,
     priors: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
@@ -499,6 +544,20 @@ def naive_bayes_score(
     (operators/evalx.py) consume — margins, AUC, calibration all derive
     from it; ``naive_bayes_predict`` is its argmax.
 
+    Sparse attach (optimization r9): instead of joining every test
+    posting against the dense V·C model (each in-vocab term row fanning
+    out C ways), the posting joins only the OBSERVED (term, class)
+    pairs, and the per-class default is applied in bulk through the
+    in-vocabulary token total ``T_d``:
+
+        score = prior_c + default_c·T_d + Σ_observed cnt·(llr − default_c)
+
+    — an exact int64 rearrangement of the dense sum (every unobserved
+    pair's llr IS default_c), so the scores are bit-identical while the
+    model side of the heavy join shrinks from V·C rows to the observed
+    pairs and the per-posting fan-out from C to the handful of classes
+    the term actually occurred in.
+
     Returns ``(id, label, score)``.
     """
     counts = (
@@ -507,22 +566,56 @@ def naive_bayes_score(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    term_scores = (
-        counts.join(model, "term")
-        .groupBy(id_col, "label")
-        .agg(F.sum(F.col("cnt") * F.col("llr")).alias("ts"))
+    # one row per vocab term carrying its observed classes' deltas as a
+    # map (every vocab term has ≥1 observed pair, so the inner join IS
+    # the in-vocabulary restriction — no separate vocab semi-join, one
+    # term-keyed join instead of two), PLUS a sentinel entry worth 1 per
+    # token: its per-doc sum IS T_d, so one aggregation produces the
+    # delta sums and the token total together — no separate T_d pass, no
+    # second attach join. The sentinel key is NUL, which no label can be
+    # (labels come out of groupBy keys of real columns). Map entry order
+    # follows the nondeterministic collect_list, which only permutes
+    # int64 additions.
+    sent = "\x00"
+    term_info = model.observed.groupBy("term").agg(
+        F.map_concat(
+            F.create_map(F.lit(sent), F.lit(1).cast("long")),
+            F.map_from_entries(F.collect_list(F.struct("label", "delta"))),
+        ).alias("_dmap")
     )
-    base = test.select(id_col).distinct().crossJoin(F.broadcast(priors))
-    return base.join(term_scores, [id_col, "label"], "left").select(
+    g = (
+        counts.join(term_info, "term")
+        .select(F.col(id_col), "cnt", F.explode("_dmap").alias("_k", "_v"))
+        .groupBy(id_col, "_k")
+        .agg(F.sum(F.col("cnt") * F.col("_v")).alias("_s"))
+    )
+    # per-doc pack: ≤ C+1 entries per doc (classes observed in the doc's
+    # terms + the sentinel) — bounded by the label set, never the corpus
+    per_doc = g.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_k", "_s"))).alias("_m")
+    )
+    # (label, prior, default): C rows — one broadcast attach
+    pd_ = priors.join(F.broadcast(model.defaults), "label")
+    base = test.select(id_col).distinct().crossJoin(F.broadcast(pd_))
+    # try_element_at: NULL (not ANSI error) for docs with no in-vocab
+    # terms (NULL map) and classes absent from the doc's map
+    return base.join(per_doc, id_col, "left").select(
         id_col,
         "label",
-        (F.col("prior") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
+        (
+            F.col("prior")
+            + F.col("default")
+            * F.coalesce(F.try_element_at("_m", F.lit(sent)), F.lit(0))
+            + F.coalesce(
+                F.try_element_at("_m", F.col("label")), F.lit(0)
+            )
+        ).alias("score"),
     )
 
 
 def naive_bayes_predict(
     test: DataFrame,
-    model: DataFrame,
+    model: NBModel,
     priors: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",

@@ -209,14 +209,16 @@ def frontier_schedule(
     alphabetical rank over the host DIMENSION, computed WITHOUT a
     single-partition sort (a 100 TB crawl has ~10⁸ hosts, so even the
     dim must never funnel through one task): rank the distinct hosts
-    within their deterministic 3-byte-prefix bucket, and add the
-    exclusive prefix sum of per-bucket counts — the distributed
+    within their deterministic 6-byte-prefix bucket, and add the
+    two-level exclusive prefix sum of per-bucket counts (fine 6-byte
+    buckets summed within their 3-byte coarse bucket, coarse buckets
+    summed on the alphabet-bounded coarse axis) — the distributed
     zipWithIndex pattern in pure DataFrame algebra, with no sampling
     pass (a range partitioner would need one per run). Only the
-    per-bucket count table (one row per prefix bucket, bounded by the
-    key alphabet, never by data) rides a single-partition window
-    and a broadcast; the host dim itself is joined back with NO
-    broadcast hint — AQE picks the strategy from its measured size.
+    COARSE count table (one row per 3-byte prefix, bounded by the key
+    alphabet, never by data) rides a single-partition window and a
+    broadcast; the host dim and the fine-bucket axis are joined back
+    with NO broadcast hint — AQE picks the strategy from measured size.
     Exact duplicates should be removed first
     (:func:`url_dedup_keep_first`); ``max_per_host`` caps runaway hosts
     (the crawl-budget rule, RefinedWeb §3.1).
@@ -235,49 +237,89 @@ def frontier_schedule(
     if max_per_host is not None:
         ranked = ranked.filter(F.col("tick") < max_per_host)
     # Dense alphabetical host index, scale-safe: local rank within a
-    # PREFIX bucket + exclusive prefix-sum of per-bucket counts equals
+    # PREFIX bucket + exclusive prefix-sums of per-bucket counts equals
     # the global row_number ORDER BY host, with no host-cardinality
-    # data ever in one task. The bucket is the host's first 3 bytes —
-    # byte-wise prefix order is consistent with the full string order,
-    # so ranks compose exactly. Deterministic buckets replace the
-    # r7 ``repartitionByRange`` shape (optimization r8): a range
-    # partitioner needs a SAMPLING job over the distinct hosts per run,
-    # while the prefix bucket is a scan-speed expression; the bucket
-    # axis is alphabet-bounded (≤ charset³ values — a dimension of the
-    # key space, never of the data), so the offsets table stays a
-    # broadcastable sliver at any corpus size.
+    # data ever in one task. Byte-wise prefix order is consistent with
+    # the full string order, so ranks compose exactly, and the buckets
+    # are deterministic expressions — no sampling job per run (the r7
+    # ``repartitionByRange`` shape needed one; optimization r8).
+    #
+    # TWO-LEVEL decomposition (optimization r9, VERDICT r8 #2): the r8
+    # form ranked within the FIRST-3-BYTE bucket, so every host sharing
+    # a 3-char prefix landed in ONE rank task — real crawls cluster
+    # (punycode ``xn--``, national-TLD mirrors), and at the 10⁸-host
+    # scale a hot bucket is a straggler. Now the rank window partitions
+    # by the first SIX bytes (_b6), collapsing a hot 3-prefix into up to
+    # charset³ independent tasks; the _b6 count axis is data-bounded
+    # (could itself be large), so ITS prefix sum is again two-level:
+    # within the 3-byte coarse bucket (_b3 — each partition ≤ charset³
+    # fine buckets), then a single-partition window over the
+    # alphabet-bounded _b3 axis only. global rank = coarse offset
+    # + fine-in-coarse offset + local rank.
     local = (
         canon.select("host")
         .distinct()
-        .withColumn("_b", F.substring("host", 1, 3))
+        .withColumn("_b6", F.substring("host", 1, 6))
         .withColumn(
             "_local",
             F.row_number()
-            .over(Window.partitionBy("_b").orderBy("host"))
+            .over(Window.partitionBy("_b6").orderBy("host"))
+            .cast("long"),
+        )
+        # bucket population in the SAME window pass (same partitioning,
+        # no ordering → no extra exchange or sort): the fine-bucket
+        # count table below then needs no aggregation over the host dim
+        .withColumn(
+            "_bcnt",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_b6"))
             .cast("long"),
         )
     )
     # the host dim feeds BOTH the bucket-count rollup and the index
     # join-back: one lazy truncation, one distinct+rank execution
     local = local.localCheckpoint(eager=False)
-    # one row per prefix bucket — bounded by the key alphabet, not by
-    # data; the single-partition window and the broadcast below are
-    # over THIS table only, never the host dim
-    part_counts = local.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_prev = Window.orderBy("_b").rowsBetween(
+    c6 = (
+        local.filter(F.col("_local") == 1)
+        .select("_b6", F.col("_bcnt").alias("_cnt"))
+        .withColumn("_b3", F.substring("_b6", 1, 3))
+    )
+    # coarse rollup derives from the PRE-window fine counts (both
+    # consumers sit on c6's aggregation exchange, reused at runtime)
+    c3 = c6.groupBy("_b3").agg(F.sum("_cnt").alias("_cnt3"))
+    w_in3 = (
+        Window.partitionBy("_b3")
+        .orderBy("_b6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c6 = c6.withColumn(
+        "_off_in3",
+        F.coalesce(F.sum("_cnt").over(w_in3), F.lit(0)).cast("long"),
+    )
+    # one row per COARSE prefix bucket — bounded by the key alphabet,
+    # not by data; the single-partition window and the broadcast below
+    # are over THIS table only, never the host dim or the fine axis
+    w_prev = Window.orderBy("_b3").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.orderBy("_b").rowsBetween(
+    w_all = Window.orderBy("_b3").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    offsets = part_counts.select(
-        "_b",
-        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
+    offsets3 = c3.select(
+        "_b3",
+        F.coalesce(F.sum("_cnt3").over(w_prev), F.lit(0))
         .cast("long")
-        .alias("_off"),
-        F.sum("_cnt").over(w_all).cast("long").alias("n_hosts"),
+        .alias("_off3"),
+        F.sum("_cnt3").over(w_all).cast("long").alias("n_hosts"),
     )
-    host_dim = local.join(F.broadcast(offsets), "_b").select(
+    off6 = c6.join(F.broadcast(offsets3), "_b3").select(
+        "_b6",
+        (F.col("_off3") + F.col("_off_in3")).alias("_off"),
+        "n_hosts",
+    )
+    # fine-offset join-back is NOT hinted: the _b6 axis is data-bounded,
+    # AQE picks the strategy from its measured size
+    host_dim = local.join(off6, "_b6").select(
         "host",
         (F.col("_off") + F.col("_local") - 1).alias("host_idx"),
         "n_hosts",

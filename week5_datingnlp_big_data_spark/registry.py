@@ -4952,9 +4952,18 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle. See operators/ir.py:rrf_fuse (rank windows over bounded
     top-k lists only)."""
     counts = dfm.doc_term_counts(_docs_tokenized(spark, sf_dir)).persist()
+    # doc lengths built ONCE and fed to both arms (optimization r9):
+    # the two arms' identical per-arm rebuilds were previously unified
+    # only by the cache layer matching their identical plans — sharing
+    # the table structurally keeps the dedup independent of the cache.
+    dl = counts.groupBy("doc_id").agg(F.sum("count").alias("dl")).persist()
     terms = list(_BM25_QUERY_TERMS)
-    bm = ir.bm25_topk(counts, terms, k=50, persist=False).select("doc_id", "score")
-    lex = ir.tfidf_topk(counts, terms, k=50, persist=False).select("doc_id", "score")
+    bm = ir.bm25_topk(counts, terms, k=50, persist=False, dl=dl).select(
+        "doc_id", "score"
+    )
+    lex = ir.tfidf_topk(counts, terms, k=50, persist=False, dl=dl).select(
+        "doc_id", "score"
+    )
     return ir.rrf_fuse({"bm25": bm, "tfidf": lex})
 
 
@@ -10110,7 +10119,16 @@ def _nb_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score")
     )
     truth = test.select("doc_id", (F.col("lang") == "en").alias("is_pos"))
-    return margins.join(truth, "doc_id")
+    # one lazy truncation at the model-scores seam (optimization r9,
+    # VERDICT r8 #2): the eval consumers reference this frame up to six
+    # times (the banded prefix-sum references its input three times, the
+    # sweep two more), and each static copy re-inlines the whole NB
+    # train→score pipeline — nb_pr_sweep planned 144 parquet scans / 376
+    # Exchanges relying on AQE runtime reuse of byte-identical subtrees.
+    # The barrier plans and executes the pipeline exactly once (this is
+    # also the table a production run would materialize before eval);
+    # the margin table is one narrow row per test doc.
+    return margins.join(truth, "doc_id").localCheckpoint(eager=False)
 
 
 @query(
