@@ -932,6 +932,14 @@ def connected_components(
     distributed path.
 
     Output: (node, component) — component = min doc id reachable."""
+    # NOTE (optimization r9, tried and rejected): symmetrizing via a
+    # single-pass explode-into-both-directions instead of this
+    # union-of-swapped-selects was measured (matched sessions, controls
+    # for drift): jobs dropped (26→22 on near_dup_components) but wall
+    # time was control-normalized flat-to-worse — the near-dup callers
+    # persist the pair table, so the second union arm is a cache read,
+    # not a recompute, and the two arms' map sides run in parallel.
+    # Kept as-is; see plans/r09/measurements/sym_{before,after}.json.
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(

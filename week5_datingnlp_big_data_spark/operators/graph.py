@@ -730,13 +730,31 @@ def label_propagation(
         F.col(src).alias("a"), F.col(dst).alias("b"),
         F.col(weight).cast("long").alias("w"),
     )
+    # symmetrize by exploding each edge into its two directions in ONE
+    # pass (optimization r9): the union-of-swapped-selects form planned
+    # the upstream edge-build subtree TWICE — and for the host-graph
+    # callers that subtree is the regex-heavy link extraction with no
+    # shuffle inside and no persist, so neither runtime exchange reuse
+    # nor the cache can deduplicate it. Same row multiset into the same
+    # groupBy — identical output. Locally this measures flat
+    # (control-normalized, matched sessions — idle cores absorb the
+    # duplicate arm); the win is CPU at scale, where the extraction is
+    # throughput-bound and the duplicate arm is a genuine 2x.
     sym_pairs = (
         e0.filter(F.col("a") != F.col("b"))
-        .unionByName(
-            e0.filter(F.col("a") != F.col("b")).select(
-                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
-            )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("a", "b", "w"),
+                    F.struct(
+                        F.col("b").alias("a"),
+                        F.col("a").alias("b"),
+                        F.col("w").alias("w"),
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.a", "_e.b", "_e.w")
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
